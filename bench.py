@@ -1,0 +1,64 @@
+"""Benchmark harness — the driver runs this per-round at sf0.1.
+
+Runs the registry's bench-flagged headline queries on
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed to completion (results drained via count or a
+bounded collect) — timings measure the full distributed plan, not lazy
+construction. A warmup pass primes the JVM/codegen caches so numbers
+reflect steady-state throughput rather than session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    from mapreduce_citation_spark.registry import bench_queries
+    from mapreduce_citation_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = bench_queries()
+
+    # Warmup: run the first query once to JIT/codegen-prime the session.
+    first = next(iter(specs.values()), None)
+    if first is not None:
+        first.fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()  # full execution; result size itself not materialized to driver
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time at sf" + sf,
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution defaults so every entry
+point (tests, bench, driver harness) runs with the same
+scale-conscious configuration:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the
+  static plan is never right; AQE re-plans from shuffle statistics.
+- ``spark.sql.session.timeZone=UTC`` — DuckDB oracle timestamps are
+  UTC-naive; pinning the session TZ makes timestamp semantics match.
+- Arrow enabled — every pandas_udf / toPandas crossing is batched.
+- Shuffle partitions sized to the local core count (the 200 default
+  over-parallelizes small data and under-parallelizes huge data; on a
+  real cluster AQE coalesces from a deliberately-high initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Cores to use locally; driver exports SPARK_GRAFT_CPUS."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "mapreduce-citation-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``getOrCreate`` reuses an existing session, so tests/bench/driver
+    share one JVM. Configs that matter at scale are set here rather
+    than per-query so plans are reproducible.
+    """
+    cores = cpus or default_parallelism()
+    parts = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        # --- correctness-critical ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: re-plan from runtime stats ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config("spark.sql.shuffle.partitions", str(parts))
+        # --- python<->jvm crossings are Arrow-batched ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- scan sizing: default 128m splits; fine for local + cluster ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- broadcast threshold: dims up to 64 MB broadcast free ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,113 @@
+"""Local approximation of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 on Spark AND its
+``oracle_sql()`` on DuckDB (same parquet registered as views), then
+compares row-count, column names, and an order-insensitive value hash.
+Values are normalized identically on both sides before hashing
+(floats via repr of float64, timestamps to ISO strings) so the check
+is about semantics, not client formatting.
+
+Usage: python tools/check_correctness.py [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_CHECK", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v) -> str:
+    if v is None or v != v:  # None / NaN
+        return "␀"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    rows = sorted(
+        "|".join(norm_cell(row[c]) for c in cols) for _, row in df.iterrows()
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main(names: list[str]) -> int:
+    import __spark_entry__ as ent
+    from mapreduce_citation_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    use = names or list(qs)
+    failures = 0
+    for name in use:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems:
+            hs, ho = value_hash(sdf), value_hash(odf)
+            if hs != ho:
+                problems.append(f"hash {hs} vs {ho}")
+                merged = sdf.merge(odf, how="outer", indicator=True)
+                diff = merged[merged["_merge"] != "both"]
+                if len(diff):
+                    print(diff.head(6).to_string())
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures += 1
+        else:
+            print(f"PASS  {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{len(use) - failures}/{len(use)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
