@@ -1,0 +1,158 @@
+"""Event-time operators over the ``events`` table (batch side).
+
+These are the batch equivalents of the Structured Streaming operators
+in ``streaming/`` — same windowing semantics (tumbling / sliding /
+session via ``F.window`` / ``F.session_window``), checked against
+epoch-arithmetic SQL oracles. The streaming versions (watermarks,
+late-data drop, stateful dedup) run in pytest where a file source +
+memory sink can drive them to completion; their aggregation logic is
+shared with these functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+
+#: value is 2-decimal in the fixtures → decimal-exact sums.
+VALUE_DEC = "CAST(value AS DECIMAL(18,2))"
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT)) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM({VALUE_DEC}) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    bench=True,
+    tags=("events", "window-agg", "tumbling"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type — ``F.window`` is the
+    same operator Structured Streaming uses, so this plan is the
+    batch twin of the streaming watermark query."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"CAST(SUM({VALUE_DEC}) AS DOUBLE)").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle=f"""
+WITH win AS (
+  SELECT e.*,
+         make_timestamp(CAST((FLOOR(epoch_us(ts) / 1800000000) * 1800 - off) * 1000000 AS BIGINT)) AS window_start
+  FROM events e, (VALUES (0), (1800)) AS offsets(off)
+  WHERE epoch_us(ts) >= (FLOOR(epoch_us(ts) / 1800000000) * 1800 - off) * 1000000
+)
+SELECT window_start, COUNT(*) AS n,
+       CAST(SUM({VALUE_DEC}) AS DOUBLE) AS total_value
+FROM win
+GROUP BY 1
+""",
+    tags=("events", "window-agg", "sliding"),
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands
+    in 2 windows. The oracle reconstructs window membership with epoch
+    arithmetic (event ∈ [start, start+1h) for starts on the 30-min
+    grid)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"CAST(SUM({VALUE_DEC}) AS DOUBLE)").alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract ``$.k`` from the JSON props
+    column (get_json_object — JVM-side JSON path, no UDF)."""
+    ev = _ev(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+""",
+    tags=("events", "session-window"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30-min gap) in batch mode — the same
+    operator Structured Streaming uses for session aggregation. The
+    oracle rebuilds sessions with the lag/cumsum islands technique;
+    session_end = last event + gap by definition."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

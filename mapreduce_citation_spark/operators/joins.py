@@ -1,0 +1,327 @@
+"""Join operator surface: every join shape the engine supports.
+
+Strategy notes for 100 TB (tests pin these via plan assertions):
+- Dimension tables (region/nation/customer/supplier/part at TPC-H
+  ratios) broadcast — no shuffle of the fact side.
+- Fact-fact joins (lineitem⋈orders) shuffle on the join key; AQE
+  handles skew splitting at runtime.
+- As-of joins have no native Spark operator: implemented here as a
+  union-of-tagged-streams + window scan, which shuffles each side
+  once on the key and never builds the (left × right-candidates)
+  blow-up an inequality join would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+from .relational import DISC, PRICE
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "join_broadcast_dim",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    bench=True,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim): zero shuffle on the orders side for the
+    join itself; only the 5-group aggregate exchanges."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "join_fact_fact",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    bench=True,
+    tags=("join", "shuffle"),
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large⋈large equi-join on the natural key — shuffles both sides
+    on l_orderkey/o_orderkey exactly once (sort-merge or shuffled-hash
+    per AQE stats)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(f"CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT n_name,
+       COUNT(c_custkey) AS n_customers
+FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+GROUP BY n_name
+""",
+    tags=("join", "outer"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER: nations keep a row even with zero customers
+    (COUNT(col) skips the null-extended rows)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH cust AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1
+), supp AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1
+)
+SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+""",
+    tags=("join", "outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER over pre-aggregated sides (aggregate-before-join:
+    shuffles the small aggregates, not the base tables)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cust = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    supp = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return cust.join(supp, cust.nk == supp.nk, "full").select(
+        F.coalesce(cust.nk, supp.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+""",
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: existence check, no row multiplication."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderstatus = 'P' AND o_totalprice > 300000
+)
+""",
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: "papers never cited" shape — customers with no
+    big pending order (reference has no join surface, SURVEY.md §2.3;
+    the predicate is chosen to keep the result nonempty at sf0.01)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "P") & (F.col("o_totalprice") > 300000)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r_name, x.o_orderstatus AS status
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) x
+""",
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian of two tiny inputs (5 × 3); the engine guards real
+    cross joins behind explicit .crossJoin."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    st = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status")
+    ).distinct()
+    return r.crossJoin(st)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator — Spark has no native one)
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` within the same ``on`` key.
+
+    Implemented as union-of-tagged-streams + window ``last_value``
+    (IGNORE NULLS) over rows sorted by (key, time): one shuffle per
+    side on the key, O(n log n) within partitions, and — unlike the
+    naive inequality-join + row_number — never materializes the
+    left×right candidate blow-up, so it survives 100× scale-up.
+    Right rows must be unique per (key, right_ts); pre-dedupe first.
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),  # right sorts before left at equal ts (≤ semantics)
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(left_on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged_r.unionByName(tagged_l).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return merged.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"_asof_{c}").alias(c) for c in right_cols],
+    )
+
+
+@register(
+    "asof_join_events_orders",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), latest AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, l.o_orderkey, l.o_orderdate
+FROM ev e ASOF LEFT JOIN latest l
+  ON e.user_id = l.o_custkey AND l.o_orderdate <= e.ts
+""",
+    tags=("join", "asof", "custom-operator"),
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of: each purchase event matched to the user's most recent
+    order at event time. Right side pre-deduped to one row per
+    (custkey, orderdate) with max orderkey so the match is
+    deterministic. Oracle uses DuckDB's native ASOF JOIN."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    latest = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    return asof_join(
+        ev,
+        latest,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+    ).select("event_id", "user_id", "o_orderkey", "o_orderdate")
+
+
+@register(
+    "range_join_buckets",
+    oracle="""
+WITH buckets(bucket, lo, hi) AS (
+  VALUES ('small', 1, 10), ('medium', 11, 30), ('large', 31, 50)
+)
+SELECT bucket, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN buckets ON l_quantity BETWEEN lo AND hi
+GROUP BY bucket
+""",
+    tags=("join", "range"),
+)
+def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a tiny bounds table: broadcast + BETWEEN
+    predicate (BroadcastNestedLoopJoin over 3 rows — the right plan;
+    for large range tables the bucketize-then-equi-join rewrite in
+    this module's asof_join applies instead)."""
+    li = _t(spark, sf_dir, "lineitem")
+    buckets = li.sparkSession.createDataFrame(
+        [("small", 1, 10), ("medium", 11, 30), ("large", 31, 50)],
+        ["bucket", "lo", "hi"],
+    )
+    return (
+        li.join(
+            F.broadcast(buckets),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") <= F.col("hi")),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("SUM(l_quantity)").alias("sum_qty"))
+    )

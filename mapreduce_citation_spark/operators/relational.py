@@ -1,0 +1,584 @@
+"""General relational operator surface (SURVEY.md §7 phase 2).
+
+The reference's engine is generic (task queue + hash shuffle) with the
+citation query plugged in at two callbacks (SURVEY.md §2.3); the
+Spark-native generalization of that surface is the full DataFrame
+relational algebra. Each query here is a reusable builder registered
+with a DuckDB oracle.
+
+Cross-engine float determinism: money columns (2-decimal doubles in
+the fixtures) are cast to DECIMAL before arithmetic/aggregation and
+the result cast back to DOUBLE, so Spark and DuckDB produce
+bit-identical values regardless of partial-aggregation order. Whole-
+number doubles (l_quantity) sum exactly in binary and need no cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+
+# Decimal-exact fragments (shared between Spark F.expr and oracle SQL).
+PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+DISC = "CAST(l_discount AS DECIMAL(3,2))"
+TAX = "CAST(l_tax AS DECIMAL(3,2))"
+OPRICE = "CAST(o_totalprice AS DECIMAL(12,2))"
+ACCTBAL = "CAST(c_acctbal AS DECIMAL(12,2))"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style aggregation pipelines
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM({PRICE}) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({PRICE} * (1 - {DISC}) * (1 + {TAX})) AS DOUBLE) AS sum_charge,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       CAST(SUM({PRICE}) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM({DISC}) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    bench=True,
+    tags=("aggregate", "tpch"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate groupBy. Catalyst
+    plans partial HashAggregate before the exchange (the map-side
+    combine the reference hand-rolls at mapper.py:70-78), and the
+    shipdate filter + 7-column pruning push into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr("SUM(l_quantity)").alias("sum_qty"),
+            F.expr(f"CAST(SUM({PRICE}) AS DOUBLE)").alias("sum_base_price"),
+            F.expr(f"CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)").alias("sum_disc_price"),
+            F.expr(
+                f"CAST(SUM({PRICE} * (1 - {DISC}) * (1 + {TAX})) AS DOUBLE)"
+            ).alias("sum_charge"),
+            F.expr("SUM(l_quantity) / COUNT(*)").alias("avg_qty"),
+            F.expr(f"CAST(SUM({PRICE}) AS DOUBLE) / COUNT(*)").alias("avg_price"),
+            F.expr(f"CAST(SUM({DISC}) AS DOUBLE) / COUNT(*)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    bench=True,
+    tags=("join", "aggregate", "topk", "tpch"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
+    customer is far below the broadcast threshold, so the c_custkey
+    join is a BroadcastHashJoin (no shuffle of orders); the decimal
+    revenue makes the ORDER BY deterministic, orderkey breaks ties."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(f"CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name,
+       CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""",
+    bench=True,
+    tags=("join", "aggregate", "tpch"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with a local-supplier condition
+    (c_nationkey = s_nationkey). All dims broadcast; only the
+    lineitem⋈orders join shuffles, on the natural key."""
+    c, o, li, s, n, r = (
+        _t(spark, sf_dir, t)
+        for t in ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    r = r.filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.expr(f"CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+@register(
+    "monthly_revenue",
+    oracle=f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM({OPRICE}) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1, 2
+""",
+    tags=("aggregate", "datetime"),
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: year/month extraction + decimal-exact revenue."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(f"CAST(SUM({OPRICE}) AS DOUBLE)").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube / distinct / having
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_returns",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("aggregate", "rollup"),
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (flag, status), (flag), () subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.expr("SUM(l_quantity)").alias("sum_qty")
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n, CAST(SUM({OPRICE}) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("aggregate", "cube"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations of (status, priority)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"CAST(SUM({OPRICE}) AS DOUBLE)").alias("revenue"),
+    )
+
+
+@register(
+    "grouping_sets_sales",
+    oracle="""
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+    tags=("aggregate", "grouping-sets"),
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint single-key sets) via SQL."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "distinct_count_users",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    tags=("aggregate", "distinct"),
+)
+def distinct_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: Catalyst plans the expand/two-phase
+    distinct count; exact (approx_count_distinct is bench-only since
+    its estimate is engine-specific)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "having_active_customers",
+    oracle=f"""
+SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM({OPRICE}) AS DOUBLE) AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+""",
+    tags=("aggregate", "having"),
+)
+def having_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(f"CAST(SUM({OPRICE}) AS DOUBLE)").alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+    tags=("distinct",),
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_ops_customers",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    tags=("setop",),
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT then EXCEPT chain (distinct set semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    failed = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(big).exceptAll(failed.distinct())
+
+
+@register(
+    "union_all_tagged",
+    oracle="""
+SELECT src, COUNT(*) AS n FROM (
+  SELECT 'high' AS src, o_custkey FROM orders WHERE o_totalprice > 250000
+  UNION ALL
+  SELECT 'urgent' AS src, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+) u
+GROUP BY src
+""",
+    tags=("setop", "union"),
+)
+def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two tagged subsets (bag semantics preserved)."""
+    o = _t(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") > 250000).select(
+        F.lit("high").alias("src"), "o_custkey"
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("src"), "o_custkey"
+    )
+    return high.unionAll(urgent).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "intersect_all_parts",
+    oracle="""
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'
+""",
+    tags=("setop",),
+)
+def intersect_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection with multiplicity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_partkey")
+        .intersectAll(li.filter(F.col("l_linestatus") == "F").select("l_partkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function coverage (string / datetime / math / conditional)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       LOWER(p_type) AS type_lower,
+       SUBSTR(p_name, 1, 8) AS name_prefix,
+       LENGTH(p_name) AS name_len,
+       REPLACE(p_brand, 'Brand#', 'B') AS brand_short,
+       CONCAT(p_brand, '/', p_type) AS brand_type,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass
+FROM part
+""",
+    tags=("scalar", "string"),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function projection (all JVM built-ins, one codegen span)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.when(F.col("p_type").contains("BRASS"), 1).otherwise(0).alias("is_brass"),
+    )
+
+
+@register(
+    "scalar_datetime_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+       CAST(EXTRACT(day FROM o_orderdate) AS INT) AS d,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+       CAST(EXTRACT(isodow FROM o_orderdate) AS INT) AS iso_dow,
+       DATE_TRUNC('month', o_orderdate) AS month_start
+FROM orders
+WHERE o_orderkey < 1000
+""",
+    tags=("scalar", "datetime"),
+)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime extraction. ISO day-of-week via weekday()+1 (Spark's
+    dayofweek() is Sunday-based=1; DuckDB's isodow is Monday-based=1)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ABS(l_quantity - 25) AS qty_dev,
+       FLOOR(l_quantity / 7) AS qty_bucket,
+       CEIL(l_quantity / 7.0) AS qty_bucket_up,
+       SQRT(l_quantity) AS qty_sqrt,
+       l_partkey % 10 AS pk_mod,
+       GREATEST(l_quantity, 25.0) AS qty_hi,
+       LEAST(l_quantity, 25.0) AS qty_lo
+FROM lineitem
+WHERE l_orderkey < 500
+""",
+    tags=("scalar", "math"),
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math built-ins. sqrt is IEEE-correctly-rounded in both engines;
+    transcendentals (ln/exp/pow) are deliberately excluded from
+    oracle-checked queries since libm results differ in ulps."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_bucket_up"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_partkey") % 10).alias("pk_mod"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
+    )
+
+
+@register(
+    "case_bucketing",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000  THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            WHEN o_totalprice < 400000 THEN 'large'
+            ELSE 'jumbo' END AS bucket,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1
+""",
+    tags=("scalar", "conditional", "aggregate"),
+)
+def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + min/max (exact on raw doubles)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .when(F.col("o_totalprice") < 400000, "large")
+        .otherwise("jumbo")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("pivot", "aggregate"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via .pivot() with explicit value list (avoids the extra
+    distinct-values job — important at scale) — conditional-agg SQL
+    equivalent on the oracle side."""
+    o = _t(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_finished"),
+        F.coalesce("P", F.lit(0)).alias("n_pending"),
+    )
+
+
+@register(
+    "order_limit_offset",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+LIMIT 20 OFFSET 10
+""",
+    tags=("sort", "limit"),
+)
+def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination: total order on the key, offset+limit."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").offset(10).limit(20)
+
+
+@register(
+    "agg_acctbal_stats",
+    oracle=f"""
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(MIN({ACCTBAL}) AS DOUBLE) AS min_bal,
+       CAST(MAX({ACCTBAL}) AS DOUBLE) AS max_bal,
+       CAST(SUM({ACCTBAL}) AS DOUBLE) AS sum_bal,
+       CAST(SUM({ACCTBAL}) AS DOUBLE) / COUNT(*) AS avg_bal
+FROM customer
+GROUP BY c_nationkey
+""",
+    tags=("aggregate", "stats"),
+)
+def agg_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stat aggregate over a mid-cardinality key."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr(f"CAST(MIN({ACCTBAL}) AS DOUBLE)").alias("min_bal"),
+        F.expr(f"CAST(MAX({ACCTBAL}) AS DOUBLE)").alias("max_bal"),
+        F.expr(f"CAST(SUM({ACCTBAL}) AS DOUBLE)").alias("sum_bal"),
+        F.expr(f"CAST(SUM({ACCTBAL}) AS DOUBLE) / COUNT(*)").alias("avg_bal"),
+    )

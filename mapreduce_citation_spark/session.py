@@ -56,6 +56,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(parts))
         # --- python<->jvm crossings are Arrow-batched ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- fixture events.parquet stores TIMESTAMP(NANOS); Spark has no
+        #     nanos timestamp type, so read as bigint and convert in the
+        #     events loader (truncation to micros matches DuckDB) ---
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- scan sizing: default 128m splits; fine for local + cluster ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # --- broadcast threshold: dims up to 64 MB broadcast free ---

@@ -120,8 +120,22 @@ def read_edges_csv(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table (columnar parquet scan with pushdown)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one fixture table (columnar parquet scan with pushdown).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    reads as bigint nanos under ``legacy.parquet.nanosAsLong``; convert
+    to a microsecond timestamp by truncation — the same ns→us
+    conversion DuckDB applies, so oracle comparisons agree.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer DIV, not /: float division loses precision above 2^53.
+        # Cast to NTZ (session tz is UTC, value-preserving) so events.ts
+        # matches the other fixtures' naive timestamps and DuckDB.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1,0 +1,152 @@
+"""Operator-level tests: semantics on controlled inputs + plan-shape
+assertions that pin the scale properties (broadcast, pushdown,
+pruning) the engine relies on at 100 TB."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_citation_spark.operators.joins import asof_join
+from mapreduce_citation_spark.plans import (
+    assert_in_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+# ---------------------------------------------------------------------------
+# as-of join semantics on a hand-built case
+# ---------------------------------------------------------------------------
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", dt.datetime(2024, 1, 10)),
+            (2, "u1", dt.datetime(2024, 1, 20)),
+            (3, "u2", dt.datetime(2024, 1, 5)),   # before any right row
+            (4, "u3", dt.datetime(2024, 1, 15)),  # key with no right rows
+        ],
+        ["event_id", "uid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2024, 1, 8), 100),
+            ("u1", dt.datetime(2024, 1, 10), 101),  # equal ts: matched (≤)
+            ("u1", dt.datetime(2024, 1, 15), 102),
+            ("u2", dt.datetime(2024, 1, 7), 200),
+        ],
+        ["uid", "rts", "val"],
+    )
+    out = {
+        r["event_id"]: (r["val"], r["rts"])
+        for r in asof_join(
+            left, right, "uid", "uid", "ts", "rts", ["val", "rts"]
+        ).collect()
+    }
+    assert out[1][0] == 101  # equal timestamp matches (≤ semantics)
+    assert out[2][0] == 102  # latest ≤ Jan 20 is Jan 15
+    assert out[3] == (None, None)  # left-join semantics: no match → NULLs
+    assert out[4] == (None, None)  # unseen key → NULLs
+
+
+def test_asof_join_has_no_join_blowup(spark):
+    # the implementation must be union+window, not an inequality join
+    left = spark.createDataFrame([(1, "u", dt.datetime(2024, 1, 1))], ["e", "k", "ts"])
+    right = spark.createDataFrame([("u", dt.datetime(2024, 1, 1), 1)], ["k", "rts", "v"])
+    out = asof_join(left, right, "k", "k", "ts", "rts", ["v"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# plan-shape assertions on the registered queries
+# ---------------------------------------------------------------------------
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    from mapreduce_citation_spark.operators.relational import q3_shipping_priority
+
+    assert has_broadcast_join(q3_shipping_priority(spark, sf_dir))
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    from mapreduce_citation_spark.operators.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, sf_dir)
+    assert any("l_shipdate" in f for f in pushed_filters(df)), (
+        "shipdate filter must reach the parquet scan"
+    )
+    (cols,) = read_schema_columns(df)
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, (
+        "scan must prune to the 7 referenced columns"
+    )
+
+
+def test_citation_counts_partial_aggregation(spark, sf_dir):
+    from mapreduce_citation_spark.operators.citation_queries import citation_counts
+
+    # partial (map-side) aggregate before the exchange — the combine
+    # the reference hand-rolls at mapper.py:70-78
+    plan = assert_in_plan(citation_counts(spark, sf_dir), "HashAggregate", "Exchange")
+    assert plan.lower().index("hashaggregate") < plan.lower().index("exchange")
+
+
+def test_fact_fact_join_shuffles_once_per_side(spark, sf_dir):
+    from mapreduce_citation_spark.operators.joins import join_fact_fact
+
+    from mapreduce_citation_spark.plans import explain_str
+
+    # simple mode lists each node once (formatted repeats nodes in the
+    # detail section); shuffle exchanges are "Exchange hashpartitioning"
+    plan = explain_str(join_fact_fact(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_sessionize_single_shuffle_for_window_and_agg(spark, sf_dir):
+    from mapreduce_citation_spark.operators.windows import sessionize_events
+    from mapreduce_citation_spark.plans import explain_str
+
+    plan = explain_str(sessionize_events(spark, sf_dir), "simple")
+    # window partitionBy(user_id) and groupBy(user_id, session_id) must
+    # not re-shuffle: one shuffle exchange total
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# semantics spot-checks vs hand computation
+# ---------------------------------------------------------------------------
+
+def test_rollup_has_subtotals_and_grand_total(spark, sf_dir):
+    from mapreduce_citation_spark.operators.relational import rollup_returns
+
+    rows = rollup_returns(spark, sf_dir).collect()
+    grand = [r for r in rows if r["l_returnflag"] is None and r["l_linestatus"] is None]
+    assert len(grand) == 1
+    li_count = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert grand[0]["n"] == li_count
+
+
+def test_range_join_buckets_cover_all_rows(spark, sf_dir):
+    from mapreduce_citation_spark.operators.joins import range_join_buckets
+
+    rows = range_join_buckets(spark, sf_dir).collect()
+    li_count = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r["n"] for r in rows) == li_count  # buckets partition [1, 50]
+
+
+def test_session_window_matches_manual_islands(spark, sf_dir):
+    from mapreduce_citation_spark.operators.events import events_session_window
+    from mapreduce_citation_spark.operators.windows import sessionize_events
+
+    native = events_session_window(spark, sf_dir)
+    manual = sessionize_events(spark, sf_dir)
+    # same session count per user under the same 30-min gap
+    n1 = {r["user_id"]: r["n"] for r in native.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n2 = {r["user_id"]: r["n"] for r in manual.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert n1 == n2

@@ -96,10 +96,15 @@ def main(names: list[str]) -> int:
             hs, ho = value_hash(sdf), value_hash(odf)
             if hs != ho:
                 problems.append(f"hash {hs} vs {ho}")
-                merged = sdf.merge(odf, how="outer", indicator=True)
-                diff = merged[merged["_merge"] != "both"]
-                if len(diff):
-                    print(diff.head(6).to_string())
+                try:
+                    merged = sdf.merge(odf, how="outer", indicator=True)
+                    diff = merged[merged["_merge"] != "both"]
+                    if len(diff):
+                        print(diff.head(6).to_string())
+                except Exception as e:
+                    print(f"      (diff unavailable: {e})")
+                    print("      spark dtypes:", dict(sdf.dtypes.astype(str)))
+                    print("      oracle dtypes:", dict(odf.dtypes.astype(str)))
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures += 1
