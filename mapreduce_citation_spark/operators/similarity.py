@@ -1,0 +1,178 @@
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+Two paths, per the standard ANN playbook:
+
+- ``knn_brute_cosine``: exact top-k by brute force — the baseline and
+  the recall oracle. Query set × corpus via broadcast join (the query
+  side is small by construction; the corpus never shuffles).
+- ``knn_lsh_ann``: sign-random-projection LSH — each vector gets a
+  b-bit signature from deterministic md5-derived hyperplanes;
+  candidates share a signature prefix bucket. At 100 TB the bucket
+  join touches ~n/2^b of the corpus per query instead of n. Recall vs
+  the brute-force baseline is asserted in pytest (the LSH query
+  itself is rows-only for the driver: the bucketing is not
+  SQL-oracle-expressible in a reasonable DuckDB query).
+
+Dot products are ordered left-folds in double on both engines
+(bit-identical; see operators/dedup.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+
+#: normalized self-dot (Spark SQL expression)
+_NORM = (
+    "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "0D, (a, b) -> a + b))"
+)
+
+_DOT_AB = (
+    "aggregate(zip_with(a.embedding, b.embedding, "
+    "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "knn_brute_cosine",
+    oracle="""
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm,
+         embedding
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(generate_series(1, 64),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y) / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) t
+WHERE rn <= 5
+""",
+    bench=True,
+    tags=("similarity", "knn", "brute-force"),
+)
+def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for queries vec_id < 10: broadcast the query
+    set against the corpus, fold the dot product JVM-side, take top-k
+    per query with a deterministic (cosine desc, neighbor asc) order."""
+    e = _emb(spark, sf_dir)
+    n = e.select("vec_id", "embedding", F.expr(_NORM).alias("nrm"))
+    q = n.filter(F.col("vec_id") < 10).alias("a")
+    c = n.alias("b")
+    cos = (F.expr(_DOT_AB) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine")
+    scored = (
+        c.join(F.broadcast(q), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_signature_expr(bits: int = 8) -> str:
+    """b-bit sign-random-projection signature (Spark SQL expression).
+
+    Hyperplane j's component for dimension i is ±1 by the parity of
+    the first hex digit of md5(j || ':' || i) — deterministic, no
+    stored model. Signature bit j = sign(Σ_i h_ji · v_i) ≥ 0.
+    """
+    return (
+        f"concat_ws('', transform(sequence(0, {bits - 1}), j -> "
+        "CASE WHEN aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
+        "(x, i) -> CASE WHEN substring(md5(concat(j, ':', i)), 1, 1) < '8' "
+        "THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END), "
+        "0D, (acc, v) -> acc + v) >= 0D THEN '1' ELSE '0' END))"
+    )
+
+
+@register(
+    "knn_lsh_ann",
+    tags=("similarity", "knn", "lsh", "rows-only"),
+)
+def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: candidates restricted to the query's LSH
+    bucket (8-bit sign signature), exact cosine re-rank inside the
+    bucket. Recall vs knn_brute_cosine is asserted in pytest
+    (test_similarity.py); rows-only for the driver."""
+    e = _emb(spark, sf_dir)
+    sig = lsh_signature_expr(8)
+    n = e.select(
+        "vec_id", "embedding", F.expr(_NORM).alias("nrm"), F.expr(sig).alias("sig")
+    )
+    q = n.filter(F.col("vec_id") < 10).alias("a")
+    c = n.alias("b")
+    cos = (F.expr(_DOT_AB) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine")
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@register(
+    "embedding_label_stats",
+    oracle="""
+SELECT label,
+       COUNT(DISTINCT vec_id) AS n,
+       list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) AS checksum
+FROM (SELECT label, vec_id, unnest(embedding) AS x FROM embeddings)
+GROUP BY label
+""",
+    tags=("similarity", "centroid"),
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector counts + element checksum — the accumulation
+    pattern under IVF centroid training (per-cluster sums). Parallel
+    float summation is order-dependent, so the checksum folds a
+    SORTED element list — deterministic in both engines; a real
+    centroid pipeline would keep plain sums and tolerate ulps."""
+    e = _emb(spark, sf_dir)
+    ex = e.select("label", "vec_id", F.explode("embedding").alias("x"))
+    return ex.groupBy("label").agg(
+        F.count_distinct("vec_id").alias("n"),
+        F.expr(
+            "aggregate(array_sort(collect_list(CAST(x AS DOUBLE))), 0D, (a, b) -> a + b)"
+        ).alias("checksum"),
+    )

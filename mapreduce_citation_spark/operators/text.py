@@ -1,0 +1,212 @@
+"""Text-analysis operators over ``documents``: token statistics,
+quality scoring, language ID, fingerprinting, and regex (BPE-ish)
+token counting — the per-document featurization stage of an LLM data
+pipeline.
+
+Everything is a map-side projection or a low-cardinality aggregate:
+no UDFs, no shuffles beyond the final groupBy, so at 100 TB the cost
+is one scan. All ratios are int/int divisions → bit-identical doubles
+in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import (
+    bottomk_fingerprint_duck,
+    bottomk_fingerprint_spark,
+    shingles_duck,
+    shingles_spark,
+    tokens_duck,
+    tokens_spark,
+)
+from ..registry import register
+from ..sources.readers import load_table
+
+_TOK_S = tokens_spark("text")
+_TOK_D = tokens_duck("text")
+
+#: Stopword profiles for the marker-based language scorer. The fixture
+#: vocabulary is synthetic, so the scores are about engine semantics
+#: (argmax + deterministic tie-break), not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "es": ("data", "row", "line"),
+    "de": ("group", "key", "hash"),
+    "fr": ("query", "table", "scan"),
+    "zh": ("batch", "stream", "window"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _in_list(langwords: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in langwords)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_TOK_D})) AS BIGINT) AS total_tokens,
+       CAST(SUM(len({_TOK_D})) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, source
+""",
+    bench=True,
+    tags=("text", "aggregate"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): doc/token/char totals."""
+    d = _docs(spark, sf_dir)
+    ntok = F.expr(f"size({_TOK_S})")
+    return (
+        d.select("lang", "source", ntok.alias("ntok"), "n_chars")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            (F.sum("ntok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+SELECT doc_id,
+       len({_TOK_D}) AS n_tokens,
+       len(list_distinct({_TOK_D})) AS n_types,
+       CAST(len(list_distinct({_TOK_D})) AS DOUBLE) / len({_TOK_D}) AS type_token_ratio,
+       CAST(len(list_filter({_TOK_D}, t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
+         / len({_TOK_D}) AS stopword_ratio,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOK_D}) AS avg_token_len
+FROM documents
+WHERE len({_TOK_D}) > 0
+""",
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token/type counts, type-token
+    ratio, stopword ratio, mean token length — the standard cheap
+    quality-filter signals (all exact int/int ratios)."""
+    d = _docs(spark, sf_dir)
+    ntok = F.expr(f"size({_TOK_S})")
+    ntypes = F.expr(f"size(array_distinct({_TOK_S}))")
+    nstop = F.expr(f"size(filter({_TOK_S}, t -> t IN ('the', 'a', 'of')))")
+    nchars_nospace = F.length(F.regexp_replace("text", " ", ""))
+    return (
+        d.select(
+            "doc_id",
+            ntok.alias("n_tokens"),
+            ntypes.alias("n_types"),
+            (ntypes.cast("double") / ntok).alias("type_token_ratio"),
+            (nstop.cast("double") / ntok).alias("stopword_ratio"),
+            (nchars_nospace.cast("double") / ntok).alias("avg_token_len"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+def _score_s(words: tuple[str, ...]) -> str:
+    return f"size(filter({_TOK_S}, t -> t IN ({_in_list(words)})))"
+
+
+def _score_d(words: tuple[str, ...]) -> str:
+    return f"len(list_filter({_TOK_D}, t -> t IN ({_in_list(words)})))"
+
+
+def _argmax_case(score_fn) -> str:
+    """CASE chain picking the max-scoring language, name-asc tie-break
+    (langs evaluated in sorted order, >= keeps the earlier winner)."""
+    langs = sorted(LANG_MARKERS)
+    cases = []
+    for lang in langs:
+        others = [
+            f"{score_fn(LANG_MARKERS[lang])} >= {score_fn(LANG_MARKERS[o])}"
+            if o > lang
+            else f"{score_fn(LANG_MARKERS[lang])} > {score_fn(LANG_MARKERS[o])}"
+            for o in langs
+            if o != lang
+        ]
+        cases.append(f"WHEN {' AND '.join(others)} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+SELECT doc_id, lang,
+       {_argmax_case(_score_d)} AS lang_pred,
+       CASE WHEN ({_argmax_case(_score_d)}) = lang THEN 1 ELSE 0 END AS is_match
+FROM documents
+""",
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word (n-gram-profile) language ID: score each language's
+    stopword list against the token set, argmax with deterministic
+    name-ascending tie-break. On real corpora the markers are
+    character n-gram profiles; the operator shape is identical."""
+    d = _docs(spark, sf_dir)
+    pred = F.expr(_argmax_case(_score_s))
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        F.when(pred == F.col("lang"), 1).otherwise(0).alias("is_match"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       {bottomk_fingerprint_duck(shingles_duck('text', 3))} AS fingerprint
+FROM documents
+""",
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch fingerprint: md5 over the 4 smallest shingle
+    hashes — a compact containment-preserving document signature
+    (rolling-hash winnowing's set-sketch cousin), map-side only."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.expr(bottomk_fingerprint_spark(shingles_spark("text", 3))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+@register(
+    "token_count_regex",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
+FROM documents
+""",
+    tags=("text", "tokenize"),
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting: word pieces = letter runs, digit
+    runs, or single punctuation — the cheap pre-tokenizer count used
+    for data budgeting (the regex is identical RE2/Java syntax)."""
+    d = _docs(spark, sf_dir)
+    # idx=0 (whole match): Spark defaults to capture group 1, DuckDB to 0
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias("n_numbers"),
+    )

@@ -1,0 +1,156 @@
+"""Structured Streaming operators over event data.
+
+The reference has no streaming semantics (its poll loops are control
+plane — SURVEY.md §2.3), so this is north-star surface: the batch
+window aggregations in ``operators/events.py`` re-expressed as
+streaming queries with watermarks, late-data handling, stateful
+dedup, and a custom stateful operator via ``applyInPandasWithState``.
+
+Each builder takes an input DataFrame (streaming or batch — the
+transformations are identical by Structured Streaming's design) so
+pytest can drive the same plan from a file source to a memory sink
+with ``processAllAvailable`` and compare against the batch oracle.
+
+Scale notes: state is keyed (user_id / event_id hash), so it
+partitions across executors; watermarks bound state size — without
+them a 100 TB stream accumulates unbounded window state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Explicit schema for streaming file sources (no inference on streams).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),  # re-cast downstream
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """File-source stream: each file dropped into ``path`` becomes a
+    micro-batch (the standard test/backfill source; swap for kafka in
+    production — the downstream plan is identical)."""
+    return (
+        spark.readStream.schema(schema or EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window counts with a watermark: events later than
+    ``watermark`` behind the max seen ts are dropped and their windows
+    finalized — bounding state. Works unchanged on batch input (where
+    the watermark is a no-op), which is how the oracle compares it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Stateful exact dedup on event_id: duplicates arriving within
+    the watermark horizon are dropped; state for ids older than the
+    watermark is evicted (the streaming twin of dedup_exact)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows per user (same operator as the batch
+    events_session_window query)."""
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+#: Output/state schemas for the custom stateful operator.
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+_STATE_SCHEMA = StructType([StructField("n", LongType())])
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user event counter that emits an updated row per micro-batch —
+    the minimal template for bespoke streaming state machines (the
+    generalization of the reference's reducer-side accumulation,
+    reducer.py:83-108, to unbounded input)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = pdf["ts"].max()
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        state.update((n,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "last_ts": [last_ts]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drive a streaming DataFrame to completion into an in-memory
+    table (test/dev sink): processAllAvailable drains every pending
+    file, then the query stops."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
