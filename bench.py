@@ -34,10 +34,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = bench_queries()
 
-    # Warmup: run the first query once to JIT/codegen-prime the session.
-    first = next(iter(specs.values()), None)
-    if first is not None:
-        first.fn(spark, sf_dir).count()
+    # Warmup: run every query once so timings measure steady-state
+    # execution (JIT + whole-stage-codegen compile amortized), then
+    # time a second full execution of each.
+    for spec in specs.values():
+        spec.fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():
