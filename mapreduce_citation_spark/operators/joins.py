@@ -199,6 +199,66 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-handling: salted join (manual complement to AQE skew splitting)
+# ---------------------------------------------------------------------------
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join with key salting: the (large, possibly skewed) left
+    side gets a deterministic salt per row; the (smaller) right side
+    is replicated once per salt; the join runs on (key, salt), so a
+    hot key's rows spread over ``n_salts`` reducers instead of one.
+
+    Use when one build-side key dominates (AQE skew-join handles
+    sort-merge skew automatically, but salting also covers aggregations
+    and works when the skew is known ahead of plan time). Join result
+    is identical to the plain join — pinned by the registered query's
+    plain-join oracle.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    l_salted = left.withColumn("_salt", salt)
+    salts = left.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    r_replicated = right.crossJoin(F.broadcast(salts))
+    return l_salted.join(
+        r_replicated,
+        (F.col(left_key) == F.col(right_key))
+        & (l_salted["_salt"] == r_replicated["_salt"]),
+    ).drop("_salt")
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("join", "skew", "salting"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted orders⋈customer (16 salts) then nation rollup — the
+    oracle is the PLAIN join, proving the salting rewrite is a pure
+    physical optimization with identical semantics."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = salted_join(o, c, "o_custkey", "c_custkey", n_salts=16)
+    return (
+        joined.join(F.broadcast(n), joined.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join (custom operator — Spark has no native one)
 # ---------------------------------------------------------------------------
 

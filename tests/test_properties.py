@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis) for the core aggregation
+invariants — the class of bug the reference's own pipeline only
+survives by accident (SURVEY.md §4: partial counts could be emitted
+twice; correctness restored only by the master's re-aggregation)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mapreduce_citation_spark.citations import CitationAnalytics
+
+paper_ids = st.text(alphabet="0123456789", min_size=1, max_size=7)
+edges_strategy = st.lists(
+    st.tuples(paper_ids, paper_ids), min_size=0, max_size=60
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_citation_count_invariants(spark, edges):
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [("x", "y")],
+        ["from_paper", "to_paper"],
+    )
+    if not edges:
+        df = df.limit(0)
+    ca = CitationAnalytics(df)
+    counts = ca.citation_counts().collect()
+    # exactly one row per key
+    keys = [r["paper_id"] for r in counts]
+    assert len(keys) == len(set(keys))
+    # sum of per-key counts == number of edges (duplicates count)
+    assert sum(r["citations"] for r in counts) == len(edges)
+    # python-side oracle
+    expected: dict[str, int] = {}
+    for _, to in edges:
+        expected[to] = expected.get(to, 0) + 1
+    assert {r["paper_id"]: r["citations"] for r in counts} == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(st.tuples(paper_ids, paper_ids), min_size=1, max_size=40))
+def test_top_cited_order_matches_reference_sort(spark, edges):
+    """top_cited must equal python's sorted(..., key=(-count, id))[:k]
+    — the master's exact ordering rule (master.py:218)."""
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    got = [
+        (r["paper_id"], r["citations"])
+        for r in CitationAnalytics(df).top_cited(30).collect()
+    ]
+    counts: dict[str, int] = {}
+    for _, to in edges:
+        counts[to] = counts.get(to, 0) + 1
+    want = sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:30]
+    assert got == want
