@@ -166,6 +166,124 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_nation_volume",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         {PRICE} * (1 - {DISC}) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    tags=("join", "aggregate", "tpch"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair volume with a
+    disjunctive join predicate and per-year rollup."""
+    s, li, o, c, n = (
+        _t(spark, sf_dir, t)
+        for t in ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("nk1"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.expr(f"CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    tags=("join", "aggregate", "topk", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking — date-bounded
+    join, multi-column group, deterministic top-20."""
+    c, o, li, n = (
+        _t(spark, sf_dir, t) for t in ("customer", "orders", "lineitem", "nation")
+    )
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = li.filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(f"CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_share",
+    oracle=f"""
+SELECT CAST(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN {PRICE} * (1 - {DISC})
+                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE) AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+""",
+    tags=("join", "aggregate", "tpch"),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate share over a broadcast
+    part join (decimal-exact numerator and denominator)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    num = (
+        f"CAST(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%' "
+        f"THEN {PRICE} * (1 - {DISC}) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)"
+        f" / CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.expr(num).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "monthly_revenue",
     oracle=f"""
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,

@@ -152,6 +152,85 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_brute_cosine_pandas",
+    oracle="""
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm,
+         embedding
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(generate_series(1, 64),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y) / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) t
+WHERE rn <= 5
+""",
+    tags=("similarity", "knn", "pandas-udf"),
+)
+def knn_brute_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-5 as ``knn_brute_cosine``, computed in the
+    Arrow/numpy path: queries broadcast to every partition, each
+    ``mapInPandas`` batch does one (batch × queries) BLAS matmul
+    instead of per-pair interpreted folds. This is the hot-path shape
+    at 100 TB — Python, but vectorized and shuffle-free (the corpus
+    never moves; only per-partition top-k candidates do).
+
+    Ranks match the JVM fold path (same oracle); raw cosines are left
+    out of the output because float matmul association differs from
+    an ordered fold in the last ulp — exactly the documented trade of
+    this path. Equality-of-ranking is also pinned in pytest."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir)
+    qrows = e.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq_mat = spark.sparkContext.broadcast(q_mat)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        ids, mat = bq_ids.value, bq_mat.value
+        for pdf in batches:
+            c = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ mat.T  # (batch, n_queries)
+            nid = pdf["vec_id"].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, len(nid)),
+                    "neighbor_id": np.tile(nid, len(ids)),
+                    "cosine": sims.T.ravel(),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = e.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+@register(
     "embedding_label_stats",
     oracle="""
 SELECT label,

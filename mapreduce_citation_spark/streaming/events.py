@@ -140,6 +140,29 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet_sink(
+    df: DataFrame, out_path: str, checkpoint_path: str, output_mode: str = "append"
+) -> None:
+    """Exactly-once parquet sink via foreachBatch: each micro-batch is
+    written under its epoch id; the checkpoint makes replayed batches
+    idempotent (the standard pattern when the sink itself isn't
+    transactional). Drains all available input, then stops."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming DataFrame to completion into an in-memory
     table (test/dev sink): processAllAvailable drains every pending

@@ -1,0 +1,62 @@
+"""Facade + SQL-surface + bucketing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_citation_spark.engine import AnalyticsEngine
+from mapreduce_citation_spark.plans import explain_str
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return AnalyticsEngine(spark, sf_dir).register_views()
+
+
+def test_sql_surface_matches_dataframe_query(engine, spark, sf_dir):
+    via_sql = engine.sql(
+        "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey"
+    )
+    via_df = engine.table("orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert sorted(map(tuple, via_sql.collect())) == sorted(map(tuple, via_df.collect()))
+
+
+def test_named_query_dispatch(engine):
+    assert "q1_pricing_summary" in engine.query_names()
+    assert engine.query("q1_pricing_summary").count() > 0
+
+
+def test_citations_facade_report(engine):
+    report = engine.citations().format_report(k=5, timestamp="t")
+    assert "Top 5 Most Cited Papers" in report
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key lets the join run with no
+    Exchange on either side — the co-located-join strategy for
+    repeated large joins at scale."""
+    import shutil
+
+    warehouse_db = "bucketdb"
+    # the warehouse dir persists across sessions while the in-memory
+    # catalog does not — clear any stale location first
+    for t in ("orders_b", "customer_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {warehouse_db}.{t}")
+    shutil.rmtree("spark-warehouse/bucketdb.db", ignore_errors=True)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {warehouse_db}")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    (orders.write.mode("overwrite").bucketBy(4, "o_custkey")
+        .sortBy("o_custkey").saveAsTable(f"{warehouse_db}.orders_b"))
+    (customer.write.mode("overwrite").bucketBy(4, "c_custkey")
+        .sortBy("c_custkey").saveAsTable(f"{warehouse_db}.customer_b"))
+    ob = spark.table(f"{warehouse_db}.orders_b")
+    cb = spark.table(f"{warehouse_db}.customer_b")
+    # disable broadcast so the bucketed path (not broadcast) is chosen
+    joined = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+    plan = explain_str(joined, "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert joined.count() == orders.count()

@@ -114,6 +114,23 @@ def test_running_user_counts_stateful(spark, stream_dir):
     assert {r["user_id"]: r["n"] for r in final} == want
 
 
+def test_foreach_batch_parquet_sink_checkpoint_resume(spark, stream_dir, tmp_path):
+    """foreachBatch parquet sink: all input lands exactly once, and a
+    restart from the same checkpoint re-processes nothing."""
+    from mapreduce_citation_spark.streaming.events import run_to_parquet_sink
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    stream = read_event_stream(spark, stream_dir)
+    run_to_parquet_sink(dedup_within_watermark(stream), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    batch = spark.read.schema(EVENTS_SCHEMA).json(stream_dir)
+    assert n1 == batch.select("event_id").distinct().count()
+    # second run, same checkpoint, no new files → nothing re-emitted
+    run_to_parquet_sink(dedup_within_watermark(read_event_stream(spark, stream_dir)), out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+
 def test_append_mode_exactly_once_under_late_data(spark, tmp_path):
     """The guarantee append mode + watermark actually gives (verified
     against this Spark version): each window key is emitted AT MOST
