@@ -117,6 +117,32 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_join",
+    oracle="""
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       v.ts AS view_ts, p.ts AS purchase_ts
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+""",
+    tags=("events", "join", "funnel", "stream-stream"),
+)
+def events_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream funnel join (view→purchase
+    within 1 h per user). Same builder powers the watermarked
+    streaming version tested in test_streaming.py."""
+    from ..streaming.events import funnel_join
+
+    ev = _ev(spark, sf_dir)
+    return funnel_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "1 hour",
+    )
+
+
+@register(
     "events_session_window",
     oracle="""
 WITH flagged AS (

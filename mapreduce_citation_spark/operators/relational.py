@@ -526,7 +526,8 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_brand").alias("brand_upper"),
         F.lower("p_type").alias("type_lower"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
-        F.length("p_name").alias("name_len"),
+        # long, not int: DuckDB LENGTH returns BIGINT — keep dtypes aligned
+        F.length("p_name").cast("long").alias("name_len"),
         F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
@@ -569,8 +570,8 @@ def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        ABS(l_quantity - 25) AS qty_dev,
-       FLOOR(l_quantity / 7) AS qty_bucket,
-       CEIL(l_quantity / 7.0) AS qty_bucket_up,
+       CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_bucket,
+       CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS qty_bucket_up,
        SQRT(l_quantity) AS qty_sqrt,
        l_partkey % 10 AS pk_mod,
        GREATEST(l_quantity, 25.0) AS qty_hi,

@@ -230,6 +230,91 @@ def knn_brute_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroids(e: DataFrame) -> DataFrame:
+    """Per-label mean vectors, L2-normalized — the coarse quantizer.
+    (A production IVF trains k-means; the per-label mean is the same
+    shape with a deterministic 'training' step.)"""
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    comp = ex.groupBy("label", "pos").agg(F.avg(F.col("x").cast("double")).alias("m"))
+    cent = (
+        comp.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("cent_id"),
+            F.expr("transform(pm, p -> p.m)").alias("cvec"),
+        )
+    )
+    nrm = "sqrt(aggregate(transform(cvec, x -> x * x), 0D, (a, b) -> a + b))"
+    return cent.select(
+        "cent_id", F.expr(f"transform(cvec, x -> x / ({nrm}))").alias("cvec")
+    )
+
+
+@register(
+    "knn_ivf_ann",
+    tags=("similarity", "knn", "ivf", "rows-only"),
+)
+def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest
+    coarse centroid (inverted lists); each query probes its top-2
+    centroids and exact-scores only those lists — at scale the probe
+    touches ~nprobe/k of the corpus instead of all of it. Centroids
+    broadcast; the inverted-list join is keyed on cent_id. Rows-only
+    for the driver (the assignment is not reasonably SQL-expressible);
+    pytest replays the exact same algorithm in numpy and asserts set
+    equality, plus recall vs the brute-force baseline."""
+    e = _emb(spark, sf_dir)
+    cent = _centroids(e)
+    n = e.select("vec_id", "embedding", F.expr(_NORM).alias("nrm"))
+    cdot = (
+        "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "0D, (a, b) -> a + b)"
+    )
+    scored_cent = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "nrm", "cent_id",
+        (F.expr(cdot) / F.col("nrm")).alias("csim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    ranked = scored_cent.withColumn("crank", F.row_number().over(w_assign))
+    corpus = ranked.filter(F.col("crank") == 1).select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < 10) & (F.col("crank") <= 2))
+        .select(
+            F.col("cent_id"),
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    dot = (
+        "aggregate(zip_with(q_emb, n_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (a, b) -> a + b)"
+    )
+    pairs = (
+        probes.join(corpus, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (F.expr(dot) / (F.col("q_nrm") * F.col("n_nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 @register(
     "embedding_label_stats",
     oracle="""

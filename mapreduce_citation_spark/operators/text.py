@@ -82,8 +82,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_scores",
     oracle=f"""
 SELECT doc_id,
-       len({_TOK_D}) AS n_tokens,
-       len(list_distinct({_TOK_D})) AS n_types,
+       CAST(len({_TOK_D}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOK_D})) AS BIGINT) AS n_types,
        CAST(len(list_distinct({_TOK_D})) AS DOUBLE) / len({_TOK_D}) AS type_token_ratio,
        CAST(len(list_filter({_TOK_D}, t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
          / len({_TOK_D}) AS stopword_ratio,
@@ -105,8 +105,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            ntok.alias("n_tokens"),
-            ntypes.alias("n_types"),
+            ntok.cast("long").alias("n_tokens"),
+            ntypes.cast("long").alias("n_types"),
             (ntypes.cast("double") / ntok).alias("type_token_ratio"),
             (nstop.cast("double") / ntok).alias("stopword_ratio"),
             (nchars_nospace.cast("double") / ntok).alias("avg_token_len"),
@@ -191,8 +191,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count_regex",
     oracle=r"""
 SELECT doc_id,
-       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
-       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
 FROM documents
 """,
     tags=("text", "tokenize"),
@@ -207,6 +207,8 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(
             F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
-        ).alias("n_bpe_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias("n_numbers"),
+        ).cast("long").alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0))
+        .cast("long")
+        .alias("n_numbers"),
     )

@@ -99,6 +99,42 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def funnel_join(
+    views: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """View→purchase funnel: for each view, the same user's purchases
+    within ``within`` after it. Works on batch DataFrames as-is; on
+    streams, attach watermarks to both sides first (required for
+    stream-stream joins — the watermark + time bound let Spark expire
+    join state). The equi-key (user_id) keeps this a keyed join, never
+    a cross product."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") < F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            "view_ts",
+            "purchase_ts",
+        )
+    )
+
+
 #: Output/state schemas for the custom stateful operator.
 _RUNNING_SCHEMA = StructType(
     [

@@ -131,6 +131,29 @@ def test_foreach_batch_parquet_sink_checkpoint_resume(spark, stream_dir, tmp_pat
     assert spark.read.parquet(out).count() == n1
 
 
+def test_stream_stream_funnel_join_matches_batch(spark, stream_dir):
+    """Watermarked stream-stream join (the operator the reference's
+    batch-only design can't express) equals the batch funnel join on
+    fully-arrived data."""
+    from mapreduce_citation_spark.streaming.events import funnel_join
+
+    stream = read_event_stream(spark, stream_dir)
+    views = stream.filter(F.col("event_type") == "view").withWatermark(
+        "ts", "2 hours"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "2 hours"
+    )
+    got = _run(spark, funnel_join(views, purchases), "funnel_out", "append")
+    batch = spark.read.schema(EVENTS_SCHEMA).json(stream_dir)
+    want = funnel_join(
+        batch.filter(F.col("event_type") == "view"),
+        batch.filter(F.col("event_type") == "purchase"),
+    )
+    key = lambda r: (r["user_id"], r["view_id"], r["purchase_id"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
 def test_append_mode_exactly_once_under_late_data(spark, tmp_path):
     """The guarantee append mode + watermark actually gives (verified
     against this Spark version): each window key is emitted AT MOST

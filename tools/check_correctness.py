@@ -45,15 +45,26 @@ def norm_cell(v) -> str:
 
 
 def value_hash(df: pd.DataFrame) -> str:
+    # column-wise normalization (iterrows would upcast mixed numeric
+    # rows to float64 and mask int-vs-float divergence between engines)
     cols = sorted(df.columns)
-    rows = sorted(
-        "|".join(norm_cell(row[c]) for c in cols) for _, row in df.iterrows()
-    )
+    norm_cols = [[norm_cell(v) for v in df[c]] for c in cols]
+    rows = sorted("|".join(cells) for cells in zip(*norm_cols)) if cols else []
     h = hashlib.sha256()
     for r in rows:
         h.update(r.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def norm_int_like(df: pd.DataFrame) -> pd.DataFrame:
+    """Widen integer columns to int64 so int32 vs int64 width
+    differences (not value differences) don't fail the strict hash."""
+    out = df.copy()
+    for c in out.columns:
+        if str(out[c].dtype).startswith(("int", "uint")):
+            out[c] = out[c].astype("int64")
+    return out
 
 
 def main(names: list[str]) -> int:
@@ -93,7 +104,7 @@ def main(names: list[str]) -> int:
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
         if not problems:
-            hs, ho = value_hash(sdf), value_hash(odf)
+            hs, ho = value_hash(norm_int_like(sdf)), value_hash(norm_int_like(odf))
             if hs != ho:
                 problems.append(f"hash {hs} vs {ho}")
                 try:
