@@ -180,12 +180,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # verify candidates with exact Jaccard via the exploded shingles:
-    # |A∩B| from a shingle equi-join semi-restricted to candidate docs
+    # verify candidates with exact Jaccard: re-derive shingles ONLY for
+    # candidate docs — the semi-join runs BEFORE shingle construction,
+    # so the (expensive) shingle pipeline re-runs over ~|candidates|
+    # documents, not the whole corpus
     docs_in_cand = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select("doc_b")
     ).distinct()
-    exc = ex.join(F.broadcast(docs_in_cand), "doc_id")
+    exc = exploded_word_shingles(
+        d.join(F.broadcast(docs_in_cand), "doc_id", "left_semi"), 3
+    )
     common = (
         exc.alias("x")
         .join(exc.alias("y"), (F.col("x.s") == F.col("y.s"))

@@ -143,6 +143,35 @@ def events_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_struct",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+WHERE event_id < 500
+""",
+    tags=("events", "json", "struct"),
+)
+def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSON parsing: from_json into a typed struct (vs the
+    path-at-a-time get_json_object in events_json_props) — the right
+    call when several fields are extracted, since the document parses
+    once."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = _ev(spark, sf_dir).filter(F.col("event_id") < 500)
+    schema = StructType([StructField("k", LongType())])
+    parsed = ev.withColumn("p", F.from_json("props", schema))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
     "events_session_window",
     oracle="""
 WITH flagged AS (

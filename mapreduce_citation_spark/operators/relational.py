@@ -678,6 +678,88 @@ def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "string_agg_nations",
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+""",
+    tags=("aggregate", "string-agg"),
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): collect → sort → join
+    keeps the result deterministic under parallel collection."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+  FROM lineitem WHERE l_orderkey < 200
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey < 200
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+  FROM lineitem WHERE l_orderkey < 200
+) u
+""",
+    tags=("unpivot",),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of three lineitem measures."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    ).withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+
+
+@register(
+    "array_funcs_showcase",
+    oracle="""
+SELECT o_custkey,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+       array_to_string(list_sort(list(o_orderkey))[1:3], ',') AS first3,
+       CAST(len(list(o_orderkey)) AS INT) AS n,
+       CASE WHEN list_contains(list(o_orderstatus), 'P') THEN 1 ELSE 0 END AS has_pending
+FROM orders
+WHERE o_custkey < 50
+GROUP BY o_custkey
+""",
+    tags=("array",),
+)
+def array_funcs_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array operators (collect, sort, slice, contains) with string-
+    serialized outputs so the hash compare stays scalar."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    arr = F.array_sort(F.collect_list("o_orderkey"))
+    return o.groupBy("o_custkey").agg(
+        F.array_join(arr, ",").alias("order_keys"),
+        F.array_join(F.slice(arr, 1, 3), ",").alias("first3"),
+        F.size(F.collect_list("o_orderkey")).alias("n"),
+        F.array_contains(F.collect_list("o_orderstatus"), "P")
+        .cast("int")
+        .alias("has_pending"),
+    )
+
+
+@register(
     "agg_acctbal_stats",
     oracle=f"""
 SELECT c_nationkey,

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "mapreduce_citation_spark.operators.windows",
     "mapreduce_citation_spark.operators.joins",
     "mapreduce_citation_spark.operators.stats",
+    "mapreduce_citation_spark.operators.graph",
     "mapreduce_citation_spark.operators.events",
     "mapreduce_citation_spark.operators.dedup",
     "mapreduce_citation_spark.operators.similarity",

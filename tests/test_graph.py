@@ -1,0 +1,62 @@
+"""Graph-operator tests: PageRank vs a pure-python replay, plus
+structural sanity for co-citation/coupling."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+
+def _python_pagerank(edges, iterations=6, damping=0.85):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out = defaultdict(set)
+    for a, b in edges:
+        out[a].add(b)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dangling = sum(r for v, r in ranks.items() if not out[v])
+        base = (1 - damping) / n + damping * dangling / n
+        new = {v: 0.0 for v in nodes}
+        for a in nodes:
+            if out[a]:
+                share = ranks[a] / len(out[a])
+                for b in out[a]:
+                    new[b] += share
+        ranks = {v: base + damping * new[v] for v in nodes}
+    return ranks
+
+
+def test_pagerank_matches_python_replay(spark):
+    from mapreduce_citation_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+        ("e", "c"),  # e and d are only-citers; c is the hub
+    ]
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=6).collect()}
+    want = _python_pagerank(edges, iterations=6)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    # total mass conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the hub out-ranks everything
+    assert max(got, key=got.get) == "c"
+
+
+def test_cocitation_counts_on_fixture(spark, sf_dir):
+    from mapreduce_citation_spark.operators.graph import citation_cocitation
+
+    rows = citation_cocitation(spark, sf_dir).collect()
+    assert rows and all(r["paper_a"] < r["paper_b"] for r in rows)
+    assert all(r["n_cociting"] >= 1 for r in rows)
+
+
+def test_coupling_symmetric_threshold(spark, sf_dir):
+    from mapreduce_citation_spark.operators.graph import citation_coupling
+
+    rows = citation_coupling(spark, sf_dir).collect()
+    assert all(r["n_shared"] >= 3 and r["citer_a"] < r["citer_b"] for r in rows)
