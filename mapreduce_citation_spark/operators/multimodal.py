@@ -89,18 +89,37 @@ def decode_stub(payload: bytes, mime: str) -> dict:
 def extract_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction via mapInPandas: the decode
     runs per-partition on pandas batches (payload bytes stay where
-    they are; no shuffle), emitting only the small feature columns."""
+    they are; no shuffle), emitting only the small feature columns.
+
+    The batch closure must be SELF-CONTAINED: cloudpickle serializes
+    references to module-level names of this package by import path,
+    and Spark's python workers don't necessarily have the package on
+    their sys.path (the driver harness hands us its own session). So
+    the decode logic and column list are captured by value here —
+    ``decode_stub`` above stays the documented/testable reference
+    implementation of the same logic."""
+    out_cols = [f.name for f in FEATURE_SCHEMA.fields]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(payload: bytes, mime: str) -> dict:
+            # keep in sync with decode_stub (by-value copy — see above)
+            if mime not in ("image/png", "audio/wav"):
+                raise NotImplementedError(f"no decoder for mime {mime!r}")
+            b0 = payload[0] if payload else 0
+            b1 = payload[1] if len(payload) > 1 else 0
+            return {
+                "width": 64 + (b0 % 64),
+                "height": 64 + (b1 % 64),
+                "n_channels": 3 if mime == "image/png" else 1,
+            }
+
         for pdf in it:
-            feats = [
-                decode_stub(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
-            ]
+            feats = [decode(p, m) for p, m in zip(pdf["payload"], pdf["mime"])]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             out.insert(1, "mime", pdf["mime"].values)
             out["n_bytes"] = pdf["n_bytes"].values
-            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
+            yield out[out_cols]
 
     return assets.mapInPandas(batches, FEATURE_SCHEMA)
 

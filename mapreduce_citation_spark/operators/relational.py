@@ -63,7 +63,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipdate filter + 7-column pruning push into the parquet scan."""
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.expr("SUM(l_quantity)").alias("sum_qty"),
@@ -106,10 +106,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue makes the ORDER BY deterministic, orderkey breaks ties."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
     li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -235,8 +235,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, t) for t in ("customer", "orders", "lineitem", "nation")
     )
     o = o.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
     )
     li = li.filter(F.col("l_returnflag") == "R")
     return (

@@ -218,12 +218,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)
-    # exact microsecond gap (casting timestamp to long truncates to
-    # seconds, which would disagree with interval comparisons); NTZ→TZ
-    # cast is value-preserving under the pinned UTC session timezone
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    # tz-free exact gap: NTZ subtraction yields a day-time interval
+    # with microsecond precision — no epoch conversion, no session-tz
+    # dependence (casting to long would truncate to seconds)
     new_session = (
-        prev_ts.isNull() | (us(F.col("ts")) - us(prev_ts) > 30 * 60 * 1_000_000)
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES"))
     ).cast("int")
     numbered = ev.select(
         "user_id", "ts", "event_id", new_session.alias("new_session")

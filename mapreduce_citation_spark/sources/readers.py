@@ -123,15 +123,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (columnar parquet scan with pushdown).
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    reads as bigint nanos under ``legacy.parquet.nanosAsLong``; convert
-    to a microsecond timestamp by truncation — the same ns→us
-    conversion DuckDB applies, so oracle comparisons agree.
+    cannot read natively (PARQUET_TYPE_ILLEGAL); read it as bigint
+    nanos under ``legacy.parquet.nanosAsLong`` and convert to a
+    microsecond timestamp by truncation — the same ns→us conversion
+    DuckDB applies, so oracle comparisons agree.
+
+    The configs are set here, at the single table-loading choke point,
+    because the driver hands queries an arbitrary SparkSession — the
+    engine cannot assume its own session factory built it. Both confs
+    are runtime-settable; UTC pins the instant→NTZ cast so the wall
+    clock matches DuckDB's naive timestamps on any host timezone.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer DIV, not /: float division loses precision above 2^53.
-        # Cast to NTZ (session tz is UTC, value-preserving) so events.ts
-        # matches the other fixtures' naive timestamps and DuckDB.
+        # integer DIV, not /: float division loses precision above 2^53
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
         )

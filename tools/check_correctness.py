@@ -69,9 +69,21 @@ def norm_int_like(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(names: list[str]) -> int:
     import __spark_entry__ as ent
-    from mapreduce_citation_spark.session import get_spark
 
-    spark = get_spark("correctness-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # simulate the driver: a bare session without our factory's
+        # configs — queries must be self-sufficient
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("correctness-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from mapreduce_citation_spark.session import get_spark
+
+        spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
