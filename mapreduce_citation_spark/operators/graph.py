@@ -173,6 +173,74 @@ def pagerank(
     return ranks
 
 
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components by min-label propagation to fixpoint.
+
+    Each node starts labeled with itself; every iteration each node
+    takes the min label among itself and its neighbors (edges treated
+    undirected); stop when no label changes. Iterations are join+agg
+    on node id; lineage broken per iteration (localCheckpoint); the
+    fixpoint check is a cheap count on the changed set — the standard
+    loop-until-converged pattern on DataFrames. Returns (node,
+    component) where component is the smallest node label in the
+    component."""
+    und = (
+        edges.select(F.col("from_paper").alias("a"), F.col("to_paper").alias("b"))
+        .union(edges.select(F.col("to_paper"), F.col("from_paper")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            und.join(labels, und.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "citation_components",
+    tags=("graph", "components", "iterative", "rows-only"),
+)
+def citation_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component sizes of the bipartite citation graph
+    (top-20 components). Rows-only (iterative); pytest replays with a
+    union-find oracle."""
+    labels = connected_components(_edges(spark, sf_dir))
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), F.col("component").asc())
+        .limit(20)
+    )
+
+
 @register(
     "citation_pagerank",
     tags=("graph", "citation", "pagerank", "iterative", "rows-only"),

@@ -188,6 +188,69 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOK_D})) AS term,
+         len({_TOK_D}) AS doc_len
+  FROM documents
+),
+tf AS (
+  SELECT d.doc_id, t.term, t.doc_len,
+         len(list_filter({_TOK_D.replace('text', 'd.text')}, x -> x = t.term)) AS tf
+  FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, score, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+) t
+WHERE rn <= 3 AND doc_id < 100
+""",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (linear-idf variant: score =
+    tf · N/df — a rational number, exact in double, so cross-engine
+    ranking is bit-deterministic; log-idf would differ in ulps between
+    libm implementations and flip mathematically-tied ranks). The
+    classic two-aggregation shape: term frequencies per doc, document
+    frequencies per term, broadcast-joined back."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({_TOK_S})")).alias("term")
+    )
+    tf = d.select(
+        "doc_id", F.explode(F.expr(_TOK_S)).alias("term")
+    ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
+@register(
     "token_count_regex",
     oracle=r"""
 SELECT doc_id,

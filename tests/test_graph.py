@@ -47,6 +47,44 @@ def test_pagerank_matches_python_replay(spark):
     assert max(got, key=got.get) == "c"
 
 
+def test_connected_components_vs_union_find(spark):
+    from mapreduce_citation_spark.operators.graph import connected_components
+
+    edges = [
+        ("a", "b"), ("b", "c"),           # component {a,b,c} → label a
+        ("d", "e"),                        # component {d,e} → label d
+        ("f", "f"),                        # self-loop singleton
+        ("g", "h"), ("i", "h"), ("i", "j"),  # chain {g,h,i,j} → label g
+    ]
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+
+    # union-find oracle
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    # normalize: component id = min member in both
+    comp_min = {}
+    for v, r in want.items():
+        comp_min.setdefault(r, v)
+        comp_min[r] = min(comp_min[r], v)
+    want = {v: comp_min[find(v)] for v in want}
+    assert got == want
+    assert len(set(got.values())) == 4
+
+
 def test_cocitation_counts_on_fixture(spark, sf_dir):
     from mapreduce_citation_spark.operators.graph import citation_cocitation
 
