@@ -126,6 +126,7 @@ FROM events v JOIN events p
  AND v.event_type = 'view' AND p.event_type = 'purchase'
  AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
 """,
+    bench=True,
     tags=("events", "join", "funnel", "stream-stream"),
 )
 def events_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:

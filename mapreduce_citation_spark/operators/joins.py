@@ -316,6 +316,7 @@ def asof_join(
 
 @register(
     "asof_join_events_orders",
+    bench=True,
     oracle="""
 WITH ev AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'

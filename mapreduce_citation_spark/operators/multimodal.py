@@ -124,6 +124,83 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+#: Output schema of the frame sampler (one row per sampled frame).
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("frame_checksum", StringType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame sampling: each asset's payload yields one "frame" per
+    ``every_n_bytes`` slice (a deterministic stand-in for video frame
+    extraction — the real decoder is stubbed, the 1→N row-explosion
+    plumbing is real). mapInPandas lets one input row emit many output
+    rows without a shuffle; downstream per-frame featurization
+    parallelizes over the expanded rows. Closure is self-contained
+    (see extract_features)."""
+    import hashlib as _hl
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                for i in range(0, max(len(p), 1), every_n_bytes):
+                    chunk = p[i : i + every_n_bytes]
+                    rows.append(
+                        (
+                            doc_id,
+                            i // every_n_bytes,
+                            chunk,
+                            _hl.md5(chunk).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_checksum"]
+            )
+
+    return assets.mapInPandas(frames, FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH expanded AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(greatest(ceil(length(text) / 64.0), 1) AS BIGINT))) AS i
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_checksum
+  FROM expanded
+)
+SELECT doc_id, COUNT(*) AS n_frames,
+       COUNT(DISTINCT frame_checksum) AS n_distinct_frames,
+       MIN(frame_checksum) AS first_checksum_sorted
+FROM frames
+GROUP BY doc_id
+""",
+    tags=("multimodal", "frame-sample", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset frame statistics from the sampled frames. The oracle
+    recomputes the same 64-byte slicing in SQL (ASCII payloads make
+    byte slices == char slices), checking the full 1→N pandas
+    pipeline against a pure-SQL reconstruction."""
+    assets = ingest_assets(load_table(spark, sf_dir, "documents"))
+    fr = sample_frames(assets, 64)
+    return fr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.count_distinct("frame_checksum").alias("n_distinct_frames"),
+        F.min("frame_checksum").alias("first_checksum_sorted"),
+    )
+
+
 @register(
     "multimodal_ingest_stats",
     oracle="""

@@ -678,6 +678,102 @@ def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_order_priority_exists",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+    tags=("join", "subquery", "exists", "tpch"),
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — Catalyst rewrites it to a
+    left-semi join on the correlation key, which is exactly what we'd
+    write by hand."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q4")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_q4 o
+        WHERE o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP_NTZ '1998-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem_q4 l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q17_small_quantity_avg",
+    oracle=f"""
+SELECT p_brand,
+       CAST(SUM({PRICE}) AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l_quantity < (
+  SELECT 0.5 * SUM(l_quantity) / COUNT(*)
+  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY p_brand
+""",
+    tags=("join", "subquery", "scalar-subquery", "tpch"),
+)
+def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (below half the
+    per-part average quantity). Expressed as aggregate-then-join —
+    the de-correlated plan Catalyst would produce, written explicitly
+    so the per-part average computes once. avg as exact SUM/COUNT
+    (whole-number quantities → deterministic double)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.expr("0.5 * SUM(l_quantity) / COUNT(*)").alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part_avg), li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.expr(f"CAST(SUM({PRICE}) AS DOUBLE)").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "struct_funcs_showcase",
+    oracle="""
+SELECT o_orderkey,
+       struct_pack(k := o_custkey, p := o_totalprice).k AS cust_from_struct,
+       struct_pack(k := o_custkey, p := o_totalprice).p AS price_from_struct
+FROM orders WHERE o_orderkey < 300
+""",
+    tags=("struct", "scalar"),
+)
+def struct_funcs_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access (named_struct / struct_pack)
+    — flattened back to scalars for the hash compare."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    s = F.struct(F.col("o_custkey").alias("k"), F.col("o_totalprice").alias("p"))
+    return o.select(
+        "o_orderkey",
+        s.getField("k").alias("cust_from_struct"),
+        s.getField("p").alias("price_from_struct"),
+    )
+
+
+@register(
     "string_agg_nations",
     oracle="""
 SELECT r_name,

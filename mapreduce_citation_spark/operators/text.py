@@ -188,6 +188,63 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_normalize",
+    oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS norm_hash,
+       length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                  ' +', ' ', 'g'))) AS norm_len
+FROM documents
+""",
+    tags=("text", "normalize", "cleaning"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase → strip non-alnum →
+    collapse whitespace → trim): the first stage of every LLM cleaning
+    pipeline and the input to exact dedup. Hash + length keep the
+    compare scalar. Note DuckDB regexp_replace needs the 'g' flag —
+    Spark's is global by default."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("norm_hash"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+@register(
+    "text_redact_numbers",
+    oracle=r"""
+SELECT doc_id,
+       md5(regexp_replace(text, '[0-9]+', '[NUM]', 'g')) AS redacted_hash,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions
+FROM documents
+""",
+    tags=("text", "redaction", "cleaning"),
+)
+def text_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style masking: replace digit runs with a placeholder and
+    count redactions (the operator shape for masking emails/SSNs —
+    swap the pattern)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace("text", "[0-9]+", "[NUM]").cast("binary")).alias(
+            "redacted_hash"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
+        .cast("long")
+        .alias("n_redactions"),
+    )
+
+
+@register(
     "text_tfidf_top_terms",
     oracle=f"""
 WITH tok AS (
