@@ -154,6 +154,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(n_perm)
         ],
     )
+    # materialize the signature table once: the band self-join below
+    # would otherwise evaluate the whole shingle+hash pipeline twice
+    # (self-join sides only share work up to the last exchange)
+    sig = sig.localCheckpoint()
     band_cols = [
         F.concat(
             F.lit(f"{b}:"),

@@ -752,6 +752,136 @@ def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q16_supplier_variety",
+    oracle="""
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size IN (5, 15, 25, 35, 45)
+GROUP BY p_brand, p_size
+""",
+    tags=("join", "distinct", "tpch"),
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count over a filtered broadcast join."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 15, 25, 35, 45))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+""",
+    tags=("join", "disjunctive", "tpch"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides
+    — Catalyst extracts the common join key and pushes the per-side
+    conjuncts below the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(cond).agg(
+        F.expr(f"CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM({ACCTBAL}) AS DOUBLE) / COUNT(*) AS v
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey % 5 AS INT) AS cntry_group,
+       COUNT(*) AS n_customers,
+       CAST(SUM({ACCTBAL}) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal.v
+  AND c_nationkey % 5 IN (1, 2, 3)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+  )
+GROUP BY 1
+""",
+    tags=("join", "subquery", "anti", "tpch"),
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (global avg balance,
+    decimal-exact) + anti join (no pending orders) + derived grouping
+    key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.expr(f"CAST(SUM({ACCTBAL}) AS DOUBLE) / COUNT(*)").alias("v"))
+        .collect()[0]["v"]
+    )
+    return (
+        c.filter(
+            (F.col("c_acctbal") > avg_bal) & (F.col("c_nationkey") % 5).isin(1, 2, 3)
+        )
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntry_group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr(f"CAST(SUM({ACCTBAL}) AS DOUBLE)").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "agg_salted_two_phase",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("aggregate", "skew", "salting"),
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for hot group keys: phase 1 groups
+    by (key, salt) spreading each hot key over 16 reducers, phase 2
+    merges the partials. Counts and decimal sums re-aggregate exactly,
+    so the oracle is the PLAIN aggregation — proving the rewrite is a
+    pure physical optimization. (Spark's own partial aggregation
+    handles most skew; explicit salting is for high-cardinality
+    partials or skewed distinct-style aggs.)"""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    )
+    phase1 = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.expr("SUM(CAST(value AS DECIMAL(18,2)))").alias("pv"),
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.expr("CAST(SUM(pv) AS DOUBLE)").alias("total_value"),
+    )
+
+
+@register(
     "struct_funcs_showcase",
     oracle="""
 SELECT o_orderkey,

@@ -44,6 +44,58 @@ def test_citation_count_invariants(spark, edges):
 
 
 @settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+)
+def test_asof_join_matches_bisect_oracle(spark, data):
+    """asof_join ≡ per-key binary search for the greatest right_ts ≤
+    left_ts, on arbitrary generated timelines."""
+    import bisect
+    import datetime as dt
+
+    keys = ["k1", "k2", "k3"]
+    base = dt.datetime(2024, 1, 1)
+    ts_strategy = st.integers(min_value=0, max_value=1000)
+    left = data.draw(
+        st.lists(st.tuples(st.sampled_from(keys), ts_strategy), min_size=1, max_size=25)
+    )
+    right = data.draw(
+        st.lists(st.tuples(st.sampled_from(keys), ts_strategy), min_size=0, max_size=25)
+    )
+    # unique (key, ts) on the right — the operator's documented precondition
+    right = list({(k, t) for k, t in right})
+    from mapreduce_citation_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(minutes=t)) for i, (k, t) in enumerate(left)],
+        ["lid", "k", "ts"],
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=t), t) for k, t in right],
+        ["k", "rts", "val"],
+    ) if right else spark.createDataFrame([], "k string, rts timestamp, val long")
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(ldf, rdf, "k", "k", "ts", "rts", ["val"]).collect()
+    }
+    per_key: dict[str, list[int]] = {}
+    for k, t in right:
+        per_key.setdefault(k, []).append(t)
+    for v in per_key.values():
+        v.sort()
+    want = {}
+    for i, (k, t) in enumerate(left):
+        arr = per_key.get(k, [])
+        j = bisect.bisect_right(arr, t)
+        want[i] = arr[j - 1] if j else None
+    assert got == want
+
+
+@settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
