@@ -831,15 +831,18 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     key."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0)
-        .agg(F.expr(f"CAST(SUM({ACCTBAL}) AS DOUBLE) / COUNT(*)").alias("v"))
-        .collect()[0]["v"]
+    # scalar subquery as a lazy 1-row broadcast cross-join (no
+    # driver-side collect; the whole query stays one Spark job)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.expr(f"CAST(SUM({ACCTBAL}) AS DOUBLE) / COUNT(*)").alias("_avg_bal")
     )
     return (
-        c.filter(
-            (F.col("c_acctbal") > avg_bal) & (F.col("c_nationkey") % 5).isin(1, 2, 3)
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(
+            (F.col("c_acctbal") > F.col("_avg_bal"))
+            & (F.col("c_nationkey") % 5).isin(1, 2, 3)
         )
+        .drop("_avg_bal")
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntry_group"))
         .agg(

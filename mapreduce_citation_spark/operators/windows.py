@@ -185,6 +185,90 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WHERE o_custkey < 60
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "navigation"),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value navigation. last_value
+    needs the full-partition frame explicitly — the default frame ends
+    at CURRENT ROW, a classic silent-wrong-answer trap in both
+    engines."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 60)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@register(
+    "mom_revenue_change",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT y, m, revenue,
+       revenue - LAG(revenue) OVER (ORDER BY y, m) AS delta,
+       CASE WHEN LAG(revenue) OVER (ORDER BY y, m) IS NULL THEN NULL
+            ELSE (revenue - LAG(revenue) OVER (ORDER BY y, m))
+                 / LAG(revenue) OVER (ORDER BY y, m) END AS pct_change
+FROM monthly
+""",
+    tags=("window", "timeseries"),
+)
+def mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas: aggregate → single ordered
+    window over the (small) monthly series. The unpartitioned window
+    is safe because it runs over ≤ n_months rows, post-aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy("y", "m")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "y",
+        "m",
+        "revenue",
+        (F.col("revenue") - prev).alias("delta"),
+        F.when(prev.isNull(), F.lit(None)).otherwise(
+            (F.col("revenue") - prev) / prev
+        ).alias("pct_change"),
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
 WITH flagged AS (

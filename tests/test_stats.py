@@ -54,6 +54,39 @@ def test_approx_aggregates_within_bounds(spark, sf_dir):
         assert abs(r["approx_median"] - med) / med < 0.1
 
 
+def test_salted_aggregate_correct_under_extreme_skew(spark):
+    """1 key owning 90% of rows: the two-phase salted aggregation must
+    still produce exact counts and decimal-exact sums."""
+    from pyspark.sql import functions as F
+
+    rows = [("hot", float(i % 7) + 0.25) for i in range(9000)] + [
+        (f"cold{i % 10}", 1.5) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(8)
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64("v"), F.lit(16)))
+    phase1 = salted.groupBy("k", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.expr("SUM(CAST(v AS DECIMAL(18,2)))").alias("pv"),
+    )
+    two_phase = {
+        (r["k"]): (r["n"], float(r["tv"]))
+        for r in phase1.groupBy("k")
+        .agg(F.sum("pn").alias("n"), F.expr("CAST(SUM(pv) AS DOUBLE)").alias("tv"))
+        .collect()
+    }
+    plain = {
+        (r["k"]): (r["n"], float(r["tv"]))
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE)").alias("tv"),
+        )
+        .collect()
+    }
+    assert two_phase == plain
+    assert plain["hot"][0] == 9000
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     from pyspark.sql import functions as F
 
