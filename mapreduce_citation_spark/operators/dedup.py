@@ -26,9 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text_funcs import (
     lsh_bands_duck,
-    lsh_bands_spark,
     minhash_duck,
-    minhash_spark,
     shingles_duck,
     shingles_spark,
     simhash_duck,

@@ -8,7 +8,7 @@ import os
 import pytest
 
 from mapreduce_citation_spark.citations import CitationAnalytics, edges_from_orders
-from mapreduce_citation_spark.plans import assert_in_plan, pushed_filters
+from mapreduce_citation_spark.plans import assert_in_plan
 from mapreduce_citation_spark.sources.readers import read_edges_csv, read_edges_text
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "citations_small.txt")

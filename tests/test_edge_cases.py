@@ -4,7 +4,6 @@ null join keys) that fixture-driven oracles never exercise."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 

@@ -18,9 +18,7 @@ def test_exact_dedup_on_planted_duplicates(spark):
         [(1, "hello world"), (2, "hello world"), (3, "unique doc")],
         ["doc_id", "text"],
     )
-    from mapreduce_citation_spark.operators.dedup import dedup_exact
-
-    # route through a temp view-free path: call groupBy logic directly
+    # same logic as dedup_exact, on a controlled input
     out = (
         docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
