@@ -308,6 +308,67 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_D} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS pos,
+         t
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(t[CAST(pos AS INT):CAST(pos + 2 AS INT)], ' ')) AS h
+  FROM grams
+),
+winnowed AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM hashed
+)
+SELECT doc_id,
+       COUNT(DISTINCT sel) AS n_fingerprints,
+       md5(array_to_string(list_sort(list(DISTINCT sel)), '')) AS sketch
+FROM winnowed
+GROUP BY doc_id
+""",
+    tags=("text", "fingerprint", "winnowing"),
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm's core):
+    positional word-3-gram hashes, a w=4 sliding window selects each
+    window's minimum hash, distinct selected hashes form the sketch —
+    guaranteeing any sufficiently long match between two documents
+    shares a fingerprint. Positional n-grams via posexplode + lead
+    (codegen-friendly); the window min is one pass per doc partition."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.repartition(F.col("doc_id")).select(
+        "doc_id", F.posexplode(F.expr(_TOK_S)).alias("pos", "w0")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("w1", F.lead("w0", 1).over(w))
+        .withColumn("w2", F.lead("w0", 2).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "pos", F.md5(F.concat_ws(" ", "w0", "w1", "w2")).alias("h"))
+    )
+    w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    winnowed = grams.select("doc_id", F.min("h").over(w_min).alias("sel"))
+    return winnowed.groupBy("doc_id").agg(
+        F.count_distinct("sel").alias("n_fingerprints"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_set("sel")), "").cast("binary")
+        ).alias("sketch"),
+    )
+
+
+@register(
     "token_count_regex",
     oracle=r"""
 SELECT doc_id,

@@ -176,6 +176,56 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+#: Output schema of the timeout-closing sessionizer.
+_CLOSED_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("closed_by", StringType()),
+    ]
+)
+_SESSION_STATE_SCHEMA = StructType([StructField("n", LongType())])
+
+
+def sessions_with_timeout(events: DataFrame, timeout_ms: int = 2000) -> DataFrame:
+    """Custom stateful operator with PROCESSING-TIME TIMEOUT: per-user
+    event counts are held in state and only emitted when the user goes
+    idle for ``timeout_ms`` — the close-session-on-inactivity pattern
+    that plain windowed aggregation can't express (emission is driven
+    by the *absence* of data). When the timeout fires, the state is
+    flushed with ``closed_by='timeout'`` and cleared.
+
+    The closure is self-contained (see operators/multimodal.py on
+    cloudpickle + foreign sessions)."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield _pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "closed_by": ["timeout"]}
+            )
+        else:
+            n = state.get[0] if state.exists else 0
+            for pdf in pdfs:
+                n += len(pdf)
+            state.update((n,))
+            state.setTimeoutDuration(timeout_ms)
+            yield _pd.DataFrame(
+                {"user_id": [], "n_events": [], "closed_by": []}
+            ).astype({"user_id": "int64", "n_events": "int64", "closed_by": "object"})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_CLOSED_SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def run_to_parquet_sink(
     df: DataFrame, out_path: str, checkpoint_path: str, output_mode: str = "append"
 ) -> None:

@@ -154,6 +154,47 @@ def test_stream_stream_funnel_join_matches_batch(spark, stream_dir):
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
 
 
+def test_sessions_close_on_processing_timeout(spark, tmp_path):
+    """Idle users' sessions are emitted by the timeout path (absence
+    of data drives emission — inexpressible as a windowed agg)."""
+    import time
+
+    from mapreduce_citation_spark.streaming.events import sessions_with_timeout
+
+    d = tmp_path / "timeout_stream"
+    d.mkdir()
+    mk = lambda eid, uid, ts: json.dumps(  # noqa: E731
+        {"event_id": eid, "ts": ts, "user_id": uid, "event_type": "click",
+         "value": "1.0", "props": "{}"}
+    )
+    (d / "f0.json").write_text(
+        "\n".join([mk(1, 1, "2024-01-01T10:00:00"), mk(2, 1, "2024-01-01T10:01:00"),
+                   mk(3, 2, "2024-01-01T10:00:30")])
+    )
+    stream = read_event_stream(spark, str(d))
+    q = (
+        sessions_with_timeout(stream, timeout_ms=700)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("timeout_out")
+        .trigger(processingTime="400 milliseconds")
+        .start()
+    )
+    try:
+        # first batch ingests events; subsequent empty triggers fire the
+        # processing-time timeout and flush the sessions
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM timeout_out").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {r["user_id"]: (r["n_events"], r["closed_by"]) for r in rows}
+    assert got == {1: (2, "timeout"), 2: (1, "timeout")}
+
+
 def test_append_mode_exactly_once_under_late_data(spark, tmp_path):
     """The guarantee append mode + watermark actually gives (verified
     against this Spark version): each window key is emitted AT MOST
