@@ -270,51 +270,168 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_embedding_cosine",
-    oracle="""
-WITH n AS (
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, {simhash_duck(tokens_duck('text'))} AS simhash FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash::BIT, b.simhash::BIT)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::BIT, b.simhash::BIT)) <= 2
+""",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ 2 over the 32-bit
+    fingerprint, found by PIGEONHOLE blocking — never all-pairs.
+
+    Split the 32 bits into 3 blocks (11/11/10); any pair within
+    Hamming ≤ 2 differs in at most 2 blocks, so it matches EXACTLY on
+    at least one block — total recall is guaranteed by construction
+    (unlike probabilistic LSH), which is why the all-pairs DuckDB
+    oracle stays exact at any scale factor. Candidates come from a
+    self-equi-join on (block#, block bits); the exact distance is one
+    codegen'd ``bit_count(xor)`` over the packed fingerprints — no
+    interpreted HOF in the pair path."""
+    d = _docs(spark, sf_dir)
+    s = d.select(
+        "doc_id", F.expr(simhash_spark(tokens_spark("text"))).alias("simhash")
+    )
+    # materialize: the block self-join would otherwise run the (HOF,
+    # interpreted) simhash pipeline once per side
+    s = s.localCheckpoint()
+    blocks = [(0, 1, 11), (1, 12, 11), (2, 23, 10)]  # (id, start, len), 1-based
+    block_cols = [
+        F.concat_ws(":", F.lit(i), F.substring("simhash", st, ln)).alias(f"blk{i}")
+        for i, st, ln in blocks
+    ]
+    bands = s.select(
+        "doc_id",
+        F.conv("simhash", 2, 10).cast("long").alias("bits"),
+        F.explode(F.array(*block_cols)).alias("block_key"),
+    )
+    ham = F.bit_count(
+        F.col("bits_a").bitwiseXOR(F.col("bits_b"))
+    ).cast("long").alias("hamming")
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.block_key") == F.col("y.block_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.bits").alias("bits_a"),
+            F.col("y.bits").alias("bits_b"),
+        )
+        .distinct()
+        .select("doc_a", "doc_b", ham)
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+def _embedding_cosine_oracle() -> str:
+    from .similarity import lsh_band_keys_duck
+
+    return f"""
+WITH bands AS (
+  SELECT vec_id, unnest({lsh_band_keys_duck(6, 8)}) AS band_key FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.vec_id < y.vec_id
+),
+n AS (
   SELECT vec_id,
          sqrt(list_reduce(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm,
          embedding
   FROM embeddings
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+SELECT c.vec_a, c.vec_b,
        list_reduce(list_transform(generate_series(1, 64),
             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
             (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
-FROM n a JOIN n b ON a.vec_id < b.vec_id
+FROM cand c
+JOIN n a ON a.vec_id = c.vec_a
+JOIN n b ON b.vec_id = c.vec_b
 WHERE list_reduce(list_transform(generate_series(1, 64),
             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
             (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.5
-""",
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_embedding_cosine_oracle(),
     tags=("dedup", "embedding"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (≥ 0.5 on the fixture, where
-    planted similarity tops out ~0.51). Both engines compute the dot
-    product as an ordered left fold over the array in double, so the
-    floats agree bitwise. The all-pairs join is acceptable at fixture
-    scale; the 100 TB path blocks by sign-LSH first
-    (operators/similarity.py)."""
+    """Embedding-cosine near-dup pairs (≥ 0.5), blocked by banded
+    sign-LSH — NOT an all-pairs join.
+
+    Plan shape: each vector emits 8 band keys (6 hyperplane sign bits
+    per band, a single map-side projection of inlined ±1 literals —
+    see ``operators/similarity.py:lsh_band_keys_expr``); candidates
+    come from a self-equi-join on the band key; exact cosine is
+    verified on candidates only, as an ordered left fold in double.
+    The DuckDB oracle mirrors the banding bit-for-bit
+    (``lsh_band_keys_duck``), exactly as ``dedup_minhash_lsh``'s
+    oracle mirrors its MinHash banding — so the cross-engine gate is
+    exact at ANY scale factor, and recall vs. the exhaustive all-pairs
+    ground truth is a separately-pinned pytest property
+    (``test_embedding_cosine_lsh_blocking``).
+
+    Recall math, stated honestly: per-bit agreement is ``p = 1 - θ/π``,
+    so at the fixture's 0.5-cosine threshold (p ≈ 2/3, barely above a
+    random pair's p ≈ 0.54) no (r, B) both prunes and recalls — at
+    (6, 8) the bucket join touches ~13% of the pair space and recalls
+    ~half the θ=60° pairs (total recall on the sf0.001/sf0.01
+    fixtures, 7/14 measured at sf0.1). At the thresholds production
+    near-dup dedup actually uses (cosine ≥ 0.9 ⇒ p ≥ 0.93) the SAME
+    (6, 8) parameters give 1-(1-0.93⁶)⁸ ≈ 99.98% recall with ~2% of
+    pairs touched — pinned by the synthetic high-similarity pytest."""
     e = load_table(spark, sf_dir, "embeddings")
     dot_self = (
         "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
         "0D, (a, b) -> a + b))"
     )
+    from .similarity import lsh_band_keys_expr
+
     n = e.select("vec_id", "embedding", F.expr(dot_self).alias("nrm"))
-    a, b = n.alias("a"), n.alias("b")
+    bands = e.select(
+        "vec_id", F.explode(F.expr(lsh_band_keys_expr(6, 8))).alias("band_key")
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), (F.col("x.band_key") == F.col("y.band_key"))
+              & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     dot = F.expr(
-        "aggregate(zip_with(a.embedding, b.embedding, "
+        "aggregate(zip_with(emb_a, emb_b, "
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
     )
-    cos = (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine")
+    cos = (dot / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine")
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos,
-        )
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos)
         .filter(F.col("cosine") >= 0.5)
     )

@@ -141,11 +141,15 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n_total).alias("rank"))
     for _ in range(iterations):
         with_deg = ranks.join(out_deg, "node", "left")
+        # Dangling mass as a LAZY 1-row aggregate folded in via a
+        # broadcast crossJoin (the q22 lazy-scalar pattern,
+        # relational.py) — no driver-side collect per iteration: the
+        # whole iteration is ONE job, and at 100 TB the dangling sum
+        # rides the same pass instead of costing an extra full scan of
+        # the ranks per iteration.
         dangling = (
             with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         contribs = (
             edges.join(
@@ -159,12 +163,17 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("contrib").alias("in_rank"))
         )
-        base = (1.0 - damping) / n_total + damping * dangling / n_total
+        # same association order as the python replay oracle:
+        # (1-d)/n + (d * dangling) / n, then + d * in_rank
+        base = F.lit((1.0 - damping) / n_total) + (
+            F.lit(damping) * F.col("_dangling")
+        ) / F.lit(float(n_total))
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))).alias(
+                (base + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))).alias(
                     "rank"
                 ),
             )

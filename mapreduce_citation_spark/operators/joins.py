@@ -219,8 +219,17 @@ def salted_join(
     and works when the skew is known ahead of plan time). Join result
     is identical to the plain join — pinned by the registered query's
     plain-join oracle.
+
+    The salt is a CONTENT hash of the whole left row, not
+    ``monotonically_increasing_id``: ids are assigned per task
+    attempt, so under task retry/recomputation a row could re-salt and
+    land on a different reducer (still correct — salt only routes —
+    but partition placement becomes nondeterministic and AQE-stats
+    dependent). A row hash is stable across retries; a hot key's rows
+    still spread because their non-key columns differ (exact duplicate
+    rows co-locate, which is harmless).
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l_salted = left.withColumn("_salt", salt)
     salts = left.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")

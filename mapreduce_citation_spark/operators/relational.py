@@ -733,16 +733,22 @@ def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part average quantity). Expressed as aggregate-then-join —
     the de-correlated plan Catalyst would produce, written explicitly
     so the per-part average computes once. avg as exact SUM/COUNT
-    (whole-number quantities → deterministic double)."""
+    (whole-number quantities → deterministic double).
+
+    No broadcast hints here: ``part_avg`` and ``part`` both have
+    part-table cardinality, and a forced ``F.broadcast`` bypasses
+    ``autoBroadcastJoinThreshold`` — at 100 TB that's an executor OOM
+    instead of a graceful fallback. AQE picks broadcast when the
+    measured size fits and shuffle join when it doesn't."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.expr("0.5 * SUM(l_quantity) / COUNT(*)").alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(part_avg), li.l_partkey == part_avg.pk)
+        li.join(part_avg, li.l_partkey == part_avg.pk)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.expr(f"CAST(SUM({PRICE}) AS DOUBLE)").alias("small_qty_revenue"),

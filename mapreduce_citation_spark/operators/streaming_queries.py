@@ -1,0 +1,124 @@
+"""Driver-visible Structured Streaming queries.
+
+The streaming surface proper lives in ``streaming/events.py`` (file
+source → watermark/stateful transformations → sinks) and is pinned by
+pytest stream-equals-batch tests. This module makes one end-to-end
+streaming query visible to the driver's correctness gate: the
+callable runs a REAL streaming job (readStream → watermarked tumbling
+aggregation → memory sink, drained with ``processAllAvailable``) and
+returns the sink's table.
+
+Why the oracle is exact rather than rows-only: the file source drains
+the fixture in order and the sink runs in ``complete`` output mode, so
+the final emitted result equals the batch aggregation bit-for-bit —
+watermark late-data drops can only occur across micro-batch
+boundaries, and the comparison is on the fully-drained final state.
+(The late-data-drop behavior itself is pinned separately in
+``tests/test_streaming.py``, where files arrive out of order.)
+
+Reference parity: the reference has no streaming engine at all (its
+poll loops are control-plane scheduling — ``master/master.py``); this
+is north-star surface per SURVEY §2.3.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import register
+
+#: events.parquet physical schema under nanosAsLong: ts arrives as
+#: int64 nanoseconds (streaming sources require an explicit schema).
+_EVENTS_NANOS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+#: Memory-sink names must be unique per started query within a session.
+_SINK_COUNTER = itertools.count()
+
+
+def read_events_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture with the same
+    ns→us timestamp normalization as ``sources.readers.load_table``
+    (see that docstring for why the confs are set per-call: the driver
+    hands in an arbitrary session)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The file source requires a directory; the fixture is a single
+    # file, so expose it through a temp directory of symlinks (the
+    # fixture dir itself holds 10 heterogeneous tables, and /root/
+    # testdata is read-only). In production the source is a landing
+    # directory or kafka and this shim disappears.
+    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    raw = spark.readStream.schema(_EVENTS_NANOS_SCHEMA).parquet(stage)
+    # Watermarks require TimestampType (not NTZ); with the session tz
+    # pinned UTC the instant's wall clock equals the NTZ value, and the
+    # final projection casts back to NTZ for oracle parity.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT)) AS window_start,
+       event_type,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window-agg", "watermark"),
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts as a LIVE streaming query.
+
+    Plan: parquet file source → 30-min watermark → 1-hour tumbling
+    window per event_type → memory sink (complete mode), drained to
+    completion, then the sink table is returned. At 100 TB the same
+    plan runs against kafka with an append-mode transactional sink —
+    keyed window state partitions across executors and the watermark
+    bounds it (without one, state grows with the stream).
+    """
+    ev = read_events_parquet_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"streaming_tumbling_counts_{next(_SINK_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

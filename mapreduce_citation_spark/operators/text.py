@@ -325,7 +325,8 @@ hashed AS (
   FROM grams
 ),
 winnowed AS (
-  SELECT doc_id,
+  SELECT doc_id, pos,
+         MAX(pos) OVER (PARTITION BY doc_id) AS max_pos,
          MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
   FROM hashed
@@ -334,6 +335,7 @@ SELECT doc_id,
        COUNT(DISTINCT sel) AS n_fingerprints,
        md5(array_to_string(list_sort(list(DISTINCT sel)), '')) AS sketch
 FROM winnowed
+WHERE pos + 3 <= max_pos
 GROUP BY doc_id
 """,
     tags=("text", "fingerprint", "winnowing"),
@@ -358,8 +360,18 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "pos", F.md5(F.concat_ws(" ", "w0", "w1", "w2")).alias("h"))
     )
+    # Standard winnowing selects a minimum only from FULL w=4 windows:
+    # the trailing <4-hash partial windows at each document's tail are
+    # excluded (their minima would not be guaranteed shared by a
+    # matching suffix in another document).
     w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    winnowed = grams.select("doc_id", F.min("h").over(w_min).alias("sel"))
+    w_doc = Window.partitionBy("doc_id")
+    winnowed = (
+        grams.withColumn("max_pos", F.max("pos").over(w_doc))
+        .withColumn("sel", F.min("h").over(w_min))
+        .filter(F.col("pos") + 3 <= F.col("max_pos"))
+        .select("doc_id", "sel")
+    )
     return winnowed.groupBy("doc_id").agg(
         F.count_distinct("sel").alias("n_fingerprints"),
         F.md5(

@@ -133,6 +133,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     engine cannot assume its own session factory built it. Both confs
     are runtime-settable; UTC pins the instant→NTZ cast so the wall
     clock matches DuckDB's naive timestamps on any host timezone.
+
+    PUBLIC-API SIDE EFFECT: loading ``events`` mutates the session
+    (``session.timeZone=UTC``, ``legacy.parquet.nanosAsLong=true``)
+    and deliberately does NOT restore the previous values — Spark
+    reads these confs lazily at *execution* time, so restoring them
+    after this call would silently mis-execute the still-lazy
+    DataFrame returned here. Callers who need a different session
+    timezone for unrelated queries should use a separate session (or
+    re-set the conf after collecting the events results).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -18,6 +18,7 @@ them a 100 TB stream accumulates unbounded window state.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -226,16 +227,32 @@ def sessions_with_timeout(events: DataFrame, timeout_ms: int = 2000) -> DataFram
     )
 
 
+def write_epoch(batch_df: DataFrame, epoch_id: int, out_path: str) -> None:
+    """Idempotent micro-batch write: each epoch lands under its own
+    ``epoch_id=N`` partition directory with OVERWRITE mode, so a batch
+    replayed after a crash-between-write-and-checkpoint-commit
+    replaces its own output instead of appending a duplicate copy.
+    (``foreachBatch`` is at-least-once per epoch; idempotence here is
+    what upgrades the pipeline to exactly-once.)"""
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"epoch_id={epoch_id}")
+    )
+
+
 def run_to_parquet_sink(
     df: DataFrame, out_path: str, checkpoint_path: str, output_mode: str = "append"
 ) -> None:
     """Exactly-once parquet sink via foreachBatch: each micro-batch is
-    written under its epoch id; the checkpoint makes replayed batches
-    idempotent (the standard pattern when the sink itself isn't
-    transactional). Drains all available input, then stops."""
+    written under its epoch-id partition directory with overwrite
+    (:func:`write_epoch`), so replays after a crash between the
+    parquet write and the checkpoint commit are idempotent — the
+    standard epoch-keyed pattern when the sink itself isn't
+    transactional. Readers ``spark.read.parquet(out_path)`` and see
+    ``epoch_id`` as a partition column. Drains all available input,
+    then stops."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_path)
+        write_epoch(batch_df, epoch_id, out_path)
 
     q = (
         df.writeStream.outputMode(output_mode)

@@ -46,6 +46,107 @@ def test_lsh_candidates_superset_of_true_pairs(spark, sf_dir):
     assert true <= lsh  # every verified pair surfaced as a candidate
 
 
+def test_embedding_cosine_lsh_blocking(spark, sf_dir):
+    """The registered dedup_embedding_cosine is sign-LSH-blocked (never
+    all-pairs); on the sf0.01 fixture the blocked result equals the
+    exhaustive all-pairs result exactly — recall 1.0 at the 0.5
+    threshold, with bitwise-identical cosines (same ordered fold).
+    (At the 0.5 threshold recall is probabilistic in general — see the
+    operator docstring; the high-similarity regime is pinned by
+    test_embedding_lsh_recall_at_high_similarity.)
+
+    Runs at sf0.01: the sf0.001 fixture has no pair above 0.5, which
+    would make the assertion vacuous."""
+    from mapreduce_citation_spark.operators.dedup import dedup_embedding_cosine
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    e = load_table(spark, sf_dir, "embeddings")
+    dot_self = (
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0D, (a, b) -> a + b))"
+    )
+    n = e.select("vec_id", "embedding", F.expr(dot_self).alias("nrm"))
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    allpairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in (
+            n.alias("a")
+            .join(n.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= 0.5)
+            .collect()
+        )
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    assert allpairs, "fixture should contain planted near-dup embeddings"
+    assert blocked == allpairs  # same pairs AND bitwise-equal cosines
+
+
+def test_embedding_lsh_recall_at_high_similarity(spark):
+    """At production near-dup thresholds (cosine ≥ 0.9, per-bit
+    agreement p ≥ 0.93) the (6, 8) banding must recall every planted
+    pair: expected recall 1-(1-p^6)^8 ≈ 99.98%, and on this
+    deterministic synthetic set it must be exactly 100%."""
+    import math
+    import random
+
+    from mapreduce_citation_spark.operators.similarity import lsh_band_keys_expr
+
+    rng = random.Random(7)
+    dim = 64
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    planted = []
+    vid = 0
+    for _ in range(20):  # 20 planted near-identical pairs (cos ≥ 0.9)
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        noisy = [x + rng.gauss(0, 0.15) for x in base]  # cos ≈ 0.95+
+        rows.append((vid, unit(base)))
+        rows.append((vid + 1, unit(noisy)))
+        planted.append((vid, vid + 1))
+        vid += 2
+    for _ in range(100):  # background noise vectors
+        rows.append((vid, unit([rng.gauss(0, 1) for _ in range(dim)])))
+        vid += 1
+
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bands = e.select(
+        "vec_id", F.explode(F.expr(lsh_band_keys_expr(6, 8))).alias("band_key")
+    )
+    cand = {
+        (r["a"], r["b"])
+        for r in bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+        .collect()
+    }
+    missed = [p for p in planted if p not in cand]
+    assert not missed, f"high-similarity pairs missed by banding: {missed}"
+    # and the blocking actually prunes: candidates ≪ all pairs
+    n = len(rows)
+    assert len(cand) < 0.25 * n * (n - 1) / 2
+
+
 def test_simhash_locality(spark):
     """Near-identical token multisets → small Hamming distance;
     unrelated docs → large."""

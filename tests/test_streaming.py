@@ -131,6 +131,34 @@ def test_foreach_batch_parquet_sink_checkpoint_resume(spark, stream_dir, tmp_pat
     assert spark.read.parquet(out).count() == n1
 
 
+def test_foreach_batch_parquet_sink_epoch_replay_idempotent(spark, stream_dir, tmp_path):
+    """Crash-recovery idempotence: foreachBatch is at-least-once, so a
+    crash after the parquet write but before the checkpoint commit
+    REPLAYS the epoch. Simulate the replay by re-writing an epoch that
+    already landed — the epoch-keyed overwrite must replace, not
+    append, leaving the row count unchanged."""
+    from mapreduce_citation_spark.streaming.events import (
+        run_to_parquet_sink,
+        write_epoch,
+    )
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    run_to_parquet_sink(
+        dedup_within_watermark(read_event_stream(spark, stream_dir)), out, ckpt
+    )
+    n1 = spark.read.parquet(out).count()
+    epochs = [r["epoch_id"] for r in spark.read.parquet(out).select("epoch_id").distinct().collect()]
+    replay_epoch = min(epochs)
+    replay_src = spark.read.parquet(out).filter(
+        F.col("epoch_id") == replay_epoch
+    ).drop("epoch_id")
+    # materialize before overwriting the directory it reads from
+    replay_df = spark.createDataFrame(replay_src.collect(), replay_src.schema)
+    write_epoch(replay_df, replay_epoch, out)  # the post-crash second delivery
+    assert spark.read.parquet(out).count() == n1
+
+
 def test_stream_stream_funnel_join_matches_batch(spark, stream_dir):
     """Watermarked stream-stream join (the operator the reference's
     batch-only design can't express) equals the batch funnel join on
