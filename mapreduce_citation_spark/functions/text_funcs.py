@@ -67,6 +67,50 @@ def minhash_duck(shingles_expr: str, n_perm: int = 16) -> str:
     )
 
 
+#: Mersenne prime 2^31-1: universal-hash modulus for integer MinHash.
+MINHASH_P = 2147483647
+
+
+def minhash_params(n_perm: int = 16) -> list[tuple[int, int]]:
+    """(a_i, b_i) coefficients for the universal-hash permutation
+    family ``p_i(h) = (a_i*h + b_i) mod P`` — derived deterministically
+    from md5 so both engines inline the SAME literal constants."""
+    import hashlib
+
+    out = []
+    for i in range(n_perm):
+        hx = hashlib.md5(f"perm:{i}".encode()).hexdigest()
+        a = int(hx[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(hx[8:16], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def shingle_int_hash_spark(col: str) -> str:
+    """Shingle → 31-bit int: md5 computed ONCE, 60-bit hex prefix via
+    ``conv``, reduced mod P. One digest per shingle — the permutations
+    are then pure codegen'd integer arithmetic (vs. one md5 PER
+    permutation in the string-min scheme: ~n_perm× less hashing)."""
+    return f"CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT) % {MINHASH_P}"
+
+
+def shingle_int_hash_duck(expr: str) -> str:
+    """DuckDB mirror: ``'0x' || hex-prefix`` string cast — same 60-bit
+    prefix, same mod, bit-identical int."""
+    return f"(CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {MINHASH_P})"
+
+
+def minhash_int_duck(shingles_expr: str, n_perm: int = 16) -> str:
+    """DuckDB list of n_perm integer MinHash values (mirror of the
+    exploded min-agg the Spark query computes)."""
+    h = shingle_int_hash_duck("s")
+    mins = ", ".join(
+        f"list_aggregate(list_transform({shingles_expr}, s -> ({a} * {h} + {b}) % {MINHASH_P}), 'min')"
+        for a, b in minhash_params(n_perm)
+    )
+    return f"[{mins}]"
+
+
 def lsh_bands_spark(minhash_expr: str, n_bands: int = 4, rows: int = 4) -> str:
     """Band keys 'b:md5(sig)' from a MinHash array (Spark)."""
     return (

@@ -15,8 +15,10 @@ the full n² pair space — is what shuffles:
   path (see operators/similarity.py); the threshold join here
   verifies exact cosine on candidates.
 
-All hashing is md5-string based (see functions/text_funcs.py) so the
-DuckDB oracles compute bit-identical signatures.
+All hashing is md5-derived (see functions/text_funcs.py) so the
+DuckDB oracles compute bit-identical signatures: MinHash digests each
+shingle once and permutes the 60-bit prefix with inlined universal-hash
+integer coefficients; SimHash reads md5 hex digits as sign bits.
 """
 
 from __future__ import annotations
@@ -25,8 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text_funcs import (
-    lsh_bands_duck,
-    minhash_duck,
+    MINHASH_P,
+    minhash_int_duck,
+    minhash_params,
+    shingle_int_hash_spark,
     shingles_duck,
     shingles_spark,
     simhash_duck,
@@ -109,10 +113,13 @@ WITH sh AS (
   SELECT doc_id, {_SH_DUCK} AS shingles FROM documents
 ),
 sigs AS (
-  SELECT doc_id, shingles, {minhash_duck('shingles')} AS mh FROM sh
+  SELECT doc_id, shingles, {minhash_int_duck('shingles')} AS mh FROM sh
 ),
 bands AS (
-  SELECT doc_id, unnest({lsh_bands_duck('mh')}) AS band_key FROM sigs
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, 3),
+                b -> b || ':' || array_to_string(mh[b * 4 + 1:b * 4 + 4], ','))) AS band_key
+  FROM sigs
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -140,16 +147,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in candidates, never in n²."""
     n_perm, n_bands, rows_per_band = 16, 4, 4
     d = _docs(spark, sf_dir)
-    # one pass: exploded distinct shingles, each hashed ONCE per
-    # permutation (nested-higher-order variants re-evaluate the
-    # shingle lambda per permutation — 16× the string work; this shape
-    # benchmarked ~20× faster at sf0.1 and map-side-combines the mins)
+    # one pass: exploded distinct shingles, md5-digested ONCE each;
+    # the 16 permutations are universal-hash integer arithmetic
+    # ((a_i*h + b_i) mod P, inlined literal coefficients) over that
+    # digest — all codegen'd long math, ~16× less hashing than one
+    # md5 per permutation, and the mins map-side-combine
     ex = exploded_word_shingles(d, 3)
-    sig = ex.groupBy("doc_id").agg(
+    exh = ex.select("doc_id", F.expr(shingle_int_hash_spark("s")).alias("h"))
+    sig = exh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh"),
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
-            for i in range(n_perm)
+            F.min(F.expr(f"({a} * h + {b}) % {MINHASH_P}")).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(n_perm))
         ],
     )
     # materialize the signature table once: the band self-join below
@@ -159,7 +168,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_cols = [
         F.concat(
             F.lit(f"{b}:"),
-            F.md5(F.concat(*[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)])),
+            F.concat_ws(
+                ",", *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ),
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
