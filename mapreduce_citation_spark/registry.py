@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "mapreduce_citation_spark.operators.text",
     "mapreduce_citation_spark.operators.multimodal",
     "mapreduce_citation_spark.operators.streaming_queries",
+    "mapreduce_citation_spark.operators.tpch_extra",
 )
 
 #: Explicit ordering of the registry's public view. External checkers
