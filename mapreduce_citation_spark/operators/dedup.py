@@ -106,10 +106,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH sh AS (
+#: CTE chain producing verified near-dup pairs — shared by the
+#: dedup_minhash_lsh oracle and the dedup_clusters oracle.
+_MINHASH_PAIRS_CTES = f"""sh AS (
   SELECT doc_id, {_SH_DUCK} AS shingles FROM documents
 ),
 sigs AS (
@@ -124,15 +123,24 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
-SELECT c.doc_a, c.doc_b,
-       len(list_intersect(x.shingles, y.shingles)) * 1.0
-         / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
-FROM cand c
-JOIN sh x ON x.doc_id = c.doc_a
-JOIN sh y ON y.doc_id = c.doc_b
-WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0
-        / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(x.shingles, y.shingles)) * 1.0
+           / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+  WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0
+          / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8
+)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_MINHASH_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """,
     bench=True,
     tags=("dedup", "minhash", "lsh"),
@@ -445,4 +453,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "vec_b")
         .select("vec_a", "vec_b", cos)
         .filter(F.col("cosine") >= 0.5)
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS src, b AS dst FROM und
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS cluster_id,
+       src = LEAST(src, MIN(dst)) AS keep
+FROM reach
+GROUP BY src
+""",
+    tags=("dedup", "clusters", "components"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS — the step a real training-data pipeline runs
+    after pair detection: treat verified MinHash-LSH pairs as edges,
+    take connected components, and keep one canonical doc (min doc_id)
+    per cluster. A doc transitively near-dup to a kept doc is dropped
+    even when not directly paired with it — pairs alone can't express
+    that.
+
+    Spark side: iterative min-label propagation to fixpoint
+    (operators/graph.py:connected_components — join+agg per round,
+    lineage cut per iteration); converges in O(log n) rounds on
+    near-dup clusters, which are short chains in practice. The DuckDB
+    oracle computes the same components via a recursive transitive
+    closure — fine at fixture scale, quadratic in cluster size at 100
+    TB, which is exactly why the distributed path is label
+    propagation."""
+    from .graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("from_paper"), F.col("doc_b").alias("to_paper")
+    )
+    labels = connected_components(edges)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("keep"),
     )

@@ -281,3 +281,32 @@ def test_multimodal_features_channels_by_mime(spark, sf_dir):
     rows = multimodal_decode_features(spark, sf_dir).collect()
     chan = {r["mime"]: r["n_channels"] for r in rows}
     assert chan == {"image/png": 3, "audio/wav": 1}
+
+
+def test_dedup_clusters_are_transitive_components(spark, sf_dir):
+    """Cluster invariants on the sf0.01 fixture: every paired doc lands
+    in a cluster; both endpoints of every pair share a cluster (even
+    when only transitively connected); cluster_id is the min member;
+    exactly one keeper per cluster."""
+    from mapreduce_citation_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_minhash_lsh,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    rows = dedup_clusters(spark, sf_dir).collect()
+    cluster = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert pairs, "fixture should contain near-dup pairs"
+    for a, b in pairs:
+        assert cluster[a] == cluster[b]
+    members: dict[int, list[int]] = {}
+    for doc, c in cluster.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
+    keepers = [r["doc_id"] for r in rows if r["keep"]]
+    assert sorted(keepers) == sorted(members.keys())
