@@ -1,0 +1,146 @@
+"""Training-data pipeline compositions over ``documents`` — the
+end-to-end shapes an LLM data pipeline actually runs, composed from
+the primitive operators (dedup, lang-ID, quality, sampling).
+
+Each query is a single declarative plan (no intermediate
+materialization): Catalyst fuses the per-doc feature projections into
+one pass over the corpus, and the only shuffles are the dedup
+hash-groupBy and the final rollups. At 100 TB that means: one scan,
+one digest shuffle, map-side everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+from .text import _TOK_D, _TOK_S, _argmax_case, _score_d, _score_s
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "pipeline_filter_funnel",
+    oracle=f"""
+WITH keep AS (
+  SELECT md5(text) AS grp, MIN(doc_id) AS keep_id FROM documents GROUP BY 1
+),
+staged AS (
+  SELECT d.doc_id,
+         CASE
+           WHEN d.doc_id <> k.keep_id THEN '1_exact_dup'
+           WHEN len({_TOK_D}) < 16 THEN '2_too_short'
+           WHEN ({_argmax_case(_score_d)}) <> d.lang THEN '3_lang_mismatch'
+           ELSE '4_kept'
+         END AS stage
+  FROM documents d JOIN keep k ON md5(d.text) = k.grp
+)
+SELECT stage, COUNT(*) AS n_docs
+FROM staged
+GROUP BY stage
+""",
+    tags=("pipeline", "filter", "dedup", "langid"),
+)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-cleaning FUNNEL: exact-dedup → length filter →
+    lang-ID agreement, each doc attributed to the FIRST stage that
+    rejects it (or kept). This is the audit query run before every
+    training-data release — it reports where the corpus is lost.
+
+    One scan of documents, one md5-groupBy shuffle for the keeper
+    set (joined back on the digest, so dup groups never move text),
+    all other signals map-side, then a tiny stage rollup."""
+    d = _docs(spark, sf_dir)
+    keep = d.groupBy(F.md5(F.col("text").cast("binary")).alias("grp")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    staged = (
+        d.withColumn("grp", F.md5(F.col("text").cast("binary")))
+        .join(keep, "grp")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("keep_id"), "1_exact_dup")
+            .when(F.expr(f"size({_TOK_S})") < 16, "2_too_short")
+            .when(F.expr(_argmax_case(_score_s)) != F.col("lang"), "3_lang_mismatch")
+            .otherwise("4_kept")
+            .alias("stage"),
+        )
+    )
+    return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE WHEN lang = 'en' THEN '8000' ELSE 'c000' END
+""",
+    tags=("pipeline", "sampling"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified Bernoulli sampling — the
+    data-mixing primitive: downsample the over-represented stratum
+    (en at ~50%) while keeping low-resource languages at 75%. The
+    coin is the md5 of the doc_id (NOT rand(): reproducible across
+    engines, retries, and reruns — the same property the salted join
+    needed). Pure map-side: zero shuffles at any scale."""
+    d = _docs(spark, sf_dir)
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    bound = F.when(F.col("lang") == "en", "8000").otherwise("c000")
+    return d.filter(coin < bound).select("doc_id", "lang", "source")
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+SELECT lang, {_argmax_case(_score_d)} AS lang_pred, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""",
+    tags=("pipeline", "langid", "eval"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID EVALUATION: the confusion matrix of predicted vs
+    declared language — the query that decides whether the lang-ID
+    heuristic is good enough to filter on. Map-side argmax, one tiny
+    (lang × pred) rollup shuffle."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("lang", F.expr(_argmax_case(_score_s)).alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "corpus_dedup_rate",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM documents
+GROUP BY source
+""",
+    tags=("pipeline", "dedup", "audit"),
+)
+def corpus_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication audit per source — the metric that catches a
+    crawler re-ingesting the same site. Distinct-count on the digest,
+    never the text; Spark plans it as the standard two-phase
+    partial/merge distinct aggregate."""
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.col("text").cast("binary"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(h).alias("n_unique"),
+        (
+            F.lit(1.0)
+            - F.count_distinct(h).cast("double") / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )

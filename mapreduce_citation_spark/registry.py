@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "mapreduce_citation_spark.operators.multimodal",
     "mapreduce_citation_spark.operators.streaming_queries",
     "mapreduce_citation_spark.operators.tpch_extra",
+    "mapreduce_citation_spark.operators.pipeline",
 )
 
 #: Explicit ordering of the registry's public view. External checkers
