@@ -51,24 +51,29 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejects it (or kept). This is the audit query run before every
     training-data release — it reports where the corpus is lost.
 
-    One scan of documents, one md5-groupBy shuffle for the keeper
-    set (joined back on the digest, so dup groups never move text),
-    all other signals map-side, then a tiny stage rollup."""
+    One scan of documents; every per-doc signal (digest, token count,
+    lang argmax) is PROJECTED BEFORE the shuffle, so the one exchange
+    — a window keyed on the digest that finds each dup-group's keeper
+    — moves only (doc_id, grp, two ints, two small strings), never
+    the text. Then a tiny stage rollup."""
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir)
-    keep = d.groupBy(F.md5(F.col("text").cast("binary")).alias("grp")).agg(
-        F.min("doc_id").alias("keep_id")
+    sig = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("grp"),
+        F.expr(f"size({_TOK_S})").alias("ntok"),
+        F.expr(_argmax_case(_score_s)).alias("pred"),
     )
-    staged = (
-        d.withColumn("grp", F.md5(F.col("text").cast("binary")))
-        .join(keep, "grp")
-        .select(
-            "doc_id",
-            F.when(F.col("doc_id") != F.col("keep_id"), "1_exact_dup")
-            .when(F.expr(f"size({_TOK_S})") < 16, "2_too_short")
-            .when(F.expr(_argmax_case(_score_s)) != F.col("lang"), "3_lang_mismatch")
-            .otherwise("4_kept")
-            .alias("stage"),
-        )
+    keep_id = F.min("doc_id").over(Window.partitionBy("grp"))
+    staged = sig.select(
+        "doc_id",
+        F.when(F.col("doc_id") != keep_id, "1_exact_dup")
+        .when(F.col("ntok") < 16, "2_too_short")
+        .when(F.col("pred") != F.col("lang"), "3_lang_mismatch")
+        .otherwise("4_kept")
+        .alias("stage"),
     )
     return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_docs"))
 
