@@ -122,3 +122,61 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "streaming_session_counts",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+""",
+    tags=("streaming", "session-window", "watermark"),
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) as a LIVE streaming query — the
+    stateful MERGING-window operator (sessions grow and fuse as events
+    arrive, unlike fixed tumbling buckets). Same drain-to-memory
+    harness as ``streaming_tumbling_counts``; the oracle is the batch
+    lag/cumsum islands reconstruction, which the fully-drained
+    complete-mode state must equal exactly. At scale the watermark is
+    what lets Spark finalize and evict merged session state."""
+    ev = read_events_parquet_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"streaming_session_counts_{next(_SINK_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

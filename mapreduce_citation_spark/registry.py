@@ -79,6 +79,7 @@ _PRIORITY = (
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
+    "dedup_clusters",
     # LLM-pipeline: similarity search.
     "knn_brute_cosine",
     "knn_brute_cosine_pandas",
@@ -90,11 +91,11 @@ _PRIORITY = (
     "text_quality_scores",
     "text_lang_id",
     "doc_fingerprint",
-    "text_normalize",
-    "text_redact_numbers",
     "text_tfidf_top_terms",
     "doc_winnowing_fingerprints",
     "token_count_regex",
+    # LLM-pipeline: end-to-end compositions.
+    "pipeline_filter_funnel",
     # LLM-pipeline: multimodal plumbing.
     "multimodal_ingest_stats",
     "multimodal_frame_sample",
