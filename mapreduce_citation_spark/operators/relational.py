@@ -730,23 +730,21 @@ GROUP BY p_brand
 )
 def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (below half the
-    per-part average quantity). Expressed as aggregate-then-join —
-    the de-correlated plan Catalyst would produce, written explicitly
-    so the per-part average computes once. avg as exact SUM/COUNT
-    (whole-number quantities → deterministic double).
+    per-part average quantity). De-correlated to a per-part WINDOW
+    over lineitem itself — ONE lineitem scan, one exchange on
+    l_partkey (the aggregate-then-join form scans lineitem twice and
+    adds a part-cardinality join that must not be force-broadcast at
+    100 TB). avg as exact SUM/COUNT (whole-number quantities →
+    deterministic double); no broadcast hints — AQE picks the part
+    join strategy from measured sizes."""
+    from pyspark.sql import Window
 
-    No broadcast hints here: ``part_avg`` and ``part`` both have
-    part-table cardinality, and a forced ``F.broadcast`` bypasses
-    ``autoBroadcastJoinThreshold`` — at 100 TB that's an executor OOM
-    instead of a graceful fallback. AQE picks broadcast when the
-    measured size fits and shuffle join when it doesn't."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.expr("0.5 * SUM(l_quantity) / COUNT(*)").alias("half_avg_qty")
-    )
+    w = Window.partitionBy("l_partkey")
+    half_avg = (F.lit(0.5) * F.sum("l_quantity").over(w)) / F.count(F.lit(1)).over(w)
     return (
-        li.join(part_avg, li.l_partkey == part_avg.pk)
+        li.withColumn("half_avg_qty", half_avg)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")

@@ -96,10 +96,14 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (no partsupp in the fixtures): for each PROMO
     size-15 part, the ASIA supplier(s) selling it at the minimum
     observed unit price. The correlated-min subquery de-correlates to
-    aggregate-then-self-join on (part, min) — both sides derive from
-    ONE aggregated relation, so the expensive lineitem scan happens
-    once; min-equality compares identically-computed doubles (exact).
+    a per-part MIN WINDOW over the aggregated (part, supplier)
+    relation — one lineitem scan, one agg shuffle, one window
+    exchange (the aggregate-then-self-join alternative scans lineitem
+    twice: Spark's ReuseExchange doesn't unify the two branches);
+    min-equality compares identically-computed doubles (exact).
     """
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     sp = li.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
@@ -108,7 +112,7 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(SUM({PRICE}) AS DOUBLE) / CAST(SUM({QTY}) AS DOUBLE)"
         ).alias("unit_price")
     )
-    mins = sp.groupBy("pk").agg(F.min("unit_price").alias("mn"))
+    mn = F.min("unit_price").over(Window.partitionBy("pk"))
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
     )
@@ -116,8 +120,8 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        sp.join(mins, (sp.pk == mins.pk) & (sp.unit_price == mins.mn))
-        .drop(mins.pk)
+        sp.withColumn("mn", mn)
+        .filter(F.col("unit_price") == F.col("mn"))
         .join(p, F.col("pk") == p.p_partkey)
         .join(s, F.col("sk") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -251,9 +255,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver-side collect. Comparison in DECIMAL (exact), output
     cast to double."""
     li = _t(spark, sf_dir, "lineitem")
+    # materialize the per-part aggregate once: it feeds BOTH the global
+    # total and the filter — left lazy, each branch re-scans lineitem
     pv = li.groupBy("l_partkey").agg(
         F.expr(f"SUM({PRICE} * (1 - {DISC}))").alias("value")
-    )
+    ).localCheckpoint()
     total = pv.agg(F.sum("value").alias("total"))
     return (
         pv.crossJoin(F.broadcast(total))
@@ -363,6 +369,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.expr(f"SUM({PRICE} * (1 - {DISC}))").alias("total_revenue"))
+        # materialized once (one row per supplier): feeds both the max
+        # scalar and the equality filter without re-scanning lineitem
+        .localCheckpoint()
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
