@@ -249,7 +249,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materialized, unlike the oracle's O(n²) brute force (fine
     for DuckDB at oracle scale, wrong at 100 TB)."""
     d = _docs(spark, sf_dir)
-    ex = exploded_word_shingles(d, 3)
+    # materialize the exploded shingles once: they feed BOTH self-join
+    # sides AND the size aggregate — left lazy, the (interpreted-HOF)
+    # shingle pipeline runs four times (documents scanned 4×)
+    ex = exploded_word_shingles(d, 3).localCheckpoint()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         ex.alias("a")
@@ -420,10 +423,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .similarity import lsh_band_keys_expr
 
-    n = e.select("vec_id", "embedding", F.expr(dot_self).alias("nrm"))
+    # band keys materialized once: the self-join would otherwise run
+    # the 48-hyperplane fold per row PER SIDE (embeddings scanned 2×
+    # just for candidates)
     bands = e.select(
         "vec_id", F.explode(F.expr(lsh_band_keys_expr(6, 8))).alias("band_key")
-    )
+    ).localCheckpoint()
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), (F.col("x.band_key") == F.col("y.band_key"))
@@ -432,6 +437,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
         )
         .distinct()
+    )
+    # norms computed for CANDIDATE vectors only (semi-join before the
+    # norm fold — the docs_in_cand pattern from dedup_minhash_lsh)
+    cand_ids = cand.select(F.col("vec_a").alias("vec_id")).union(
+        cand.select("vec_b")
+    ).distinct()
+    n = e.join(F.broadcast(cand_ids), "vec_id", "left_semi").select(
+        "vec_id", "embedding", F.expr(dot_self).alias("nrm")
     )
     a = n.select(
         F.col("vec_id").alias("vec_a"),

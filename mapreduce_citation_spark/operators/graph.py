@@ -42,7 +42,12 @@ def edges_from_lineitem(li: DataFrame) -> DataFrame:
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return edges_from_lineitem(load_table(spark, sf_dir, "lineitem"))
+    # materialized: every caller self-joins or iterates over the edge
+    # list, and the distinct-pairs derivation (a lineitem scan + a
+    # shuffle) must not replay once per join side / per iteration
+    return edges_from_lineitem(
+        load_table(spark, sf_dir, "lineitem")
+    ).localCheckpoint()
 
 
 @register(
@@ -126,8 +131,9 @@ def pagerank(
     compares to 1e-9)."""
     # materialize the loop-invariant relations once, and break lineage
     # every iteration (localCheckpoint) — otherwise iteration k re-runs
-    # iterations 1..k-1 and the job is O(k²) in shuffles
-    edges = edges.localCheckpoint()
+    # iterations 1..k-1 and the job is O(k²) in shuffles. (The edges
+    # input arrives materialized from _edges; callers passing a lazy
+    # DataFrame should localCheckpoint it first.)
     nodes = (
         edges.select(F.col("from_paper").alias("node"))
         .union(edges.select("to_paper"))

@@ -281,21 +281,31 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf · N/df — a rational number, exact in double, so cross-engine
     ranking is bit-deterministic; log-idf would differ in ulps between
     libm implementations and flip mathematically-tied ranks). The
-    classic two-aggregation shape: term frequencies per doc, document
-    frequencies per term, broadcast-joined back."""
+    classic two-aggregation shape — computed from ONE tokenize pass:
+    the per-(doc, term) frequency table is materialized once and the
+    document frequency is just its per-term row count (a second
+    documents scan for distinct terms would redo the explode); the
+    corpus size folds in as a lazy 1-row broadcast, not a driver
+    count()."""
     d = _docs(spark, sf_dir)
-    tok = d.select(
-        "doc_id", F.explode(F.expr(f"array_distinct({_TOK_S})")).alias("term")
+    tf = (
+        d.select("doc_id", F.explode(F.expr(_TOK_S)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
-    tf = d.select(
-        "doc_id", F.explode(F.expr(_TOK_S)).alias("term")
-    ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.count()
-    scored = tf.join(df_, "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")).alias("score"),
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias(
+                "score"
+            ),
+        )
     )
     from pyspark.sql import Window
 

@@ -405,25 +405,23 @@ LIMIT 100
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: customers with orders above 300 total quantity. The
-    HAVING subquery becomes aggregate→filter→LEFT-SEMI join, so only
-    qualifying orderkeys (a tiny set) flow into the 3-way join; the
-    big lineitem groupBy happens once, before any join. Top-100 is
-    TakeOrderedAndProject (no global sort)."""
+    HAVING subquery becomes aggregate→filter, and the aggregate
+    ALREADY CARRIES the per-order quantity sum — so the qualifying
+    (orderkey, total_qty) rows join straight to orders+customer with
+    no second lineitem scan (the textbook semi-join variant reads
+    lineitem twice). One big groupBy, then joins against a tiny set.
+    Top-100 is TakeOrderedAndProject (no global sort)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sq"))
-        .filter(F.col("sq") > 300)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
     )
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("total_qty"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             F.expr(f"CAST({OPRICE} AS DOUBLE)").alias("o_totalprice"),
