@@ -43,6 +43,7 @@ SELECT stage, COUNT(*) AS n_docs
 FROM staged
 GROUP BY stage
 """,
+    bench=True,
     tags=("pipeline", "filter", "dedup", "langid"),
 )
 def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -495,6 +495,7 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 20
 """,
+    bench=True,
     tags=("join", "semi-join", "anti-join", "tpch"),
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
