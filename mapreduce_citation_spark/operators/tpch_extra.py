@@ -515,9 +515,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
     ).localCheckpoint()
     l1, l2 = late.alias("l1"), late.alias("l3")
-    # EXISTS another supplier on the order
+    # EXISTS another supplier on the order — checked ONLY for orders
+    # that have a late line at all: the semi-join against the (small)
+    # late-order set runs before the supplier distinct-count, so the
+    # expensive distinct never touches the full lineitem
+    late_orders = late.select("l_orderkey").distinct()
     multi = (
-        li.select("l_orderkey", "l_suppkey")
+        li.join(F.broadcast(late_orders), "l_orderkey", "left_semi")
+        .select("l_orderkey", "l_suppkey")
         .distinct()
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("n_supp"))
