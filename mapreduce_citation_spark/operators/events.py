@@ -212,3 +212,42 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "events_cdc_compaction",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       event_type AS last_type
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+    tags=("events", "cdc", "compaction", "window"),
+)
+def events_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log COMPACTION (latest-wins): collapse each key's event
+    history to its most recent record — the merge step every
+    CDC-ingesting lakehouse pipeline runs before serving reads. One
+    shuffle on the key; deterministic (ts, event_id) tie-break so both
+    engines pick the same survivor. At scale this is the query shape
+    behind snapshot materialization of an upsert stream."""
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+    )

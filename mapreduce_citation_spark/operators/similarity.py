@@ -337,7 +337,9 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest replays the exact same algorithm in numpy and asserts set
     equality, plus recall vs the brute-force baseline."""
     e = _emb(spark, sf_dir)
-    cent = _centroids(e)
+    # centroid table is tiny (one row per label): materialize so the
+    # assignment crossJoin doesn't re-run the posexplode aggregation
+    cent = _centroids(e).localCheckpoint()
     n = e.select("vec_id", "embedding", F.expr(_NORM).alias("nrm"))
     cdot = (
         "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), "
@@ -350,7 +352,14 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("csim").desc(), F.col("cent_id").asc()
     )
-    ranked = scored_cent.withColumn("crank", F.row_number().over(w_assign))
+    # materialize the ranked assignment once (rows with crank ≤ 2
+    # cover both consumers): the inverted-list side and the probe side
+    # would otherwise each replay the k-centroid HOF scoring pass
+    ranked = (
+        scored_cent.withColumn("crank", F.row_number().over(w_assign))
+        .filter(F.col("crank") <= 2)
+        .localCheckpoint()
+    )
     corpus = ranked.filter(F.col("crank") == 1).select(
         F.col("cent_id"),
         F.col("vec_id").alias("neighbor_id"),
