@@ -415,3 +415,31 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_numbers"),
     )
+
+
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+SELECT CAST((len({_TOK_D}) // 16) * 16 AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_TOK_D})) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1
+""",
+    tags=("text", "audit", "histogram"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (width-16 buckets) — the sequence-length
+    distribution every batching/packing strategy is tuned against.
+    Integer bucket arithmetic (DIV), so both engines land every doc in
+    the same bucket; one map-side projection + tiny rollup."""
+    d = _docs(spark, sf_dir)
+    ntok = F.expr(f"size({_TOK_S})").cast("long")
+    return (
+        d.select(((ntok / 16).cast("long") * 16).alias("bucket_lo"), ntok.alias("nt"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+        )
+    )
