@@ -254,3 +254,23 @@ def test_append_mode_exactly_once_under_late_data(spark, tmp_path):
     ten = [r for r in got if str(r["window_start"]) == "2024-01-01 10:00:00"]
     assert len(ten) == 1  # emitted exactly once (with 1 or 2 rows counted,
     # depending on whether the late row beat the state flush — both allowed)
+
+
+def test_registered_streaming_query_repeatable_in_one_session(spark):
+    """The driver may invoke a registered query several times on one
+    session (entry smoke + correctness pass): the memory-sink names
+    must not collide and each run must return the same result."""
+    from mapreduce_citation_spark.operators.streaming_queries import (
+        streaming_tumbling_counts,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    a = sorted(
+        (r["window_start"], r["event_type"], r["n"])
+        for r in streaming_tumbling_counts(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r["window_start"], r["event_type"], r["n"])
+        for r in streaming_tumbling_counts(spark, sf_dir).collect()
+    )
+    assert a and a == b
