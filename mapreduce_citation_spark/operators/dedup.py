@@ -49,9 +49,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-def exploded_word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, s) rows of distinct word k-shingles — the shared
-    front-end of the near-dup operators.
+def exploded_word_shingles(
+    docs: DataFrame, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, s) rows of word k-shingles (distinct per doc by
+    default; ``distinct=False`` keeps multiplicity, which the
+    repetition-quality scorer needs) — the shared front-end of the
+    near-dup operators.
 
     Shape chosen for scale AND speed: repartition the COMPACT document
     rows by doc_id first, then posexplode tokens and build shingles
@@ -72,15 +76,15 @@ def exploded_word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     lead_cols = [F.lead("w0", j).over(w).alias(f"w{j}") for j in range(1, k)]
-    return (
+    out = (
         tok.select("doc_id", "w0", *lead_cols)
         .filter(F.col(f"w{k - 1}").isNotNull())
         .select(
             "doc_id",
             F.concat_ws(" ", *[f"w{j}" for j in range(k)]).alias("s"),
         )
-        .dropDuplicates(["doc_id", "s"])
     )
+    return out.dropDuplicates(["doc_id", "s"]) if distinct else out
 
 
 @register(

@@ -443,3 +443,62 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").alias("total_tokens"),
         )
     )
+
+
+def _grams_duck(k: int = 3) -> str:
+    """Word k-grams WITH multiplicity (DuckDB) — shingles_duck minus
+    the list_distinct, for repetition measurement."""
+    t = _TOK_D
+    return (
+        f"list_transform(generate_series(1, greatest(len({t}) - {k - 1}, 0)), "
+        f"i -> array_to_string(({t})[i:i+{k - 1}], ' '))"
+    )
+
+
+@register(
+    "text_repetition_scores",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, unnest({_grams_duck(3)}) AS s FROM documents
+),
+c AS (
+  SELECT doc_id, s, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+       CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS dup_gram_ratio,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_gram_frac
+FROM c
+GROUP BY doc_id
+""",
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals — the duplicated-n-gram rules the
+    published web-corpus filters (Gopher, C4-style) apply: the
+    fraction of word-3-grams that are repeats, and the share of the
+    single most frequent 3-gram. Degenerate generated/boilerplate
+    text scores high on both and gets filtered.
+
+    Plan: non-distinct gram explode (doc-partitioned, no extra
+    shuffle), per-(doc, gram) count, then a per-doc rollup — both
+    aggregations cluster on doc_id, so hash(doc_id) partitioning from
+    the explode front-end serves the whole pipeline: ONE exchange
+    total at any scale."""
+    from .dedup import exploded_word_shingles
+
+    d = _docs(spark, sf_dir)
+    grams = exploded_word_shingles(d, 3, distinct=False)
+    per_gram = grams.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        (
+            (F.sum("cnt") - F.count(F.lit(1))).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("dup_gram_ratio"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
+            "top_gram_frac"
+        ),
+    )
