@@ -55,3 +55,14 @@ def read_csv(
 
 def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format Spark ships
+    natively (Hive-ecosystem consumers); same pushdown/pruning story
+    as parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

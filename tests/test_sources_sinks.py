@@ -46,3 +46,16 @@ def test_json_roundtrip(spark, sf_dir, tmp_path):
     write_json(cust, out)
     back = read_json(spark, out, cust.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    from mapreduce_citation_spark.sources.sinks import read_orc, write_orc
+
+    supp = load_table(spark, sf_dir, "supplier")
+    out = str(tmp_path / "supplier_orc")
+    write_orc(supp, out)
+    back = read_orc(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, supp.collect()))
+    # filters push into the ORC scan just like parquet
+    plan = back.filter(back.s_suppkey == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(s_suppkey), EqualTo(s_suppkey,1)]" in plan
