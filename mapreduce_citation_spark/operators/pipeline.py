@@ -150,3 +150,49 @@ def corpus_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.count_distinct(h).cast("double") / F.count(F.lit(1))
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "corpus_pack_bins",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_TOK_D}) AS BIGINT) AS ntok FROM documents
+),
+c AS (
+  SELECT doc_id, lang, ntok,
+         SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - ntok AS tok_before
+  FROM t
+)
+SELECT doc_id, lang, ntok,
+       CAST(tok_before // 2048 AS BIGINT) AS bin_id
+FROM c
+""",
+    tags=("pipeline", "packing", "window"),
+)
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence PACKING: assign each document to a ~2048-token
+    training bin per language — the deterministic cumulative-sum
+    variant of greedy packing (bin = tokens-before DIV budget, docs in
+    doc_id order). This is the batch-construction step between
+    filtering and tokenization in a pretraining pipeline; the
+    window cumsum expresses it with ONE shuffle on the stratum key,
+    where a naive greedy packer is an inherently sequential loop."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    ntok = F.expr(f"size({_TOK_S})").cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "lang", ntok.alias("ntok"))
+    return t.select(
+        "doc_id",
+        "lang",
+        "ntok",
+        ((F.sum("ntok").over(w) - F.col("ntok")) / 2048)
+        .cast("long")
+        .alias("bin_id"),
+    )
