@@ -523,3 +523,90 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("keep"),
     )
+
+
+def _semantic_hybrid_oracle() -> str:
+    from .similarity import lsh_band_keys_duck
+
+    return f"""
+WITH bands AS (
+  SELECT vec_id, unnest({lsh_band_keys_duck(6, 8)}) AS band_key FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.vec_id < y.vec_id
+),
+n AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm,
+         embedding
+  FROM embeddings
+),
+cos AS (
+  SELECT c.vec_a, c.vec_b,
+         list_reduce(list_transform(generate_series(1, 64),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+  FROM cand c
+  JOIN n a ON a.vec_id = c.vec_a
+  JOIN n b ON b.vec_id = c.vec_b
+  WHERE list_reduce(list_transform(generate_series(1, 64),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.5
+),
+sh AS (
+  SELECT doc_id, {_SH_DUCK} AS shingles FROM documents
+)
+SELECT vec_a AS doc_a, vec_b AS doc_b, cosine,
+       len(list_intersect(x.shingles, y.shingles)) * 1.0
+         / len(list_distinct(list_concat(x.shingles, y.shingles))) AS lexical_jaccard
+FROM cos
+JOIN sh x ON x.doc_id = vec_a
+JOIN sh y ON y.doc_id = vec_b
+"""
+
+
+@register(
+    "dedup_semantic_hybrid",
+    oracle=_semantic_hybrid_oracle(),
+    tags=("dedup", "embedding", "hybrid"),
+)
+def dedup_semantic_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style HYBRID near-dup evidence: semantic candidates
+    (sign-LSH-blocked embedding cosine ≥ 0.5) annotated with the
+    lexical 3-gram Jaccard of the SAME document pair — the signal
+    split a curation pipeline uses to separate true semantic
+    duplicates (high cosine, low lexical overlap → paraphrases) from
+    near-copies (high both). vec_id ≡ doc_id in the fixtures (1:1
+    embedding per document).
+
+    Composition stays candidate-bounded end to end: the embedding
+    stage reuses ``dedup_embedding_cosine`` (banded LSH, exact verify
+    on candidates); the lexical stage shingles ONLY the candidate
+    docs (broadcast semi-join) and compares shingle SETS with
+    array_intersect/union — never a corpus-wide text pass."""
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    pair_ids = pairs.select(F.col("vec_a").alias("doc_id")).union(
+        pairs.select("vec_b")
+    ).distinct()
+    sh = d.join(F.broadcast(pair_ids), "doc_id", "left_semi").select(
+        "doc_id", F.expr(_SH_SPARK).alias("shingles")
+    )
+    sa = sh.select(F.col("doc_id").alias("vec_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("vec_b"), F.col("shingles").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")) * F.lit(1.0)
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        pairs.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            "cosine",
+            jac.alias("lexical_jaccard"),
+        )
+    )
