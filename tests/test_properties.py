@@ -114,3 +114,34 @@ def test_top_cited_order_matches_reference_sort(spark, edges):
         counts[to] = counts.get(to, 0) + 1
     want = sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:30]
     assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_shingle_int_hash_cross_engine_parity(spark, words):
+    """The 60-bit md5-prefix integer hash (the base of the MinHash
+    permutation family) is bit-identical between Spark's
+    conv(hex, 16, 10) and DuckDB's '0x'-prefixed cast, for arbitrary
+    printable-ASCII shingles."""
+    import duckdb
+
+    from mapreduce_citation_spark.functions.text_funcs import (
+        shingle_int_hash_duck,
+        shingle_int_hash_spark,
+    )
+
+    s = " ".join(words)
+    got_spark = spark.sql(
+        "SELECT " + shingle_int_hash_spark("s") + " AS h FROM (SELECT ? AS s)",
+        args=[s],
+    ).collect()[0]["h"]
+    got_duck = duckdb.execute(
+        "SELECT " + shingle_int_hash_duck("?") + " AS h", [s]
+    ).fetchone()[0]
+    assert got_spark == got_duck
