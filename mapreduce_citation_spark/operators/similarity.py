@@ -112,6 +112,24 @@ def lsh_signature_expr(bits: int = 8) -> str:
     )
 
 
+def lsh_signature_duck(bits: int = 8, dim: int = 64) -> str:
+    """DuckDB mirror of :func:`lsh_signature_expr`: same md5-parity
+    hyperplane components (Spark's ``zip_with`` index is 0-based →
+    ``md5(j || ':' || (i-1))`` under 1-based ``generate_series``),
+    same ordered left fold (DuckDB's ``list_reduce`` seeds with the
+    first element, Spark with 0D; ``0 + x ≡ x`` in IEEE double), same
+    ``>= 0`` sign rule → identical signature strings."""
+    bit = (
+        "CASE WHEN list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> CASE WHEN substr(md5(j || ':' || (i - 1)), 1, 1) < '8' "
+        "THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END), "
+        "(a, b) -> a + b) >= 0 THEN '1' ELSE '0' END"
+    ).format(d=dim)
+    return (
+        f"array_to_string(list_transform(generate_series(0, {bits - 1}), j -> {bit}), '')"
+    )
+
+
 def _hyperplane_sign_rows(n_planes: int, dim: int = 64) -> list[list[float]]:
     """±1 hyperplane components, row j = plane j — the SAME md5 family
     as :func:`lsh_signature_expr` (first hex digit of md5('j:i') < '8'
@@ -187,13 +205,38 @@ def lsh_band_keys_duck(rows_per_band: int = 6, n_bands: int = 8, dim: int = 64) 
 
 @register(
     "knn_lsh_ann",
-    tags=("similarity", "knn", "lsh", "rows-only"),
+    oracle="""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm,
+         __SIG__ AS sig
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_reduce(list_transform(generate_series(1, 64),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+  FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+""".replace("__SIG__", lsh_signature_duck(8)),
+    tags=("similarity", "knn", "lsh"),
 )
 def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: candidates restricted to the query's LSH
     bucket (8-bit sign signature), exact cosine re-rank inside the
     bucket. Recall vs knn_brute_cosine is asserted in pytest
-    (test_similarity.py); rows-only for the driver."""
+    (test_similarity.py); the DuckDB oracle mirrors the signature
+    bitwise (``lsh_signature_duck``), so the driver gate is exact."""
     e = _emb(spark, sf_dir)
     sig = lsh_signature_expr(8)
     n = e.select(
