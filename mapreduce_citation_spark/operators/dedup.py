@@ -586,7 +586,11 @@ def dedup_semantic_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidates); the lexical stage shingles ONLY the candidate
     docs (broadcast semi-join) and compares shingle SETS with
     array_intersect/union — never a corpus-wide text pass."""
-    pairs = dedup_embedding_cosine(spark, sf_dir)
+    # materialize the (tiny) verified pair set: it feeds the id
+    # union AND both shingle joins — left lazy, the whole LSH+cosine
+    # pipeline replays once per consumer (audit: embeddings scanned
+    # 10×; with the checkpoint, once)
+    pairs = dedup_embedding_cosine(spark, sf_dir).localCheckpoint()
     d = _docs(spark, sf_dir)
     pair_ids = pairs.select(F.col("vec_a").alias("doc_id")).union(
         pairs.select("vec_b")
