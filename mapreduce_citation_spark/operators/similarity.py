@@ -465,3 +465,127 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(array_sort(collect_list(CAST(x AS DOUBLE))), 0D, (a, b) -> a + b)"
         ).alias("checksum"),
     )
+
+
+@register(
+    "knn_pq_ann",
+    tags=("similarity", "knn", "pq", "rows-only"),
+)
+def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (M=4 subspaces × K=16 codes, ADC
+    scoring): corpus vectors compress to a 4-code word; queries score
+    the whole corpus by summing 4 table lookups instead of a 64-dim
+    dot product, then the top-15 approximate hits get exact-cosine
+    re-ranked to top-5.
+
+    Deterministic 'training': subspace codebook c = the subvectors of
+    the K lowest-vec_id corpus vectors (sample-as-codebook — no
+    iterative k-means, so the pytest numpy replay is exact).
+    Assignment ties break on lowest code id.
+
+    Scale shape: the codebook (M·K = 64 rows) broadcasts everywhere;
+    corpus assignment is corpus × 64 broadcast rows → window-min —
+    map-side per vector; ADC scoring joins the (neighbor, m, code)
+    table against the broadcast per-query lookup tables on (m, code):
+    the 100 TB corpus is touched as CODES (4 bytes/vector), and only
+    the ~15 candidates per query are re-read as full vectors
+    (semi-join-pruned) for exact re-rank. Rows-only for the driver
+    (codebook assignment is not reasonably SQL-expressible); pytest
+    replays the identical algorithm in numpy."""
+    M, K, SUB = 4, 16, 16
+    e = _emb(spark, sf_dir)
+    sub = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("embedding", m * SUB + 1, SUB).alias("subvec"),
+            )
+            for m in range(M)
+        ])
+    ).alias("s")
+    subs = e.select("vec_id", sub).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec")
+    )
+    codebook = (
+        subs.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").alias("code"), "m", F.col("subvec").alias("cw"))
+        .localCheckpoint()
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(subvec, cw, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0D, (a, b) -> a + b)"
+    )
+    w_assign = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d").asc(), F.col("code").asc()
+    )
+    codes = (
+        subs.join(F.broadcast(codebook), "m")
+        .select("vec_id", "m", "code", l2.alias("d"))
+        .withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "m", "code")
+        .localCheckpoint()
+    )
+    # per-query ADC tables: dot(query subvector, codeword) per (m, code)
+    qsubs = subs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("subvec").alias("qs")
+    )
+    dot_qc = F.expr(
+        "aggregate(zip_with(qs, cw, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (a, b) -> a + b)"
+    )
+    tables = qsubs.join(F.broadcast(codebook), "m").select(
+        "query_id", "m", "code", dot_qc.alias("partial")
+    )
+    approx = (
+        codes.join(F.broadcast(tables), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("partial").alias("approx_dot"))
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("ar", F.row_number().over(w_approx))
+        .filter(F.col("ar") <= 15)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    # exact re-rank of the shortlist only
+    n = e.select("vec_id", "embedding", F.expr(_NORM).alias("nrm"))
+    cand_ids = shortlist.select(F.col("neighbor_id").alias("vec_id")).union(
+        shortlist.select("query_id")
+    ).distinct()
+    nc = n.join(F.broadcast(cand_ids), "vec_id", "left_semi")
+    a = nc.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    b = nc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_emb, n_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (a, b) -> a + b)"
+    )
+    scored = (
+        shortlist.join(a, "query_id")
+        .join(b, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            (dot / (F.col("q_nrm") * F.col("n_nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

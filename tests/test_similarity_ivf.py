@@ -53,3 +53,66 @@ def test_ivf_matches_numpy_replay_and_recall(spark, sf_dir):
     hits = sum(len(set(got[q]) & set(brute[q])) for q in brute)
     total = sum(len(v) for v in brute.values())
     assert hits / total >= 0.15  # observed ~0.3 on the fixture; ANN floor
+
+
+def test_pq_matches_numpy_replay(spark, sf_dir):
+    """knn_pq_ann replays exactly in numpy: same sample-as-codebook
+    (first 16 vectors' subvectors), same L2 assignment with
+    lowest-code tie-break, same ADC tables, same top-15 shortlist,
+    same exact-cosine top-5 re-rank. Also sanity: PQ top-5 overlaps
+    the brute-force top-5 (recall ≥ 0.2 on the fixture)."""
+    import numpy as np
+
+    from mapreduce_citation_spark.operators.similarity import (
+        knn_brute_cosine,
+        knn_pq_ann,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    M, K, SUB, NQ, SHORT, TOPK = 4, 16, 16, 10, 15, 5
+    e = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in e])
+    X = np.array([r["embedding"] for r in e], dtype=np.float64)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    codebook = X[:K].reshape(K, M, SUB)  # code, m, sub
+    # assignment: per vector, per subspace, argmin L2 (ties -> lowest code)
+    subs = X.reshape(len(X), M, SUB)
+    d2 = ((subs[:, None, :, :] - codebook[None, :, :, :]) ** 2).sum(axis=3)
+    codes = d2.argmin(axis=1)  # (n, m): argmin returns lowest index on ties
+    want = {}
+    for qi in range(NQ):
+        tables = np.einsum("ms,kms->mk", subs[qi], codebook)  # (m, k)
+        approx = np.array(
+            [tables[m][codes[:, m]] for m in range(M)]
+        ).sum(axis=0)
+        order = sorted(
+            [(i, approx[i]) for i in range(len(X)) if ids[i] != ids[qi]],
+            key=lambda t: (-t[1], ids[t[0]]),
+        )[:SHORT]
+        rescored = sorted(
+            [
+                (ids[i], float(X[qi] @ X[i] / (nrm[qi] * nrm[i])))
+                for i, _ in order
+            ],
+            key=lambda t: (-t[1], t[0]),
+        )[:TOPK]
+        for rank, (nid, cos) in enumerate(rescored, 1):
+            want[(ids[qi], rank)] = (nid, cos)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in knn_pq_ann(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-12
+    brute = {}
+    for r in knn_brute_cosine(spark, sf_dir).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    pq = {}
+    for (q, _), (n, _) in got.items():
+        pq.setdefault(q, set()).add(n)
+    recall = sum(len(pq[q] & brute[q]) for q in brute) / sum(
+        len(brute[q]) for q in brute
+    )
+    assert recall >= 0.2, f"PQ recall vs brute too low: {recall:.2f}"
