@@ -400,8 +400,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-LSH — NOT an all-pairs join.
 
     Plan shape: each vector emits 8 band keys (6 hyperplane sign bits
-    per band, a single map-side projection of inlined ±1 literals —
-    see ``operators/similarity.py:lsh_band_keys_expr``); candidates
+    per band, one vectorized Arrow/numpy map-side pass — see
+    ``operators/similarity.py:lsh_band_keys_pandas``); candidates
     come from a self-equi-join on the band key; exact cosine is
     verified on candidates only, as an ordered left fold in double.
     The DuckDB oracle mirrors the banding bit-for-bit
@@ -425,14 +425,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
         "0D, (a, b) -> a + b))"
     )
-    from .similarity import lsh_band_keys_expr
+    from .similarity import lsh_band_keys_pandas
 
     # band keys materialized once: the self-join would otherwise run
-    # the 48-hyperplane fold per row PER SIDE (embeddings scanned 2×
-    # just for candidates)
-    bands = e.select(
-        "vec_id", F.explode(F.expr(lsh_band_keys_expr(6, 8))).alias("band_key")
-    ).localCheckpoint()
+    # the 48-hyperplane projection per row PER SIDE (embeddings
+    # scanned 2× just for candidates). Keys come from the vectorized
+    # Arrow/numpy kernel — bitwise identical to the SQL fold the
+    # DuckDB oracle mirrors (see lsh_band_keys_pandas docstring).
+    bands = lsh_band_keys_pandas(e, 6, 8).localCheckpoint()
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), (F.col("x.band_key") == F.col("y.band_key"))

@@ -147,6 +147,33 @@ def test_embedding_lsh_recall_at_high_similarity(spark):
     assert len(cand) < 0.25 * n * (n - 1) / 2
 
 
+def test_band_keys_pandas_matches_expr(spark, sf_dir):
+    """The vectorized Arrow/numpy band-key kernel must be BITWISE
+    identical to the interpreted SQL fold it replaced (and therefore to
+    the DuckDB oracle that mirrors that fold): same ordered left-to-
+    right accumulation per row, only batched across rows. Set equality
+    of (vec_id, band_key) is exact equality here — the band prefix
+    makes each vector's 8 keys distinct."""
+    from mapreduce_citation_spark.operators.similarity import (
+        lsh_band_keys_expr,
+        lsh_band_keys_pandas,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    via_expr = {
+        (r["vec_id"], r["band_key"])
+        for r in e.select(
+            "vec_id", F.explode(F.expr(lsh_band_keys_expr(6, 8))).alias("band_key")
+        ).collect()
+    }
+    via_pandas = {
+        (r["vec_id"], r["band_key"])
+        for r in lsh_band_keys_pandas(e, 6, 8).collect()
+    }
+    assert via_pandas == via_expr
+
+
 def test_simhash_locality(spark):
     """Near-identical token multisets → small Hamming distance;
     unrelated docs → large."""
