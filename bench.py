@@ -46,12 +46,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, spec in specs.items():
         runs: list[float] = []
+        counts: set[int] = set()
         for _ in range(3):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             n = df.count()  # full execution; result not materialized to driver
             runs.append(time.perf_counter() - t0)
-            assert n >= 0
+            counts.add(n)
+        # real sanity gate: a deterministic query over static parquet
+        # must return the same row count on every run
+        assert len(counts) == 1, f"{name}: unstable row count {counts}"
         timings[name] = round(sorted(runs)[1], 3)
 
     print(

@@ -212,8 +212,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_in_cand = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select("doc_b")
     ).distinct()
+    # no broadcast hint on the data-dependent candidate set — AQE
+    # decides from its measured size (broadcasts at fixture scale,
+    # degrades gracefully to a shuffle semi-join when candidates grow)
     exc = exploded_word_shingles(
-        d.join(F.broadcast(docs_in_cand), "doc_id", "left_semi"), 3
+        d.join(docs_in_cand, "doc_id", "left_semi"), 3
     )
     common = (
         exc.alias("x")
@@ -447,7 +450,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_ids = cand.select(F.col("vec_a").alias("vec_id")).union(
         cand.select("vec_b")
     ).distinct()
-    n = e.join(F.broadcast(cand_ids), "vec_id", "left_semi").select(
+    # candidate id set is data-dependent: no broadcast hint, AQE decides
+    n = e.join(cand_ids, "vec_id", "left_semi").select(
         "vec_id", "embedding", F.expr(dot_self).alias("nrm")
     )
     a = n.select(
@@ -595,7 +599,8 @@ def dedup_semantic_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_ids = pairs.select(F.col("vec_a").alias("doc_id")).union(
         pairs.select("vec_b")
     ).distinct()
-    sh = d.join(F.broadcast(pair_ids), "doc_id", "left_semi").select(
+    # pair id set is data-dependent: no broadcast hint, AQE decides
+    sh = d.join(pair_ids, "doc_id", "left_semi").select(
         "doc_id", F.expr(_SH_SPARK).alias("shingles")
     )
     sa = sh.select(F.col("doc_id").alias("vec_a"), F.col("shingles").alias("sh_a"))

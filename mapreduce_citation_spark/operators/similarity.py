@@ -562,9 +562,20 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = e.select("vec_id", sub).select(
         "vec_id", F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec")
     )
+    # codebook = the K LOWEST vec_ids (orderBy-limit, codes renumbered
+    # 0..K-1), matching the numpy replay's X[:K] definition even when
+    # ids are sparse or non-zero-based — `vec_id < K` would silently
+    # train on fewer/different vectors on such data
+    w_code = Window.orderBy("vec_id")
+    code_ids = (
+        e.select("vec_id")
+        .orderBy("vec_id")
+        .limit(K)
+        .select("vec_id", (F.row_number().over(w_code) - 1).alias("code"))
+    )
     codebook = (
-        subs.filter(F.col("vec_id") < K)
-        .select(F.col("vec_id").alias("code"), "m", F.col("subvec").alias("cw"))
+        subs.join(F.broadcast(code_ids), "vec_id")
+        .select("code", "m", F.col("subvec").alias("cw"))
         .localCheckpoint()
     )
     l2 = F.expr(

