@@ -126,9 +126,19 @@ def pagerank(
     from/node), then sum per target (shuffle on to). Dangling mass
     (nodes with no out-edges — every 'part' in the bipartite graph)
     is redistributed uniformly so total rank stays 1. Returns
-    (node, rank). Deterministic up to float summation order (the
-    pytest oracle replays the same algorithm in pure python and
-    compares to 1e-9)."""
+    (node, rank).
+
+    FULLY deterministic doubles: the per-target contribution sum and
+    the dangling sum are KEY-SORTED folds (collect_list → array_sort →
+    ordered aggregate), not ``F.sum``, so the result is independent of
+    partition order and the DuckDB oracle reproduces every rank
+    bitwise. The pytest replay additionally checks the same algorithm
+    in pure python to 1e-9. At a scale where gate-exactness is not
+    needed, plain ``F.sum`` is the drop-in replacement (associative
+    shuffle-side partial aggregation, no per-key list) — the sorted
+    fold costs per-key list memory proportional to in-degree, which is
+    the price of a bitwise cross-engine gate on an iterative float
+    algorithm."""
     # materialize the loop-invariant relations once, and break lineage
     # every iteration (localCheckpoint) — otherwise iteration k re-runs
     # iterations 1..k-1 and the job is O(k²) in shuffles. (The edges
@@ -155,7 +165,17 @@ def pagerank(
         # the ranks per iteration.
         dangling = (
             with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+            .select(
+                F.struct(
+                    F.col("node").alias("k"), F.col("rank").alias("v")
+                ).alias("kv")
+            )
+            .agg(
+                F.expr(
+                    "coalesce(aggregate(array_sort(collect_list(kv)), 0D, "
+                    "(acc, x) -> acc + x.v), 0D)"
+                ).alias("_dangling")
+            )
         )
         contribs = (
             edges.join(
@@ -164,10 +184,18 @@ def pagerank(
             )
             .select(
                 F.col("to_paper").alias("node"),
-                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+                F.struct(
+                    F.col("from_paper").alias("k"),
+                    (F.col("rank") / F.col("out_deg")).alias("v"),
+                ).alias("kv"),
             )
             .groupBy("node")
-            .agg(F.sum("contrib").alias("in_rank"))
+            .agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list(kv)), 0D, "
+                    "(acc, x) -> acc + x.v)"
+                ).alias("in_rank")
+            )
         )
         # same association order as the python replay oracle:
         # (1-d)/n + (d * dangling) / n, then + d * in_rank
@@ -239,14 +267,64 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     return labels
 
 
+def _components_oracle(iters: int = 20) -> str:
+    """Iteration-unrolled DuckDB mirror of :func:`connected_components`:
+    ``iters`` chained CTE stages, each computing exactly one Spark
+    iteration (``least(component, coalesce(min(neighbor component),
+    component))``).
+
+    Unrolling — not a recursive CTE — because (a) standard SQL forbids
+    the per-iteration MIN aggregate in a recursive term and (b) the
+    pair-closure alternative materializes O(|component|²) rows, which
+    explodes on this graph's giant component. Min-label propagation is
+    monotone and idempotent at fixpoint, so running all ``iters``
+    stages equals Spark's early-stopped result whenever Spark
+    converges within its own ``max_iterations`` (both default 20; if
+    neither converges the per-iteration mirror still matches).
+    ``MATERIALIZED`` pins each stage — l{k} is referenced twice by
+    l{k+1}, and inlining would blow up exponentially."""
+    stages = []
+    for k in range(1, iters + 1):
+        stages.append(f"""
+l{k} AS MATERIALIZED (
+  SELECT p.node,
+         LEAST(p.component, COALESCE(MIN(q.component), p.component)) AS component
+  FROM l{k - 1} p
+  LEFT JOIN und e ON e.a = p.node
+  LEFT JOIN l{k - 1} q ON q.node = e.b
+  GROUP BY p.node, p.component
+)""")
+    return (
+        _EDGES_CTE
+        + """,
+und AS MATERIALIZED (
+  SELECT from_paper AS a, to_paper AS b FROM edges
+  UNION
+  SELECT to_paper, from_paper FROM edges
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS component FROM und),"""
+        + ",".join(stages)
+        + f"""
+SELECT component, COUNT(*) AS n_nodes
+FROM l{iters}
+GROUP BY component
+ORDER BY n_nodes DESC, component ASC
+LIMIT 20
+"""
+    )
+
+
 @register(
     "citation_components",
-    tags=("graph", "components", "iterative", "rows-only"),
+    oracle=_components_oracle(20),
+    tags=("graph", "components", "iterative"),
 )
 def citation_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component sizes of the bipartite citation graph
-    (top-20 components). Rows-only (iterative); pytest replays with a
-    union-find oracle."""
+    (top-20 components). The DuckDB oracle unrolls the same min-label
+    propagation (see ``_components_oracle``) so the driver gate is a
+    hard hash match; pytest additionally replays with a union-find
+    oracle."""
     labels = connected_components(_edges(spark, sf_dir))
     return (
         labels.groupBy("component")
@@ -256,13 +334,79 @@ def citation_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iters: int = 6) -> str:
+    """Iteration-unrolled DuckDB mirror of :func:`pagerank`.
+
+    Bitwise parity is engineered op by op: every sum is the same
+    key-sorted left fold the Spark side runs (DuckDB ``list_reduce``
+    seeds with the first element, Spark's ``aggregate`` with 0D —
+    ``0 + x ≡ x`` in IEEE double); the rank update keeps Spark's exact
+    parenthesization ``(base + d·dangling/n) + d·in_rank`` with the
+    damping literal cast to DOUBLE (a bare 0.85 would be DECIMAL in
+    DuckDB); struct sort keys are the distinct source-node ids, so the
+    fold order is total on both engines."""
+    d = "CAST(0.85 AS DOUBLE)"
+    stages = []
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        stages.append(f"""
+d{k} AS MATERIALIZED (
+  SELECT COALESCE(list_reduce(list_transform(
+           list_sort(list(struct_pack(k := r.node, v := r.rank))),
+           s -> s.v), (a, b) -> a + b), CAST(0 AS DOUBLE)) AS dangling
+  FROM {p} r LEFT JOIN outd o ON r.node = o.node
+  WHERE o.node IS NULL
+),
+c{k} AS MATERIALIZED (
+  SELECT e.to_paper AS node,
+         list_reduce(list_transform(
+           list_sort(list(struct_pack(k := e.from_paper, v := r.rank / o.out_deg))),
+           s -> s.v), (a, b) -> a + b) AS in_rank
+  FROM edges e
+  JOIN {p} r ON e.from_paper = r.node
+  JOIN outd o ON e.from_paper = o.node
+  GROUP BY e.to_paper
+),
+r{k} AS MATERIALIZED (
+  SELECT nd.node,
+         ((1 - {d}) / (SELECT n FROM nn)
+          + ({d} * (SELECT dangling FROM d{k})) / (SELECT n FROM nn))
+         + {d} * COALESCE(c.in_rank, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes nd LEFT JOIN c{k} c ON nd.node = c.node
+)""")
+    return (
+        _EDGES_CTE
+        + """,
+nodes AS MATERIALIZED (
+  SELECT from_paper AS node FROM edges UNION SELECT to_paper FROM edges
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outd AS MATERIALIZED (
+  SELECT from_paper AS node, COUNT(*) AS out_deg FROM edges GROUP BY from_paper
+),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+),"""
+        + ",".join(stages)
+        + f"""
+SELECT node, rank FROM r{iters}
+ORDER BY rank DESC, node ASC
+LIMIT 20
+"""
+    )
+
+
 @register(
     "citation_pagerank",
-    tags=("graph", "citation", "pagerank", "iterative", "rows-only"),
+    oracle=_pagerank_oracle(6),
+    tags=("graph", "citation", "pagerank", "iterative"),
 )
 def citation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 papers by PageRank on the bipartite citation graph
-    (6 iterations). Rows-only for the driver (iterative, not SQL);
-    the pytest oracle replays the identical algorithm in python."""
+    (6 iterations). The DuckDB oracle unrolls the same 6 iterations
+    with identical fold orders and update parenthesization (see
+    ``_pagerank_oracle``), making the driver gate a hard hash match on
+    the rank doubles; the pytest oracle additionally replays the
+    algorithm in pure python."""
     ranks = pagerank(_edges(spark, sf_dir), iterations=6)
     return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)

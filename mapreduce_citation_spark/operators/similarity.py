@@ -405,9 +405,20 @@ def knn_brute_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _centroids(e: DataFrame) -> DataFrame:
     """Per-label mean vectors, L2-normalized — the coarse quantizer.
     (A production IVF trains k-means; the per-label mean is the same
-    shape with a deterministic 'training' step.)"""
+    shape with a deterministic 'training' step.)
+
+    The per-component mean sums via a VALUE-SORTED fold instead of
+    ``F.avg`` so the double is independent of partition order — the
+    ``embedding_label_stats`` determinism pattern — which is what lets
+    the DuckDB oracle reproduce every centroid (and therefore every
+    assignment and cosine downstream) bitwise."""
     ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
-    comp = ex.groupBy("label", "pos").agg(F.avg(F.col("x").cast("double")).alias("m"))
+    comp = ex.groupBy("label", "pos").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(CAST(x AS DOUBLE))), 0D, "
+            "(a, b) -> a + b) / count(1)"
+        ).alias("m")
+    )
     cent = (
         comp.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
@@ -424,17 +435,79 @@ def _centroids(e: DataFrame) -> DataFrame:
 
 @register(
     "knn_ivf_ann",
-    tags=("similarity", "knn", "ivf", "rows-only"),
+    oracle="""
+WITH c0 AS (
+  SELECT label, j.pos,
+         list_reduce(list_sort(list(CAST(embedding[j.pos] AS DOUBLE))),
+                     (a, b) -> a + b) / COUNT(*) AS m
+  FROM embeddings, generate_series(1, 64) AS j(pos)
+  GROUP BY label, j.pos
+),
+c1 AS (
+  SELECT label AS cent_id, list(m ORDER BY pos) AS cvec0 FROM c0 GROUP BY label
+),
+cent AS (
+  SELECT cent_id,
+         list_transform(cvec0, x -> x / sqrt(list_reduce(
+             list_transform(cvec0, y -> y * y), (a, b) -> a + b))) AS cvec
+  FROM c1
+),
+n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+  FROM embeddings
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id ASC) AS crank
+  FROM (
+    SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+           list_reduce(list_transform(generate_series(1, 64),
+                i -> CAST(n.embedding[i] AS DOUBLE) * c.cvec[i]),
+                (a, b) -> a + b) / n.nrm AS csim
+    FROM n, cent c
+  )
+),
+corpus AS (
+  SELECT cent_id, vec_id AS neighbor_id, embedding AS n_emb, nrm AS n_nrm
+  FROM ranked WHERE crank = 1
+),
+probes AS (
+  SELECT cent_id, vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+  FROM ranked WHERE vec_id < 10 AND crank <= 2
+),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_transform(generate_series(1, 64),
+              i -> CAST(q_emb[i] AS DOUBLE) * CAST(n_emb[i] AS DOUBLE)),
+              (a, b) -> a + b) / (q_nrm * n_nrm) AS cosine
+  FROM probes JOIN corpus USING (cent_id)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM pairs
+)
+WHERE rank <= 5
+""",
+    tags=("similarity", "knn", "ivf"),
 )
 def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest
     coarse centroid (inverted lists); each query probes its top-2
     centroids and exact-scores only those lists — at scale the probe
     touches ~nprobe/k of the corpus instead of all of it. Centroids
-    broadcast; the inverted-list join is keyed on cent_id. Rows-only
-    for the driver (the assignment is not reasonably SQL-expressible);
-    pytest replays the exact same algorithm in numpy and asserts set
-    equality, plus recall vs the brute-force baseline."""
+    broadcast; the inverted-list join is keyed on cent_id.
+
+    The DuckDB oracle replays the full pipeline exactly: centroid
+    means are value-sorted folds (see ``_centroids``), every dot/norm
+    is the same ordered left fold in double, and the nearest-centroid
+    assignment is the same (csim desc, cent_id asc) row_number — so
+    the driver gate is a hard hash match. The numpy replay pytest
+    (set equality + recall floor vs brute force) is retained."""
     e = _emb(spark, sf_dir)
     # centroid table is tiny (one row per label): materialize so the
     # assignment crossJoin doesn't re-run the posexplode aggregation
