@@ -1,14 +1,17 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata,
 with decode/feature-extraction as Arrow-batched pandas stages.
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake behind ``decode_stub`` (clearly marked; swap in
-PIL/librosa on a real cluster). Everything Spark-side is real and
-tested: the binary column representation, the metadata struct schema,
-the ``mapInPandas`` batch iterator signature, and the partition-
-preserving pipeline shape — which is what has to be right at 100 TB
-(payload bytes never shuffle; features are computed in place and only
-the small feature columns move).
+The decode step is REAL: a pure-python BMP (24-bit uncompressed) and
+WAV (8-bit PCM RIFF) codec — formats whose containers need no
+PIL/ffmpeg. ``build_media_assets`` derives valid media files
+deterministically from the documents fixture (text bytes become pixel
+rows / PCM samples), ``extract_media_features`` parses the binary
+headers back with ``struct`` and computes real pixel/sample
+statistics, and the DuckDB oracle recomputes the expected features
+from the construction definition — an independent check of the full
+encode→decode loop. The Spark-side shape is what has to be right at
+100 TB: payload bytes never shuffle; features are computed in place
+via ``mapInPandas`` and only the small feature columns move.
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -42,19 +46,6 @@ ASSET_SCHEMA = StructType(
     ]
 )
 
-#: Output schema of the fake feature extractor.
-FEATURE_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("mime", StringType()),
-        StructField("width", IntegerType()),
-        StructField("height", IntegerType()),
-        StructField("n_channels", IntegerType()),
-        StructField("n_bytes", LongType()),
-    ]
-)
-
-
 def ingest_assets(docs: DataFrame) -> DataFrame:
     """documents → multimodal asset table: the text payload stands in
     for opaque media bytes (binary column + metadata), exactly the
@@ -70,58 +61,167 @@ def ingest_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_stub(payload: bytes, mime: str) -> dict:
-    """STUB decode — the real implementation needs PIL/ffmpeg (absent
-    in this container). Deterministic fake: dimensions derived from
-    the payload's first bytes so tests are stable. Raises for unknown
-    mime types the way a real decoder would."""
-    if mime not in ("image/png", "audio/wav"):
-        raise NotImplementedError(f"no decoder for mime {mime!r}")
-    b0 = payload[0] if payload else 0
-    b1 = payload[1] if len(payload) > 1 else 0
-    return {
-        "width": 64 + (b0 % 64),
-        "height": 64 + (b1 % 64),
-        "n_channels": 3 if mime == "image/png" else 1,
-    }
+def make_media_codec():
+    """Pure-python media codec: returns ``(build, decode)``.
+
+    - ``build(doc_id, text) -> (mime, payload)`` encodes the text
+      bytes into a VALID container: even doc_ids become 24-bit
+      uncompressed BMP images (text bytes cycled through the pixel
+      array, rows padded to the 4-byte BMP boundary), odd doc_ids
+      become 8-bit PCM RIFF/WAVE files (text bytes as samples,
+      truncated to a whole number of frames).
+    - ``decode(payload) -> dict`` is a REAL decoder: it parses the
+      BMP/RIFF binary headers with ``struct`` (magic, chunk walk,
+      dimensions, bpp, sample format) and computes features from the
+      actual pixel/sample bytes — mean pixel value for images, mean
+      absolute amplitude for audio. It never sees the construction
+      parameters; any header corruption raises like a real codec.
+
+    Defined NESTED (returned from a factory) so cloudpickle captures
+    both functions BY VALUE inside mapInPandas closures — Spark's
+    python workers don't necessarily have this package importable
+    (the driver harness hands us its own session). Feature doubles
+    stay exact across engines: the sums are integer-valued (byte
+    codes), exact in IEEE double, so summation order can't matter.
+
+    Construction (mirrored by the ``multimodal_decode_features``
+    oracle): image w = 8 + doc_id % 8, h = 8 + len(text) % 8; audio
+    channels = 1 + (doc_id // 2) % 2, rate = 8000 + 500·(doc_id % 8).
+    N/A fields are 0, not NULL, to keep integer columns integer on
+    both sides of the driver's hash compare."""
+    import struct
+
+    def build(doc_id: int, text: str):
+        b = text.encode("utf-8")
+        L = len(b)
+        if doc_id % 2 == 0:  # 24-bit BMP
+            w = 8 + doc_id % 8
+            h = 8 + L % 8
+            stride = ((w * 3 + 3) // 4) * 4
+            rows = bytearray()
+            j = 0
+            for _r in range(h):
+                for _c in range(w * 3):
+                    rows.append(b[j % L])
+                    j += 1
+                rows.extend(b"\x00" * (stride - w * 3))
+            file_size = 14 + 40 + stride * h
+            hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+            )
+            return "image/bmp", bytes(hdr + info + rows)
+        c = 1 + (doc_id // 2) % 2  # 8-bit PCM WAV
+        rate = 8000 + 500 * (doc_id % 8)
+        nd = L - (L % c)
+        data = b[:nd]
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + nd, b"WAVE", b"fmt ", 16, 1, c, rate,
+            rate * c, c, 8, b"data", nd,
+        )
+        return "audio/wav", hdr + data
+
+    def decode(payload: bytes) -> dict:
+        if payload[:2] == b"BM":
+            offset = struct.unpack_from("<I", payload, 10)[0]
+            w = struct.unpack_from("<i", payload, 18)[0]
+            h = abs(struct.unpack_from("<i", payload, 22)[0])
+            bpp = struct.unpack_from("<H", payload, 28)[0]
+            ch = bpp // 8
+            stride = ((w * ch + 3) // 4) * 4
+            total = 0
+            for r in range(h):
+                total += sum(payload[offset + r * stride : offset + r * stride + w * ch])
+            return {
+                "mime": "image/bmp", "width": w, "height": h, "n_channels": ch,
+                "sample_rate": 0, "n_samples": 0, "n_bytes": len(payload),
+                "mean_value": total / (w * h * ch),
+            }
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                sz = struct.unpack_from("<I", payload, pos + 4)[0]
+                if cid == b"fmt ":
+                    fmt = payload[pos + 8 : pos + 8 + sz]
+                elif cid == b"data":
+                    data = payload[pos + 8 : pos + 8 + sz]
+                pos += 8 + sz + (sz % 2)
+            if fmt is None or data is None:
+                raise ValueError("RIFF/WAVE missing fmt or data chunk")
+            audio_fmt, ch, rate = struct.unpack_from("<HHI", fmt, 0)
+            bits = struct.unpack_from("<H", fmt, 14)[0]
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV format {audio_fmt}")
+            n_samples = len(data) // (ch * (bits // 8))
+            total = sum(abs(x - 128) for x in data)
+            return {
+                "mime": "audio/wav", "width": 0, "height": 0, "n_channels": ch,
+                "sample_rate": rate, "n_samples": n_samples,
+                "n_bytes": len(payload), "mean_value": total / len(data),
+            }
+        raise ValueError(f"unknown media container (magic {payload[:4]!r})")
+
+    return build, decode
 
 
-def extract_features(assets: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction via mapInPandas: the decode
-    runs per-partition on pandas batches (payload bytes stay where
-    they are; no shuffle), emitting only the small feature columns.
+#: Per-asset output schema of the real decoder.
+MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_value", DoubleType()),
+    ]
+)
 
-    The batch closure must be SELF-CONTAINED: cloudpickle serializes
-    references to module-level names of this package by import path,
-    and Spark's python workers don't necessarily have the package on
-    their sys.path (the driver harness hands us its own session). So
-    the decode logic and column list are captured by value here —
-    ``decode_stub`` above stays the documented/testable reference
-    implementation of the same logic."""
-    out_cols = [f.name for f in FEATURE_SCHEMA.fields]
+
+def build_media_assets(docs: DataFrame) -> DataFrame:
+    """documents → REAL media files: each doc's text becomes a valid
+    BMP or WAV payload (see ``make_media_codec``). Arrow-batched;
+    payloads are born in place and never shuffle."""
+    build, _decode = make_media_codec()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def decode(payload: bytes, mime: str) -> dict:
-            # keep in sync with decode_stub (by-value copy — see above)
-            if mime not in ("image/png", "audio/wav"):
-                raise NotImplementedError(f"no decoder for mime {mime!r}")
-            b0 = payload[0] if payload else 0
-            b1 = payload[1] if len(payload) > 1 else 0
-            return {
-                "width": 64 + (b0 % 64),
-                "height": 64 + (b1 % 64),
-                "n_channels": 3 if mime == "image/png" else 1,
-            }
+        import hashlib
 
         for pdf in it:
-            feats = [decode(p, m) for p, m in zip(pdf["payload"], pdf["mime"])]
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                mime, payload = build(int(doc_id), text)
+                rows.append(
+                    (doc_id, mime, payload, len(payload),
+                     hashlib.md5(payload).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mime", "payload", "n_bytes", "checksum"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(batches, ASSET_SCHEMA)
+
+
+def extract_media_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode via mapInPandas: parses each payload's
+    binary container headers and computes pixel/sample statistics
+    per-partition (payload bytes stay where they are; no shuffle),
+    emitting only the small feature columns."""
+    _build, decode = make_media_codec()
+    out_cols = [f.name for f in MEDIA_FEATURE_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
-            out.insert(1, "mime", pdf["mime"].values)
-            out["n_bytes"] = pdf["n_bytes"].values
             yield out[out_cols]
 
-    return assets.mapInPandas(batches, FEATURE_SCHEMA)
+    return assets.mapInPandas(batches, MEDIA_FEATURE_SCHEMA)
 
 
 #: Output schema of the frame sampler (one row per sampled frame).
@@ -226,17 +326,52 @@ def multimodal_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    tags=("multimodal", "pandas-udf", "rows-only"),
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS L,
+         8 + CAST(doc_id % 8 AS INT) AS w,
+         8 + CAST(length(text) % 8 AS INT) AS h,
+         CAST(1 + (doc_id // 2) % 2 AS INT) AS c,
+         8000 + 500 * CAST(doc_id % 8 AS INT) AS sr
+  FROM documents
+),
+img AS (
+  SELECT doc_id, 'image/bmp' AS mime,
+         w AS width, h AS height, CAST(3 AS INT) AS n_channels,
+         CAST(0 AS INT) AS sample_rate, CAST(0 AS BIGINT) AS n_samples,
+         CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+         CAST((SELECT SUM(ascii(substr(b.text, CAST(j % b.L AS INT) + 1, 1)))
+               FROM unnest(range(0, CAST(b.w * b.h * 3 AS BIGINT))) AS t(j))
+              AS DOUBLE) / (w * h * 3) AS mean_value
+  FROM base b WHERE doc_id % 2 = 0
+),
+wav AS (
+  SELECT doc_id, 'audio/wav' AS mime,
+         CAST(0 AS INT) AS width, CAST(0 AS INT) AS height, c AS n_channels,
+         CAST(sr AS INT) AS sample_rate,
+         CAST((L - L % c) // c AS BIGINT) AS n_samples,
+         CAST(44 + (L - L % c) AS BIGINT) AS n_bytes,
+         CAST((SELECT SUM(ABS(ascii(substr(b.text, CAST(j AS INT) + 1, 1)) - 128))
+               FROM unnest(range(0, CAST(b.L - b.L % b.c AS BIGINT))) AS t(j))
+              AS DOUBLE) / (L - L % c) AS mean_value
+  FROM base b WHERE doc_id % 2 = 1
+)
+SELECT * FROM img UNION ALL SELECT * FROM wav
+""",
+    tags=("multimodal", "pandas-udf", "codec"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + featurize via the mapInPandas pipeline (stubbed codec,
-    real plumbing). Rows-only for the driver: the fake decode is not
-    SQL; per-batch shape and determinism are pinned in pytest."""
-    assets = ingest_assets(load_table(spark, sf_dir, "documents"))
-    feats = extract_features(assets)
-    return feats.groupBy("mime", "n_channels").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("width").cast("long")).alias("sum_width"),
-        F.sum(F.col("height").cast("long")).alias("sum_height"),
-        F.sum("n_bytes").alias("total_bytes"),
-    )
+    """REAL encode→decode loop: documents become valid BMP/WAV files
+    (``build_media_assets``), a pure-python codec parses the binary
+    headers back and computes pixel/sample statistics
+    (``extract_media_features``), one feature row per asset.
+
+    The DuckDB oracle recomputes the expected features from the
+    construction definition (dimensions from doc_id/length, mean pixel
+    value = mean over the cycled text bytes, mean amplitude =
+    mean |code − 128|) — so a header-layout bug, stride mistake, or
+    off-by-one in either the encoder or the decoder breaks the hash.
+    Feature doubles are integer-valued sums divided by counts: exact
+    in IEEE double on both engines, no order sensitivity."""
+    assets = build_media_assets(load_table(spark, sf_dir, "documents"))
+    return extract_media_features(assets)
