@@ -52,7 +52,7 @@ def ingest_assets(docs: DataFrame) -> DataFrame:
     representation a real image/audio ingest would produce."""
     return docs.select(
         "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, "image/png")
+        F.when(F.col("doc_id") % 2 == 0, "image/bmp")
         .otherwise("audio/wav")
         .alias("mime"),
         F.encode("text", "UTF-8").alias("payload"),
@@ -94,6 +94,16 @@ def make_media_codec():
     def build(doc_id: int, text: str):
         b = text.encode("utf-8")
         L = len(b)
+        # The decode-features oracle measures text with DuckDB char
+        # semantics (length/substr/ascii); those equal byte semantics
+        # only for non-empty ASCII. Fail loudly on a fixture change
+        # rather than silently diverging (empty text would also
+        # ZeroDivide in the pixel cycle below).
+        if L == 0 or not text.isascii():
+            raise ValueError(
+                f"doc {doc_id}: media build requires non-empty ASCII text "
+                f"(len={L}, ascii={text.isascii()})"
+            )
         if doc_id % 2 == 0:  # 24-bit BMP
             w = 8 + doc_id % 8
             h = 8 + L % 8
@@ -304,7 +314,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_ingest_stats",
     oracle="""
-SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
        COUNT(*) AS n_assets,
        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT md5(text)) AS n_distinct_payloads

@@ -275,29 +275,43 @@ def test_multimodal_roundtrip_payload_is_faithful(spark, sf_dir):
     assert back.filter(F.col("text") != F.col("text2")).count() == 0
 
 
-def test_decode_stub_raises_on_unknown_mime():
-    from mapreduce_citation_spark.operators.multimodal import decode_stub
+def test_media_codec_rejects_unknown_container_and_bad_text():
+    from mapreduce_citation_spark.operators.multimodal import make_media_codec
 
-    with pytest.raises(NotImplementedError):
-        decode_stub(b"xx", "video/mp4")
+    build, decode = make_media_codec()
+    with pytest.raises(ValueError):
+        decode(b"\x89PNGxxxxxxxxxxxx")  # unknown magic, like a real codec
+    with pytest.raises(ValueError):
+        build(0, "")  # empty text: oracle byte/char parity precondition
+    with pytest.raises(ValueError):
+        build(0, "café")  # non-ASCII text: same precondition
 
 
-def test_feature_extraction_schema_and_determinism(spark, sf_dir):
+def test_media_feature_schema_and_determinism(spark, sf_dir):
     from mapreduce_citation_spark.operators.multimodal import (
-        extract_features,
-        ingest_assets,
+        MEDIA_FEATURE_SCHEMA,
+        build_media_assets,
+        extract_media_features,
     )
     from mapreduce_citation_spark.sources.readers import load_table
 
-    assets = ingest_assets(load_table(spark, sf_dir, "documents").limit(50))
-    f1 = extract_features(assets)
+    assets = build_media_assets(
+        load_table(spark, sf_dir, "documents").limit(50)
+    )
+    f1 = extract_media_features(assets)
     assert [f.name for f in f1.schema.fields] == [
-        "doc_id", "mime", "width", "height", "n_channels", "n_bytes",
+        f.name for f in MEDIA_FEATURE_SCHEMA.fields
     ]
     rows1 = sorted(map(tuple, f1.collect()))
-    rows2 = sorted(map(tuple, extract_features(assets).collect()))
+    rows2 = sorted(map(tuple, extract_media_features(assets).collect()))
     assert rows1 == rows2
-    assert all(64 <= r[2] < 128 for r in rows1)  # width in the stub's range
+    # Construction rule: images are w = 8 + doc_id % 8 (so 8..15),
+    # audio rows carry width 0.
+    for r in f1.collect():
+        if r["mime"] == "image/bmp":
+            assert r["width"] == 8 + r["doc_id"] % 8
+        else:
+            assert r["width"] == 0
 
 
 def test_multimodal_features_channels_by_mime(spark, sf_dir):
@@ -306,8 +320,16 @@ def test_multimodal_features_channels_by_mime(spark, sf_dir):
     )
 
     rows = multimodal_decode_features(spark, sf_dir).collect()
-    chan = {r["mime"]: r["n_channels"] for r in rows}
-    assert chan == {"image/png": 3, "audio/wav": 1}
+    assert rows
+    for r in rows:
+        if r["mime"] == "image/bmp":
+            assert r["doc_id"] % 2 == 0
+            assert r["n_channels"] == 3  # 24-bit BMP
+        else:
+            assert r["mime"] == "audio/wav"
+            assert r["doc_id"] % 2 == 1
+            # channels = 1 + (doc_id // 2) % 2 from the construction
+            assert r["n_channels"] == 1 + (r["doc_id"] // 2) % 2
 
 
 def test_dedup_clusters_are_transitive_components(spark, sf_dir):
