@@ -242,6 +242,15 @@ def lsh_band_keys_pandas(
             acc = np.zeros((smat.shape[0], emb.shape[0]))
             for i in range(dim):  # ordered left fold, vectorized across rows
                 acc += smat[:, i : i + 1] * emb[:, i]
+            # np.where maps a NaN accumulator to bit '0', but the SQL
+            # folds this claims parity with evaluate NaN >= 0 as TRUE
+            # on both Spark and DuckDB — fail loudly rather than let a
+            # NaN embedding silently break the pinned equivalence.
+            if not np.isfinite(acc).all():
+                raise ValueError(
+                    "lsh_band_keys_pandas: non-finite dot-product "
+                    "accumulator (NaN/Inf embedding component?)"
+                )
             bits = np.where(acc >= 0.0, "1", "0")  # (planes, n)
             vec = pdf["vec_id"].to_numpy()
             band_keys = []

@@ -243,7 +243,7 @@ WITH pv AS (
 )
 SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
 FROM pv, (SELECT SUM(value) AS total FROM pv) t
-WHERE value > total * 0.0007
+WHERE value > CAST(total AS DECIMAL(30,4)) * CAST(0.0007 AS DECIMAL(5,4))
 """,
     tags=("aggregate", "scalar-subquery", "tpch"),
 )
@@ -263,11 +263,18 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = pv.agg(F.sum("value").alias("total"))
     return (
         pv.crossJoin(F.broadcast(total))
-        # threshold literal cast to DECIMAL(5,4) so the comparison runs
-        # in exact decimal on BOTH engines (a bare Python 0.0007 would
-        # coerce Spark's side to double while DuckDB stays decimal —
-        # a one-ulp divergence risk at the threshold boundary)
-        .filter(F.expr("value > total * CAST(0.0007 AS DECIMAL(5,4))"))
+        # total (DECIMAL(37,4)) * DECIMAL(5,4) would need precision 43
+        # > 38, so Spark's allowPrecisionLoss would round the threshold
+        # HALF_UP to scale 6 while DuckDB keeps the exact scale-8 value
+        # — a value within ~5e-7 of the boundary would classify
+        # differently. Bounding total to DECIMAL(30,4) first keeps the
+        # product at DECIMAL(36,8): exact on BOTH engines (the oracle
+        # mirrors the cast).
+        .filter(
+            F.expr(
+                "value > CAST(total AS DECIMAL(30,4)) * CAST(0.0007 AS DECIMAL(5,4))"
+            )
+        )
         .select("l_partkey", F.col("value").cast("double").alias("part_value"))
     )
 

@@ -68,7 +68,12 @@ def audit_broadcast_hints() -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "mapreduce_citation_spark",
     )
-    pat = re.compile(r"F\.broadcast\(\s*(\w+)")
+    # AST walk (not a line regex): catches hints split across lines
+    # and keys compound arguments by their full source text, so
+    # F.broadcast(x.select(...)) can't hide behind an allowlisted
+    # bare name `x`.
+    import ast
+
     bad = 0
     seen = set()
     for root, _dirs, files in os.walk(pkg):
@@ -77,14 +82,28 @@ def audit_broadcast_hints() -> int:
                 continue
             path = os.path.join(root, fn)
             with open(path) as fh:
-                for ln, line in enumerate(fh, 1):
-                    for m in pat.finditer(line):
-                        key = (fn, m.group(1))
-                        seen.add(key)
-                        if key not in BROADCAST_ALLOWLIST:
-                            print(f"FLAG  broadcast hint not allowlisted: "
-                                  f"{fn}:{ln} F.broadcast({m.group(1)})")
-                            bad += 1
+                src = fh.read()
+            for node in ast.walk(ast.parse(src, filename=path)):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "F"
+                    and node.args
+                ):
+                    continue
+                arg = node.args[0]
+                if isinstance(arg, ast.Name):
+                    argkey = arg.id
+                else:
+                    argkey = ast.get_source_segment(src, arg) or "<complex>"
+                key = (fn, argkey)
+                seen.add(key)
+                if key not in BROADCAST_ALLOWLIST:
+                    print(f"FLAG  broadcast hint not allowlisted: "
+                          f"{fn}:{node.lineno} F.broadcast({argkey})")
+                    bad += 1
     stale = set(BROADCAST_ALLOWLIST) - seen
     for key in sorted(stale):
         print(f"NOTE  stale allowlist entry (no longer in source): {key}")
