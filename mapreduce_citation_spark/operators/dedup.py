@@ -619,3 +619,214 @@ def dedup_semantic_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("lexical_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (suffix-array family)
+# ---------------------------------------------------------------------------
+#
+# BigCode / "Deduplicating Training Data Makes Language Models Better"
+# (Lee et al., 2022) deduplicate by finding EXACT repeated character
+# spans of length >= k across the corpus, via a suffix array over the
+# concatenated text. A suffix array is inherently single-machine; the
+# distributed equivalent used here exploits the classic identity:
+#
+#   two documents share an exact substring of length >= k
+#   <=>  they share at least one character k-gram (stride 1).
+#
+# So: explode every char offset into its k-gram digest (map-side,
+# O(total chars) rows, nothing wider than a 32-char md5 moves), count
+# digest frequency (one shuffle, map-side combinable), and either
+#   - pair up documents through the shared-digest equi-join
+#     (dedup_exact_substring_pairs), or
+#   - merge each doc's duplicated offsets into maximal spans with a
+#     gaps-and-islands window (dedup_substring_spans) — the
+#     "mark repeated byte ranges" step of the BigCode pipeline.
+#
+# Scale guards: a boilerplate k-gram appearing in thousands of docs
+# would explode the pair join quadratically, so the pairs query caps
+# digest document-frequency at _ES_MAXDF (mirrored in the oracle —
+# semantics identical on both engines); the span query needs no cap
+# because it never forms pairs — per-doc work is linear in |text|.
+
+_ESK = 40       # char-gram length == minimum duplicated-span length
+_ES_MAXDF = 1000  # pairs-query boilerplate guard (df cap per digest)
+
+
+def _char_grams(d: DataFrame, k: int = _ESK) -> DataFrame:
+    """(doc_id, i, dg): md5 digest of the k-char gram at every char
+    offset i (1-based). Purely map-side — explode + substring + md5
+    all stay in one WholeStageCodegen span; only (id, int, digest)
+    rows reach any shuffle."""
+    return (
+        d.where(F.length("text") >= k)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.expr(f"sequence(1, length(text) - {k} + 1)")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.expr(f"substring(text, i, {k})").cast("binary")).alias("dg"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_substring_pairs",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {_ESK} + 1)) AS i
+  FROM documents WHERE length(text) >= {_ESK}
+),
+g AS (
+  SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), {_ESK})) AS dg
+  FROM pos
+),
+eligible AS (
+  SELECT dg FROM g GROUP BY dg HAVING count(*) BETWEEN 2 AND {_ES_MAXDF}
+),
+gg AS (SELECT g.doc_id, g.dg FROM g JOIN eligible USING (dg))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM gg a JOIN gg b ON a.dg = b.dg AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+""",
+    tags=("dedup", "substring", "suffix-array"),
+)
+def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing an exact substring of length >= 40
+    chars, with the count of distinct shared 40-grams as evidence.
+
+    Plan: gram digests (map-side) -> distinct per doc -> digest
+    document-frequency (one map-side-combinable shuffle) -> keep
+    2 <= df <= 1000 (the upper cap is the boilerplate guard that keeps
+    the pair join linear in true near-dup mass at 100 TB; the oracle
+    applies the identical cap) -> equi-self-join on digest -> pair
+    count. Candidate-bounded: pairs materialize only for digests that
+    actually repeat."""
+    return exact_substring_pairs(_docs(spark, sf_dir))
+
+
+def exact_substring_pairs(d: DataFrame, k: int = _ESK) -> DataFrame:
+    """Core of ``dedup_exact_substring_pairs`` on an explicit
+    (doc_id, text) DataFrame — unit tests plant known spans here."""
+    g = _char_grams(d, k).select("doc_id", "dg").distinct()
+    eligible = (
+        g.groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= _ES_MAXDF))
+        .select("dg")
+    )
+    # eligible is data-dependent: no broadcast hint, AQE decides.
+    gg = g.join(eligible, "dg")
+    a = gg.select(F.col("doc_id").alias("doc_a"), "dg")
+    b = gg.select(F.col("doc_id").alias("doc_b"), "dg")
+    return (
+        a.join(b, "dg")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {_ESK} + 1)) AS i
+  FROM documents WHERE length(text) >= {_ESK}
+),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         md5(substr(text, CAST(i AS INT), {_ESK})) AS dg
+  FROM pos
+),
+dup_dg AS (SELECT dg FROM g GROUP BY dg HAVING count(*) >= 2),
+dup AS (SELECT g.doc_id, g.i FROM g JOIN dup_dg USING (dg)),
+marked AS (
+  SELECT doc_id, i,
+         CASE WHEN lag(i) OVER w IS NULL
+                   OR i - lag(i) OVER w > {_ESK} THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+spanned AS (
+  SELECT doc_id, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, span_id, MIN(i) AS s, MAX(i) AS e
+  FROM spanned GROUP BY doc_id, span_id
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_spans,
+         CAST(SUM(e - s + {_ESK}) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+    tags=("dedup", "substring", "suffix-array", "spans"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span accounting — the BigCode
+    "mark repeated byte ranges" step: every char offset whose 40-gram
+    repeats ANYWHERE in the corpus (including within the same doc) is
+    duplicated; overlapping/adjacent duplicated windows merge into
+    maximal spans (gaps-and-islands: equal-length windows means a new
+    span starts exactly when the offset gap exceeds k).
+
+    Output per doc: number of maximal duplicated spans, characters
+    covered by them, and total chars — the inputs to a span-strip or
+    doc-drop policy. Shuffles: digest count (map-side combinable),
+    digest join-back, one doc_id window — all linear in corpus size;
+    no pair set is ever formed, so no df cap is needed."""
+    return substring_span_stats(_docs(spark, sf_dir))
+
+
+def substring_span_stats(d: DataFrame, k: int = _ESK) -> DataFrame:
+    """Core of ``dedup_substring_spans`` on an explicit
+    (doc_id, text) DataFrame — unit tests plant known spans here."""
+    from pyspark.sql import Window
+
+    g = _char_grams(d, k)
+    dup_dg = (
+        g.groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("dg")
+    )
+    dup = g.join(dup_dg, "dg").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(
+        F.lag("i").over(w).isNull() | (F.col("i") - F.lag("i").over(w) > k),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    spanned = dup.withColumn("brk", brk).withColumn(
+        "span_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = spanned.groupBy("doc_id", "span_id").agg(
+        F.min("i").alias("s"), F.max("i").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + k).cast("long").alias("dup_chars"),
+    )
+    return (
+        d.select("doc_id", F.length("text").cast("long").alias("len_chars"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            F.col("len_chars").alias("n_chars"),
+        )
+    )

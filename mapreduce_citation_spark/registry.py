@@ -76,13 +76,15 @@ _PRIORITY = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
+    # (dedup_simhash / knn_brute_cosine_pandas: beyond-window — their
+    # stronger siblings dedup_simhash_pairs / knn_brute_cosine stay.)
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    "dedup_exact_substring_pairs",
+    "dedup_substring_spans",
     # LLM-pipeline: similarity search.
     "knn_brute_cosine",
-    "knn_brute_cosine_pandas",
     "knn_lsh_ann",
     "knn_ivf_ann",
     "embedding_label_stats",

@@ -359,3 +359,81 @@ def test_dedup_clusters_are_transitive_components(spark, sf_dir):
         assert c == min(docs)
     keepers = [r["doc_id"] for r in rows if r["keep"]]
     assert sorted(keepers) == sorted(members.keys())
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (suffix-array family) dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_substring_pairs_on_planted_span(spark):
+    """Two docs sharing one exact 60-char span (otherwise disjoint
+    alphabets) must pair with n_shared == 60-40+1 == 21 distinct
+    40-grams; the unrelated doc must not appear."""
+    from mapreduce_citation_spark.operators.dedup import exact_substring_pairs
+
+    span = "the quick brown fox jumps over the lazy dog again and again"
+    assert len(span) == 59  # 59 - 40 + 1 == 20 shared 40-grams
+
+    def fill(stride: int, offset: int, n: int = 50) -> str:
+        # non-periodic over n (period 90/gcd(stride,90) > 50): no
+        # internal 40-gram repeats, and different strides share no
+        # long runs either
+        return "".join(chr(33 + (i * stride + offset) % 90) for i in range(n))
+
+    docs = spark.createDataFrame(
+        [
+            (1, fill(7, 0) + span + fill(11, 3)),
+            (2, fill(13, 5) + span + fill(17, 8)),
+            (3, fill(19, 11, 150)),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = exact_substring_pairs(docs).collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_shared"]) for r in rows] == [(1, 2, 20)]
+
+
+def test_substring_spans_merge_and_measure(spark):
+    """Span accounting on a hand-built corpus: doc 1 and 2 share one
+    60-char span -> each gets ONE maximal merged span of exactly 60
+    duplicated chars; doc 3 (all-unique text vs the others, but
+    self-repeating) is covered end-to-end by its own repeats."""
+    from mapreduce_citation_spark.operators.dedup import substring_span_stats
+
+    span = "the quick brown fox jumps over the lazy dog again and again"  # 59
+
+    def fill(stride: int, offset: int, n: int = 50) -> str:
+        return "".join(chr(33 + (i * stride + offset) % 90) for i in range(n))
+
+    docs = spark.createDataFrame(
+        [
+            (1, fill(7, 0) + span + fill(11, 3)),
+            (2, fill(13, 5) + span + fill(17, 8)),
+            (3, "E" * 200),                    # self-repeating monotone text
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in substring_span_stats(docs).collect()}
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_chars"] == 59
+    assert out[2]["n_dup_spans"] == 1 and out[2]["dup_chars"] == 59
+    assert out[1]["n_chars"] == 159
+    # monotone doc: every 40-gram equals every other -> one span, full cover
+    assert out[3]["n_dup_spans"] == 1 and out[3]["dup_chars"] == 200
+
+
+def test_substring_spans_no_dup_doc_reports_zero(spark):
+    from mapreduce_citation_spark.operators.dedup import substring_span_stats
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 9)],  # 90 chars, but repeats internally every 10
+        ["doc_id", "text"],
+    )
+    # period-10 text: gram at i equals gram at i+10 -> fully duplicated
+    out = substring_span_stats(docs).collect()[0]
+    assert out["n_dup_spans"] == 1 and out["dup_chars"] == 90
+
+    docs2 = spark.createDataFrame(
+        [(1, "".join(chr(33 + (i * 7) % 90) for i in range(90)))],
+        ["doc_id", "text"],
+    )
+    out2 = substring_span_stats(docs2).collect()[0]
+    assert out2["n_dup_spans"] == 0 and out2["dup_chars"] == 0
