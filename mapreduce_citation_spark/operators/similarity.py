@@ -607,7 +607,79 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_pq_ann",
-    tags=("similarity", "knn", "pq", "rows-only"),
+    oracle="""
+WITH subs AS (
+  SELECT vec_id, t.m,
+         embedding[(t.m * 16 + 1):((t.m + 1) * 16)] AS subvec
+  FROM embeddings, generate_series(0, 3) AS t(m)
+),
+code_ids AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+codebook AS (
+  SELECT c.code, s.m, s.subvec AS cw
+  FROM subs s JOIN code_ids c USING (vec_id)
+),
+assign0 AS (
+  SELECT s.vec_id, s.m, cb.code,
+         list_reduce(list_transform(generate_series(1, 16),
+             i -> (CAST(s.subvec[i] AS DOUBLE) - CAST(cb.cw[i] AS DOUBLE))
+                * (CAST(s.subvec[i] AS DOUBLE) - CAST(cb.cw[i] AS DOUBLE))),
+             (a, b) -> a + b) AS d
+  FROM subs s JOIN codebook cb USING (m)
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, m, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                   ORDER BY d ASC, code ASC) AS r
+    FROM assign0
+  ) WHERE r = 1
+),
+tables AS (
+  SELECT q.vec_id AS query_id, q.m, cb.code,
+         list_reduce(list_transform(generate_series(1, 16),
+             i -> CAST(q.subvec[i] AS DOUBLE) * CAST(cb.cw[i] AS DOUBLE)),
+             (a, b) -> a + b) AS partial
+  FROM subs q JOIN codebook cb USING (m)
+  WHERE q.vec_id < 10
+),
+approx AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_sort(list(partial)), (a, b) -> a + b) AS approx_dot
+  FROM codes JOIN tables USING (m, code)
+  WHERE neighbor_id <> query_id
+  GROUP BY query_id, neighbor_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY approx_dot DESC, neighbor_id ASC) AS ar
+    FROM approx
+  ) WHERE ar <= 15
+),
+n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_reduce(list_transform(generate_series(1, 64),
+              i -> CAST(qa.embedding[i] AS DOUBLE) * CAST(nb.embedding[i] AS DOUBLE)),
+              (a, b) -> a + b) / (qa.nrm * nb.nrm) AS cosine
+  FROM shortlist s
+  JOIN n qa ON qa.vec_id = s.query_id
+  JOIN n nb ON nb.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    tags=("similarity", "knn", "pq"),
 )
 def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (M=4 subspaces × K=16 codes, ADC
@@ -627,9 +699,14 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     table against the broadcast per-query lookup tables on (m, code):
     the 100 TB corpus is touched as CODES (4 bytes/vector), and only
     the ~15 candidates per query are re-read as full vectors
-    (semi-join-pruned) for exact re-rank. Rows-only for the driver
-    (codebook assignment is not reasonably SQL-expressible); pytest
-    replays the identical algorithm in numpy."""
+    (semi-join-pruned) for exact re-rank.
+
+    The DuckDB oracle replays the whole index build in SQL — the
+    sample-as-codebook training, the L2 code assignment (same ordered
+    folds, same (d asc, code asc) tie-break), the ADC tables, and the
+    sorted-fold 4-partial sum — so the driver gate is a hard hash
+    match (the ``knn_ivf_ann`` technique). The numpy replay pytest is
+    retained as an independent third implementation."""
     M, K, SUB = 4, 16, 16
     e = _emb(spark, sf_dir)
     sub = F.explode(
@@ -687,11 +764,18 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = qsubs.join(F.broadcast(codebook), "m").select(
         "query_id", "m", "code", dot_qc.alias("partial")
     )
+    # the 4 subspace partials sum via a VALUE-SORTED fold (not F.sum)
+    # so the double is independent of partition order — this is what
+    # lets the DuckDB oracle reproduce the shortlist ranking bitwise
     approx = (
         codes.join(F.broadcast(tables), ["m", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("partial").alias("approx_dot"))
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(partial)), 0D, (a, b) -> a + b)"
+            ).alias("approx_dot")
+        )
     )
     w_approx = Window.partitionBy("query_id").orderBy(
         F.col("approx_dot").desc(), F.col("neighbor_id").asc()
