@@ -35,16 +35,30 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from ..registry import register
 
-#: events.parquet physical schema under nanosAsLong: ts arrives as
-#: int64 nanoseconds (streaming sources require an explicit schema).
+#: events.parquet physical schema under nanosAsLong when the fixture
+#: stores TIMESTAMP(NANOS): ts arrives as int64 nanoseconds
+#: (streaming sources require an explicit schema).
 _EVENTS_NANOS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
         StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+#: ...and when it stores TIMESTAMP(MICROS), which Spark reads natively.
+_EVENTS_MICROS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -79,11 +93,20 @@ def read_events_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(src, os.path.join(stage, "events.parquet"))
         _STAGE_DIRS[src] = stage
-    raw = spark.readStream.schema(_EVENTS_NANOS_SCHEMA).parquet(stage)
-    # Watermarks require TimestampType (not NTZ); with the session tz
-    # pinned UTC the instant's wall clock equals the NTZ value, and the
-    # final projection casts back to NTZ for oracle parity.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # The fixture generator has shipped ts as TIMESTAMP(NANOS) in some
+    # rounds and TIMESTAMP(MICROS) in others; a streaming source needs
+    # the physical type declared up front, so probe it with a batch
+    # footer read (metadata only) and branch — the ns path reads int64
+    # nanos under nanosAsLong and truncates to micros, the us path
+    # reads the timestamp natively.
+    ts_is_nanos = dict(spark.read.parquet(src).dtypes).get("ts") == "bigint"
+    if ts_is_nanos:
+        raw = spark.readStream.schema(_EVENTS_NANOS_SCHEMA).parquet(stage)
+        # Watermarks require TimestampType (not NTZ); with the session
+        # tz pinned UTC the instant's wall clock equals the NTZ value,
+        # and the final projection casts back to NTZ for oracle parity.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.readStream.schema(_EVENTS_MICROS_SCHEMA).parquet(stage)
 
 
 @register(
@@ -179,6 +202,62 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"streaming_session_counts_{next(_SINK_COUNTER)}"
     q = (
         agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
+    "streaming_dedup_watermark",
+    oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
+    tags=("streaming", "dedup", "watermark", "stateful"),
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup as a LIVE query — the streaming twin
+    of ``dedup_exact`` (``streaming/events.py:dedup_within_watermark``,
+    here made driver-visible).
+
+    The fixture has no duplicate event_ids, so the stream PLANTS them:
+    each event is re-emitted 1 + (event_id % 2) times map-side (the
+    copies are bit-identical, so the kept row is well-defined no
+    matter which copy survives), then
+    ``dropDuplicatesWithinWatermark("event_id")`` drops them in keyed
+    state. The fully-drained append-mode sink must therefore equal the
+    original distinct event set — the exact batch oracle. A pytest
+    asserts the planted input really is larger than the output, so the
+    operator is shown to do work, not pass rows through.
+
+    At 100 TB the same plan runs against kafka: dedup state is
+    hash-partitioned on event_id across executors and the watermark
+    evicts ids older than the horizon — without it state grows with
+    the stream. Late re-sends beyond the watermark would re-admit a
+    duplicate; that horizon trade is the operator's contract
+    (pinned in ``tests/test_streaming.py``)."""
+    from ..streaming.events import dedup_within_watermark
+
+    ev = read_events_parquet_stream(spark, sf_dir)
+    planted = ev.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(1) + (F.col("event_id") % 2).cast("int"))
+        ).alias("_copy"),
+    ).drop("_copy")
+    deduped = dedup_within_watermark(planted).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    name = f"streaming_dedup_watermark_{next(_SINK_COUNTER)}"
+    q = (
+        deduped.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .start()

@@ -107,10 +107,12 @@ _PRIORITY = (
     "events_sliding_windows",
     "events_session_window",
     "events_funnel_join",
-    "events_json_props",
+    # (events_json_props: beyond-window — events_json_struct covers
+    # the JSON-extraction family in-window.)
     "events_json_struct",
     # Structured Streaming, driver-visible.
     "streaming_tumbling_counts",
+    "streaming_dedup_watermark",
     # Graph / iterative.
     "citation_pagerank",
     "citation_components",

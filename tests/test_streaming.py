@@ -274,3 +274,24 @@ def test_registered_streaming_query_repeatable_in_one_session(spark):
         for r in streaming_tumbling_counts(spark, sf_dir).collect()
     )
     assert a and a == b
+
+
+def test_streaming_dedup_watermark_does_work(spark, sf_dir):
+    """The driver-visible streaming dedup plants 1 + (event_id % 2)
+    copies per event; the drained sink must equal the distinct batch
+    set — i.e. the stateful operator dropped the planted surplus, not
+    merely passed rows through."""
+    from mapreduce_citation_spark.operators.streaming_queries import (
+        streaming_dedup_watermark,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    out = streaming_dedup_watermark(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_planted = ev.selectExpr(
+        "sum(1 + CAST(event_id % 2 AS INT)) AS n"
+    ).collect()[0]["n"]
+    assert n_planted > n_events  # the stream really saw duplicates
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
