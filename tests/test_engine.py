@@ -60,3 +60,58 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     plan = explain_str(joined, "simple")
     assert "Exchange hashpartitioning" not in plan, plan
     assert joined.count() == orders.count()
+
+
+def test_join_bucketed_fact_fact_plan_and_result(spark, sf_dir):
+    """The bucketed bench query must (a) agree with the unbucketed
+    join, (b) show NO exchange or sort on either join input — the
+    bucket layout feeds the sort-merge join directly; the single
+    remaining exchange is the final groupBy."""
+    from mapreduce_citation_spark.operators.joins import (
+        join_bucketed_fact_fact,
+        join_fact_fact,
+    )
+
+    bucketed = join_bucketed_fact_fact(spark, sf_dir)
+    plain = join_fact_fact(spark, sf_dir)
+    a = sorted(map(tuple, bucketed.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+
+    # AQE's simple explain appends an "Initial Plan" copy — count the
+    # final plan only
+    plan = explain_str(bucketed, "simple").split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in plan
+    # join inputs come straight from bucket files — the ONLY exchange
+    # in the whole plan is the final 5-group aggregation (per-task
+    # sorts remain: Spark only elides them at one-file-per-bucket)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_bucketed_table_rebuilds_on_source_change(spark, tmp_path):
+    """The staleness guard: same source mtime -> reuse; changed
+    mtime -> rebuild (results track the new data)."""
+    import os
+    import shutil
+
+    from mapreduce_citation_spark.operators.joins import bucketed_table
+
+    src_dir = tmp_path / "sfx"
+    src_dir.mkdir()
+    spark.range(0, 10).selectExpr("id AS o_orderkey").write.parquet(
+        str(src_dir / "orders.parquet")
+    )
+    t1 = bucketed_table(spark, str(src_dir), "orders", "o_orderkey", n_buckets=2)
+    assert t1.count() == 10
+    # regenerate with different content and a newer mtime
+    shutil.rmtree(str(src_dir / "orders.parquet"))
+    spark.range(0, 7).selectExpr("id AS o_orderkey").write.parquet(
+        str(src_dir / "orders.parquet")
+    )
+    os.utime(
+        str(src_dir / "orders.parquet"),
+        (os.path.getmtime(str(src_dir / "orders.parquet")) + 5,) * 2,
+    )
+    t2 = bucketed_table(spark, str(src_dir), "orders", "o_orderkey", n_buckets=2)
+    assert t2.count() == 7
