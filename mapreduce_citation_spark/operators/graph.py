@@ -117,8 +117,26 @@ def citation_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rank_fold_expr(exact_fold: bool, dangling: bool = False) -> str:
+    """The per-key rank summation, in the two strategies ``pagerank``
+    exposes: a key-sorted ordered fold over (k, v) structs (bitwise
+    deterministic, per-key memory ∝ in-degree) or plain associative
+    ``sum`` (map-side partials, constant state — the at-scale form).
+    The dangling variant coalesces the empty aggregate to 0."""
+    if exact_fold:
+        fold = (
+            "aggregate(array_sort(collect_list(kv)), 0D, (acc, x) -> acc + x.v)"
+        )
+    else:
+        fold = "sum(kv.v)"
+    return f"coalesce({fold}, 0D)" if dangling else fold
+
+
 def pagerank(
-    edges: DataFrame, iterations: int = 8, damping: float = 0.85
+    edges: DataFrame,
+    iterations: int = 8,
+    damping: float = 0.85,
+    exact_fold: bool = True,
 ) -> DataFrame:
     """DataFrame-iterative PageRank (power method).
 
@@ -128,17 +146,21 @@ def pagerank(
     is redistributed uniformly so total rank stays 1. Returns
     (node, rank).
 
-    FULLY deterministic doubles: the per-target contribution sum and
-    the dangling sum are KEY-SORTED folds (collect_list → array_sort →
-    ordered aggregate), not ``F.sum``, so the result is independent of
-    partition order and the DuckDB oracle reproduces every rank
-    bitwise. The pytest replay additionally checks the same algorithm
-    in pure python to 1e-9. At a scale where gate-exactness is not
-    needed, plain ``F.sum`` is the drop-in replacement (associative
-    shuffle-side partial aggregation, no per-key list) — the sorted
-    fold costs per-key list memory proportional to in-degree, which is
-    the price of a bitwise cross-engine gate on an iterative float
-    algorithm."""
+    ``exact_fold`` selects the summation strategy — the exactness/
+    scale trade made explicit:
+
+    - ``True`` (gate mode, default): per-target contribution sums and
+      the dangling sum are KEY-SORTED folds (collect_list →
+      array_sort → ordered aggregate), so every double is independent
+      of partition order and the DuckDB oracle reproduces each rank
+      bitwise. Costs per-key list memory proportional to in-degree —
+      fine at fixture scale, wrong for a skewed 100 TB graph.
+    - ``False`` (scale mode): plain ``F.sum`` — associative map-side
+      partial aggregation, constant per-key state, the plan to run on
+      a real cluster. Ranks differ from gate mode only by float
+      association order (≤ ulps per iteration; both modes agree with
+      the pure-python replay to 1e-9 in pytest).
+    """
     # materialize the loop-invariant relations once, and break lineage
     # every iteration (localCheckpoint) — otherwise iteration k re-runs
     # iterations 1..k-1 and the job is O(k²) in shuffles. (The edges
@@ -170,12 +192,7 @@ def pagerank(
                     F.col("node").alias("k"), F.col("rank").alias("v")
                 ).alias("kv")
             )
-            .agg(
-                F.expr(
-                    "coalesce(aggregate(array_sort(collect_list(kv)), 0D, "
-                    "(acc, x) -> acc + x.v), 0D)"
-                ).alias("_dangling")
-            )
+            .agg(F.expr(_rank_fold_expr(exact_fold, dangling=True)).alias("_dangling"))
         )
         contribs = (
             edges.join(
@@ -190,12 +207,7 @@ def pagerank(
                 ).alias("kv"),
             )
             .groupBy("node")
-            .agg(
-                F.expr(
-                    "aggregate(array_sort(collect_list(kv)), 0D, "
-                    "(acc, x) -> acc + x.v)"
-                ).alias("in_rank")
-            )
+            .agg(F.expr(_rank_fold_expr(exact_fold)).alias("in_rank"))
         )
         # same association order as the python replay oracle:
         # (1-d)/n + (d * dangling) / n, then + d * in_rank
