@@ -267,3 +267,102 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Kafka-shaped source (file-backed shim; real connector when present)
+# ---------------------------------------------------------------------------
+
+#: Produced-topic staging dirs, keyed by (source realpath, mtime) —
+#: reproduce only when the fixture changes.
+_TOPIC_DIRS: dict[tuple[str, float], str] = {}
+
+
+def _events_topic(spark: SparkSession, sf_dir: str) -> str:
+    """Produce the events fixture into a file-backed kafka-shaped
+    topic (once per fixture version) and return the topic dir."""
+    from ..sources.kafka_shim import write_topic
+    from ..sources.readers import load_table
+
+    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    key = (src, os.path.getmtime(src))
+    stage = _TOPIC_DIRS.get(key)
+    if stage is not None and os.path.isdir(os.path.join(stage, "events")):
+        return stage
+    stage = tempfile.mkdtemp(prefix="kafka_topic_")
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(
+        "user_id",
+        F.to_json(
+            F.struct("event_id", "event_type", "value", "user_id")
+        ).alias("payload"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    write_topic(
+        records, stage, "events",
+        key_col="user_id", value_col="payload", ts_col="ts",
+    )
+    _TOPIC_DIRS[key] = stage
+    return stage
+
+
+@register(
+    "streaming_kafka_topic_counts",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "kafka", "source"),
+)
+def streaming_kafka_topic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end kafka-shaped consumption as a LIVE streaming query:
+    the events fixture is PRODUCED into a file-backed topic with
+    kafka's exact output schema and semantics (key-hash partitioning,
+    per-partition monotone offsets, UTF-8 value bytes — see
+    ``sources/kafka_shim.py``), then consumed with the standard kafka
+    recipe: value bytes → string → ``from_json`` → watermarked
+    aggregation → memory sink, drained to completion.
+
+    The plan is written against the kafka output schema, so on a real
+    cluster the shim read swaps for ``format("kafka")`` (the module
+    auto-upgrades when the connector is on the classpath) and nothing
+    downstream changes. The oracle is the batch aggregation of the
+    same fixture — producer + consumer round-trip must be lossless."""
+    from ..sources.kafka_shim import read_topic_stream
+
+    topic_dir = _events_topic(spark, sf_dir)
+    stream = read_topic_stream(spark, topic_dir, "events")
+    payload_schema = (
+        "event_id long, event_type string, value double, user_id long"
+    )
+    parsed = stream.select(
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("e"),
+        "timestamp",
+    ).select("e.event_type", "e.event_id", "timestamp")
+    # (distinct aggregates are not streaming-legal; min/max of the
+    # payload id still proves the produce/consume round-trip lossless)
+    agg = (
+        parsed.withWatermark("timestamp", "30 minutes")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+    name = f"streaming_kafka_topic_counts_{next(_SINK_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -104,7 +104,7 @@ _PRIORITY = (
     "multimodal_decode_features",
     # Event analytics (batch twins of the streaming surface).
     "events_tumbling_hourly",
-    "events_sliding_windows",
+    # (events_sliding_windows: beyond-window — tumbling twin stays.)
     "events_session_window",
     "events_funnel_join",
     # (events_json_props: beyond-window — events_json_struct covers
@@ -113,6 +113,7 @@ _PRIORITY = (
     # Structured Streaming, driver-visible.
     "streaming_tumbling_counts",
     "streaming_dedup_watermark",
+    "streaming_kafka_topic_counts",
     # Graph / iterative.
     "citation_pagerank",
     "citation_components",

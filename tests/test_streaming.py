@@ -295,3 +295,118 @@ def test_streaming_dedup_watermark_does_work(spark, sf_dir):
     assert n_planted > n_events  # the stream really saw duplicates
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_kafka_shim_plumbing_semantics(spark, tmp_path):
+    """The file-backed topic must honor kafka's contract: per-key
+    partition co-location, contiguous per-partition offsets from 0,
+    byte-faithful value round-trip, and stream == batch view."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.sources.kafka_shim import (
+        read_topic_batch,
+        write_topic,
+    )
+
+    records = spark.range(0, 200).selectExpr(
+        "id % 17 AS user_id",
+        "concat('payload-', id) AS payload",
+        "timestamp_micros(CAST(1704067200000000 + id * 1000000 AS LONG)) AS ts",
+    )
+    write_topic(
+        records, str(tmp_path), "t", key_col="user_id",
+        value_col="payload", ts_col="ts", n_partitions=4,
+    )
+    got = read_topic_batch(spark, str(tmp_path), "t")
+    assert got.count() == 200
+    # keys co-locate: every key maps to exactly one partition
+    assert (
+        got.select(F.col("key").cast("string").alias("k"), "partition")
+        .groupBy("k")
+        .agg(F.count_distinct("partition").alias("np"))
+        .filter("np != 1")
+        .count()
+        == 0
+    )
+    # offsets contiguous per partition: max == count - 1, min == 0
+    offs = (
+        got.groupBy("partition")
+        .agg(
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in offs:
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+    # value bytes faithful
+    vals = {
+        r["v"]
+        for r in got.select(F.col("value").cast("string").alias("v")).collect()
+    }
+    assert vals == {f"payload-{i}" for i in range(200)}
+
+
+def test_stateful_agg_under_rocksdb_state_store(spark, tmp_path):
+    """The RocksDB state-store provider (the at-scale choice: state
+    spills to disk instead of living on the executor heap) is bundled
+    in Spark — run the tumbling aggregation under it and require (a)
+    rocksdb metrics in the query progress, i.e. the provider really
+    engaged, and (b) the same final state as the default provider."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    spark.range(0, 500).selectExpr(
+        "id",
+        "timestamp_micros(CAST(1704067200000000 + id * 60000000 AS LONG)) AS ts",
+        "CAST(id % 5 AS STRING) AS k",
+    ).write.json(src)
+
+    def run(provider_conf: str | None, sink: str):
+        old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        if provider_conf:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider_conf
+            )
+        try:
+            ev = spark.readStream.schema("id long, ts timestamp, k string").json(src)
+            agg = (
+                ev.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour"), "k")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("window.start").alias("ws"), "k", "n")
+            )
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", str(tmp_path / ("ckpt_" + sink)))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                progress = q.lastProgress
+            finally:
+                q.stop()
+            rows = sorted(
+                (str(r["ws"]), r["k"], r["n"]) for r in spark.table(sink).collect()
+            )
+            return rows, progress
+        finally:
+            if provider_conf:
+                if old is None:
+                    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+                else:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass", old
+                    )
+
+    rocks_rows, rocks_prog = run(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "rocks_sink",
+    )
+    plain_rows, _ = run(None, "plain_sink")
+    metrics = rocks_prog["stateOperators"][0].get("customMetrics", {})
+    assert any("rocksdb" in k.lower() for k in metrics), metrics
+    assert rocks_rows == plain_rows and len(rocks_rows) > 0
