@@ -711,8 +711,16 @@ def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def exact_substring_pairs(d: DataFrame, k: int = _ESK) -> DataFrame:
     """Core of ``dedup_exact_substring_pairs`` on an explicit
-    (doc_id, text) DataFrame — unit tests plant known spans here."""
-    g = _char_grams(d, k).select("doc_id", "dg").distinct()
+    (doc_id, text) DataFrame — unit tests plant known spans here.
+
+    The distinct (doc_id, digest) table is materialized once
+    (localCheckpoint, the minhash signature-table pattern): it feeds
+    the df-count AND both sides of the pair join, which would
+    otherwise re-run the gram explode + re-scan documents three more
+    times. At 100 TB swap for ``persist(DISK_ONLY)`` — the table is
+    ~corpus-sized, and the trade is one materialization vs four
+    corpus-wide explode passes."""
+    g = _char_grams(d, k).select("doc_id", "dg").distinct().localCheckpoint()
     eligible = (
         g.groupBy("dg")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -793,10 +801,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def substring_span_stats(d: DataFrame, k: int = _ESK) -> DataFrame:
     """Core of ``dedup_substring_spans`` on an explicit
-    (doc_id, text) DataFrame — unit tests plant known spans here."""
+    (doc_id, text) DataFrame — unit tests plant known spans here.
+
+    Positioned grams are materialized once (see
+    ``exact_substring_pairs`` for the at-scale persist trade); the
+    only remaining documents re-scan is the final per-doc length
+    join, which reads just (doc_id, length)."""
     from pyspark.sql import Window
 
-    g = _char_grams(d, k)
+    g = _char_grams(d, k).localCheckpoint()
     dup_dg = (
         g.groupBy("dg")
         .agg(F.count(F.lit(1)).alias("n"))
