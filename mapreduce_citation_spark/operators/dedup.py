@@ -843,3 +843,55 @@ def substring_span_stats(d: DataFrame, k: int = _ESK) -> DataFrame:
             F.col("len_chars").alias("n_chars"),
         )
     )
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {_ESK} + 1)) AS i
+  FROM documents WHERE length(text) >= {_ESK}
+),
+g AS (
+  SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), {_ESK})) AS dg
+  FROM pos
+),
+bench AS (SELECT doc_id, dg FROM g WHERE doc_id % 10 = 0),
+train AS (SELECT doc_id, dg FROM g WHERE doc_id % 10 <> 0)
+SELECT t.doc_id,
+       count(DISTINCT b.doc_id) AS n_bench_docs,
+       count(*) AS n_shared_grams
+FROM train t JOIN bench b ON t.dg = b.dg
+GROUP BY t.doc_id
+""",
+    tags=("dedup", "substring", "decontamination"),
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the training-pipeline step that
+    removes benchmark leakage (GPT-3 §B / PaLM-style n-gram overlap,
+    here with the exact-substring criterion: a training doc is
+    contaminated if it shares a ≥40-char exact span with any
+    held-out doc). The held-out set is the deterministic
+    ``doc_id % 10 == 0`` tenth of the corpus — in production it's the
+    actual benchmark suite, which is TINY relative to 100 TB of
+    training data, and that asymmetry is the plan's shape: benchmark
+    grams are a small table joined against the corpus gram stream
+    (AQE broadcasts it when it fits), so the corpus is never
+    self-joined.
+
+    Output per contaminated training doc: how many benchmark docs it
+    overlaps and on how many distinct shared grams (i.e. (t.dg, b)
+    match rows — each shared digest counts once per benchmark doc
+    carrying it)."""
+    d = _docs(spark, sf_dir)
+    g = _char_grams(d).select("doc_id", "dg").distinct()
+    bench = g.where(F.col("doc_id") % 10 == 0)
+    train = g.where(F.col("doc_id") % 10 != 0)
+    hits = train.alias("t").join(
+        bench.alias("b"), F.col("t.dg") == F.col("b.dg")
+    )
+    return hits.groupBy(F.col("t.doc_id").alias("doc_id")).agg(
+        F.count_distinct(F.col("b.doc_id")).alias("n_bench_docs"),
+        F.count(F.lit(1)).alias("n_shared_grams"),
+    )

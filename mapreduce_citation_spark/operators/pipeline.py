@@ -196,3 +196,78 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin_id"),
     )
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len({_TOK_D})) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         list_reduce(list_sort(list(
+             sqrt(CAST(n_tokens AS DOUBLE) / (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per_src)))),
+             (a, b) -> a + b) AS z
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / total_tokens AS actual_share,
+       sqrt(CAST(n_tokens AS DOUBLE) / total_tokens) / z AS target_share,
+       (sqrt(CAST(n_tokens AS DOUBLE) / total_tokens) / z)
+         / (CAST(n_tokens AS DOUBLE) / total_tokens) AS weight
+FROM per_src, tot
+""",
+    tags=("pipeline", "mixture", "sampling"),
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain-mixture reweighting (T=2), the
+    multilingual/domain sampling rule from mBERT/XLM-R-style
+    pipelines: target share ∝ actual_share^(1/T) = sqrt(share), and
+    weight = target/actual is the per-source over/undersampling
+    factor the sampler applies. Low-resource sources get weight > 1,
+    dominant ones < 1.
+
+    Plan: one documents scan → per-source token sums (exact bigint,
+    one map-side-combinable shuffle, 20 groups) → 1-row global fold
+    broadcast back (the lazy-scalar pattern). The only doubles are
+    the final shares: integer-exact inputs, correctly-rounded
+    division/sqrt, and the normalizer z sums the 20 sqrt terms via a
+    VALUE-SORTED fold — bitwise identical on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"CAST(SUM(size({_TOK_S})) AS BIGINT)").alias("n_tokens"),
+    )
+    per_src = per_src.localCheckpoint()  # feeds the fold AND the output
+    # two-step fold: totals first, then the sqrt terms (sqrt is
+    # monotone, so sorting the token counts sorts the sqrt terms —
+    # same fold order as the oracle's list_sort of the sqrt values)
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr("array_sort(collect_list(CAST(n_tokens AS DOUBLE)))").alias("_toks"),
+    ).select(
+        "total_tokens",
+        F.expr(
+            "aggregate(transform(_toks, "
+            "x -> sqrt(x / CAST(total_tokens AS DOUBLE))), "
+            "0D, (a, b) -> a + b)"
+        ).alias("z"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    target = F.sqrt(share) / F.col("z")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            share.alias("actual_share"),
+            target.alias("target_share"),
+            (target / share).alias("weight"),
+        )
+    )

@@ -437,3 +437,43 @@ def test_substring_spans_no_dup_doc_reports_zero(spark):
     )
     out2 = substring_span_stats(docs2).collect()[0]
     assert out2["n_dup_spans"] == 0 and out2["dup_chars"] == 0
+
+
+def test_decontaminate_output_is_training_side_only(spark, sf_dir):
+    """Contamination report lists only training docs (never the
+    benchmark tenth), and every reported doc really shares a >=40-char
+    span with some benchmark doc (cross-checked via the pair query)."""
+    from mapreduce_citation_spark.operators.dedup import (
+        decontaminate_eval_overlap,
+        dedup_exact_substring_pairs,
+    )
+
+    hits = decontaminate_eval_overlap(spark, sf_dir).collect()
+    assert all(r["doc_id"] % 10 != 0 for r in hits)
+    pairs = dedup_exact_substring_pairs(spark, sf_dir).collect()
+    cross = {
+        r["doc_b"] for r in pairs if r["doc_a"] % 10 == 0 and r["doc_b"] % 10 != 0
+    } | {
+        r["doc_a"] for r in pairs if r["doc_b"] % 10 == 0 and r["doc_a"] % 10 != 0
+    }
+    assert {r["doc_id"] for r in hits} == cross
+
+
+def test_mixture_weights_temperature_semantics(spark, sf_dir):
+    """T=2 sampling: target shares sum to 1, and the weight order is
+    the inverse of the share order (low-resource sources upsampled)."""
+    import math
+
+    from mapreduce_citation_spark.operators.pipeline import corpus_mixture_weights
+
+    rows = corpus_mixture_weights(spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert math.isclose(sum(r["target_share"] for r in rows), 1.0, abs_tol=1e-9)
+    assert math.isclose(sum(r["actual_share"] for r in rows), 1.0, abs_tol=1e-9)
+    by_share = sorted(rows, key=lambda r: r["actual_share"])
+    weights = [r["weight"] for r in by_share]
+    assert weights == sorted(weights, reverse=True)  # monotone inverse
+    # sqrt-temperature: weight = share^(-1/2) / z, so w * sqrt(share)
+    # is the same constant for every source
+    consts = {round(r["weight"] * math.sqrt(r["actual_share"]), 9) for r in rows}
+    assert len(consts) == 1
