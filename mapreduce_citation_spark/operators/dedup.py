@@ -654,12 +654,22 @@ _ES_MAXDF = 1000  # pairs-query boilerplate guard (df cap per digest)
 
 
 def _char_grams(d: DataFrame, k: int = _ESK) -> DataFrame:
-    """(doc_id, i, dg): md5 digest of the k-char gram at every char
-    offset i (1-based). Purely map-side — explode + substring + md5
-    all stay in one WholeStageCodegen span; only (id, int, digest)
-    rows reach any shuffle."""
+    """(doc_id, i, dg): 60-bit integer digest (md5 hex prefix via
+    ``conv`` — the cross-engine ``shingle_int_hash`` scheme) of the
+    k-char gram at every char offset i (1-based).
+
+    Two scale choices: the COMPACT document rows repartition by
+    doc_id BEFORE the explode (a single-file fixture would otherwise
+    compute every gram in one task — same rationale as
+    ``exploded_word_shingles``), and the digest is an 8-byte long,
+    not a 32-char md5 string, so the downstream distinct/count/join
+    shuffles move and compare fixed-width ints (~4× less shuffle
+    bytes, cheaper sorts). Collisions at 60 bits are ~1e-4 for
+    millions of grams AND the oracle mirrors the exact same digest,
+    so results agree bitwise either way."""
     return (
         d.where(F.length("text") >= k)
+        .repartition(F.col("doc_id"))
         .select(
             "doc_id",
             "text",
@@ -668,7 +678,10 @@ def _char_grams(d: DataFrame, k: int = _ESK) -> DataFrame:
         .select(
             "doc_id",
             "i",
-            F.md5(F.expr(f"substring(text, i, {k})").cast("binary")).alias("dg"),
+            F.expr(
+                f"CAST(conv(substr(md5(CAST(substring(text, i, {k}) AS BINARY)), "
+                "1, 15), 16, 10) AS BIGINT)"
+            ).alias("dg"),
         )
     )
 
@@ -682,7 +695,7 @@ WITH pos AS (
   FROM documents WHERE length(text) >= {_ESK}
 ),
 g AS (
-  SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), {_ESK})) AS dg
+  SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {_ESK})), 1, 15)) AS BIGINT) AS dg
   FROM pos
 ),
 eligible AS (
@@ -749,7 +762,7 @@ WITH pos AS (
 ),
 g AS (
   SELECT doc_id, CAST(i AS INT) AS i,
-         md5(substr(text, CAST(i AS INT), {_ESK})) AS dg
+         CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {_ESK})), 1, 15)) AS BIGINT) AS dg
   FROM pos
 ),
 dup_dg AS (SELECT dg FROM g GROUP BY dg HAVING count(*) >= 2),
@@ -854,7 +867,7 @@ WITH pos AS (
   FROM documents WHERE length(text) >= {_ESK}
 ),
 g AS (
-  SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), {_ESK})) AS dg
+  SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {_ESK})), 1, 15)) AS BIGINT) AS dg
   FROM pos
 ),
 bench AS (SELECT doc_id, dg FROM g WHERE doc_id % 10 = 0),

@@ -52,6 +52,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalescing floor: the 1MB default collapses byte-light
+        # but CPU-heavy shuffles (millions of narrow rows, e.g. gram
+        # digests) onto ONE task — measured 3-18× stage slowdowns
+        # locally. A 64k floor keeps such stages parallel; it binds
+        # only when shuffleBytes/parallelism < 64k, i.e. never on a
+        # 100 TB cluster, where the advisory target governs.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(parts))
         # --- python<->jvm crossings are Arrow-batched ---
