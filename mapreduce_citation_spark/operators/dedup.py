@@ -794,6 +794,7 @@ SELECT d.doc_id,
        CAST(length(d.text) AS BIGINT) AS n_chars
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """,
+    bench=True,
     tags=("dedup", "substring", "suffix-array", "spans"),
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
