@@ -145,3 +145,47 @@ def test_shingle_int_hash_cross_engine_parity(spark, words):
         "SELECT " + shingle_int_hash_duck("?") + " AS h", [s]
     ).fetchone()[0]
     assert got_spark == got_duck
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from("ab"), min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_substring_span_stats_match_python_reference(spark, docs):
+    """Span accounting vs a brute-force python reference on tiny
+    random binary-alphabet corpora (k=4): duplicated positions are
+    those whose k-gram occurs >= 2 times corpus-wide; merged interval
+    union gives dup_chars and span count."""
+    from mapreduce_citation_spark.operators.dedup import substring_span_stats
+
+    k = 4
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_chars"], r["n_chars"])
+        for r in substring_span_stats(df, k=k).collect()
+    }
+
+    from collections import Counter
+
+    grams = Counter()
+    for _, t in rows:
+        for i in range(len(t) - k + 1):
+            grams[t[i:i + k]] += 1
+    want = {}
+    for did, t in rows:
+        starts = [
+            i for i in range(len(t) - k + 1) if grams[t[i:i + k]] >= 2
+        ]
+        spans = []
+        for i in starts:
+            if spans and i <= spans[-1][1]:  # overlap/adjacent: end = last covered
+                spans[-1][1] = max(spans[-1][1], i + k)
+            else:
+                spans.append([i, i + k])
+        want[did] = (len(spans), sum(e - s for s, e in spans), len(t))
+    assert got == want

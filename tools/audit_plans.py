@@ -58,6 +58,7 @@ BROADCAST_ALLOWLIST = {
     ("tpch_extra.py", "s"): "supplier dim (TPC-H dim-side convention)",
     ("tpch_extra.py", "total"): "1-row aggregate (scalar fold)",
     ("tpch_extra.py", "mx"): "1-row aggregate (scalar fold)",
+    ("pipeline.py", "tot"): "1-row aggregate (mixture normalizer fold)",
 }
 
 
