@@ -366,3 +366,109 @@ def streaming_kafka_topic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "streaming_stream_stream_funnel",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts < v.ts + INTERVAL 1 HOUR
+""",
+    tags=("streaming", "stream-stream-join", "watermark"),
+)
+def streaming_stream_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join as a LIVE query — the view→purchase
+    funnel with both sides watermarked (required: the watermark plus
+    the 1-hour time bound are what let Spark expire buffered join
+    state; without them stream-stream state grows forever). Reuses
+    ``streaming/events.py:funnel_join`` — the same plan the batch twin
+    ``events_funnel_join`` runs, so the drained append-mode sink must
+    equal the batch join exactly.
+
+    At 100 TB: both sides hash-partition on user_id, the per-key time
+    interval bounds buffered rows, and the watermark evicts — the
+    canonical kafka-to-kafka enrichment-join shape."""
+    from ..streaming.events import funnel_join
+
+    ev = read_events_parquet_stream(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").withWatermark("ts", "2 hours")
+    purchases = ev.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "2 hours"
+    )
+    joined = funnel_join(views, purchases, within="1 hour").select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    name = f"streaming_stream_stream_funnel_{next(_SINK_COUNTER)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
+    "streaming_running_user_counts",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def streaming_running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator (``applyInPandasWithState``) as a LIVE
+    driver-checked query: the per-user running counter from
+    ``streaming/events.py:running_user_counts`` emits an updated
+    (user_id, n_events, last_ts) row every micro-batch; both fields
+    are monotone per user, so the per-user MAX over the drained
+    update-mode sink IS the final state — which must equal the batch
+    aggregation exactly.
+
+    This is the template for state machines Spark's built-in
+    operators can't express; the state rows are Arrow-batched pandas,
+    hash-partitioned on the key, and at scale live in the (RocksDB)
+    state store, not the heap."""
+    from ..streaming.events import running_user_counts
+
+    ev = read_events_parquet_stream(spark, sf_dir)
+    updates = running_user_counts(ev.select("user_id", "ts"))
+    name = f"streaming_running_user_counts_{next(_SINK_COUNTER)}"
+    q = (
+        updates.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        )
+    )

@@ -110,15 +110,19 @@ _PRIORITY = (
     # (events_json_props: beyond-window — events_json_struct covers
     # the JSON-extraction family in-window.)
     "events_json_struct",
-    # Structured Streaming, driver-visible.
+    # Structured Streaming, driver-visible: windowed agg, stateful
+    # dedup, kafka-shaped source, stream-stream join, custom
+    # applyInPandasWithState operator.
     "streaming_tumbling_counts",
     "streaming_dedup_watermark",
     "streaming_kafka_topic_counts",
+    "streaming_stream_stream_funnel",
+    "streaming_running_user_counts",
     # Graph / iterative.
     "citation_pagerank",
     "citation_components",
-    "citation_cocitation",
-    "citation_coupling",
+    # (citation_cocitation / citation_coupling: beyond-window — the
+    # pair-counting family is represented by the graph iteratives.)
     # Statistics.
     "stats_percentiles",
     "stats_variance",
