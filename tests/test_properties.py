@@ -189,3 +189,37 @@ def test_substring_span_stats_match_python_reference(spark, docs):
                 spans.append([i, i + k])
         want[did] = (len(spans), sum(e - s for s, e in spans), len(t))
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from("ab"), min_size=0, max_size=24),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_exact_substring_pairs_match_python_reference(spark, docs):
+    """Pair detection vs brute force on tiny random corpora (k=4):
+    (a, b, n) where n = count of distinct shared k-grams, a < b."""
+    from mapreduce_citation_spark.operators.dedup import exact_substring_pairs
+
+    k = 4
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in exact_substring_pairs(df, k=k).collect()
+    }
+    gram_sets = {
+        did: {t[i:i + k] for i in range(len(t) - k + 1)} for did, t in rows
+    }
+    want = {}
+    ids = sorted(gram_sets)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                shared = gram_sets[x] & gram_sets[y]
+                if shared:
+                    want[(x, y)] = len(shared)
+    assert got == want
