@@ -821,9 +821,31 @@ def substring_span_stats(d: DataFrame, k: int = _ESK) -> DataFrame:
     ``exact_substring_pairs`` for the at-scale persist trade); the
     only remaining documents re-scan is the final per-doc length
     join, which reads just (doc_id, length)."""
+    g = _char_grams(d, k).localCheckpoint()
+    spans = _merged_dup_spans(g, k)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + k).cast("long").alias("dup_chars"),
+    )
+    return (
+        d.select("doc_id", F.length("text").cast("long").alias("len_chars"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            F.col("len_chars").alias("n_chars"),
+        )
+    )
+
+
+def _merged_dup_spans(g: DataFrame, k: int) -> DataFrame:
+    """(doc_id, span_id, s, e): maximal merged duplicated spans from a
+    positioned-gram table — s/e are the first/last duplicated gram
+    START offsets, so the covered char interval is [s, e + k - 1].
+    Shared by the span-stats and span-strip operators."""
     from pyspark.sql import Window
 
-    g = _char_grams(d, k).localCheckpoint()
     dup_dg = (
         g.groupBy("dg")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -840,22 +862,8 @@ def substring_span_stats(d: DataFrame, k: int = _ESK) -> DataFrame:
         "span_id",
         F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
-    spans = spanned.groupBy("doc_id", "span_id").agg(
+    return spanned.groupBy("doc_id", "span_id").agg(
         F.min("i").alias("s"), F.max("i").alias("e")
-    )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup_spans"),
-        F.sum(F.col("e") - F.col("s") + k).cast("long").alias("dup_chars"),
-    )
-    return (
-        d.select("doc_id", F.length("text").cast("long").alias("len_chars"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
-            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
-            F.col("len_chars").alias("n_chars"),
-        )
     )
 
 
@@ -908,4 +916,105 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy(F.col("t.doc_id").alias("doc_id")).agg(
         F.count_distinct(F.col("b.doc_id")).alias("n_bench_docs"),
         F.count(F.lit(1)).alias("n_shared_grams"),
+    )
+
+
+@register(
+    "dedup_substring_strip",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {_ESK} + 1)) AS i
+  FROM documents WHERE length(text) >= {_ESK}
+),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {_ESK})), 1, 15)) AS BIGINT) AS dg
+  FROM pos
+),
+dup_dg AS (SELECT dg FROM g GROUP BY dg HAVING count(*) >= 2),
+dup AS (SELECT g.doc_id, g.i FROM g JOIN dup_dg USING (dg)),
+marked AS (
+  SELECT doc_id, i,
+         CASE WHEN lag(i) OVER w IS NULL
+                   OR i - lag(i) OVER w > {_ESK} THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+spanned AS (
+  SELECT doc_id, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, span_id, MIN(i) AS s, MAX(i) AS e
+  FROM spanned GROUP BY doc_id, span_id
+),
+-- brute-force per-character complement: a position survives iff no
+-- merged span covers it ([s, e + k - 1]); fine at oracle scale
+cov AS (
+  SELECT doc_id, unnest(generate_series(s, e + {_ESK} - 1)) AS p FROM spans
+),
+chars AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p
+  FROM documents
+),
+clean AS (
+  SELECT c.doc_id,
+         string_agg(substr(c.text, CAST(c.p AS INT), 1), '' ORDER BY c.p) AS clean_text
+  FROM chars c
+  LEFT JOIN cov ON cov.doc_id = c.doc_id AND cov.p = c.p
+  WHERE cov.p IS NULL
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(cl.clean_text, '') AS clean_text,
+       CAST(length(COALESCE(cl.clean_text, '')) AS BIGINT) AS clean_chars,
+       CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN clean cl USING (doc_id)
+""",
+    tags=("dedup", "substring", "suffix-array", "strip"),
+)
+def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the exact-substring policy: emit the cleaned corpus with
+    every duplicated span (length ≥ 40, merged maximal) REMOVED —
+    the final step of the BigCode pipeline, where the span report
+    becomes training data.
+
+    Spark side reconstructs each cleaned doc in one ordered fold over
+    its sorted span array (merged spans are disjoint with gaps > 0 by
+    construction, so each step appends the text between the previous
+    span's end and the next span's start) — O(|text|) per doc, no
+    per-character explosion. The oracle takes the dumb-but-obvious
+    road instead: per-character anti-join against covered positions
+    (150k rows at oracle scale) — two INDEPENDENT constructions of the
+    same string, which is the point of the check."""
+    d = _docs(spark, sf_dir)
+    g = _char_grams(d).localCheckpoint()
+    spans = _merged_dup_spans(g, _ESK)
+    spans_arr = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sp")
+    )
+    fold = (
+        "aggregate(sp, named_struct('pos', 1, 'acc', CAST('' AS STRING)), "
+        f"(st, x) -> named_struct('pos', x.e + {_ESK}, "
+        "'acc', concat(st.acc, substring(text, st.pos, x.s - st.pos))), "
+        "st -> concat(st.acc, substring(text, st.pos, 2147483647)))"
+    )
+    return (
+        d.select("doc_id", "text")
+        .join(spans_arr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("sp").isNull(), F.col("text"))
+            .otherwise(F.expr(fold))
+            .alias("clean_text"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "clean_text",
+            F.length("clean_text").cast("long").alias("clean_chars"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
     )

@@ -477,3 +477,31 @@ def test_mixture_weights_temperature_semantics(spark, sf_dir):
     # is the same constant for every source
     consts = {round(r["weight"] * math.sqrt(r["actual_share"]), 9) for r in rows}
     assert len(consts) == 1
+
+
+def test_substring_strip_consistent_with_span_stats(spark, sf_dir):
+    """The cleaned corpus and the span report are two views of the
+    same policy: clean_chars == n_chars - dup_chars for every doc,
+    some doc actually shrinks, and no clean_text still contains a
+    duplicated 40-gram of the ORIGINAL corpus gram table... (spans
+    were merged maximal, so removed intervals cover every duplicated
+    offset)."""
+    from mapreduce_citation_spark.operators.dedup import (
+        dedup_substring_spans,
+        dedup_substring_strip,
+    )
+
+    stats = {
+        r["doc_id"]: r for r in dedup_substring_spans(spark, sf_dir).collect()
+    }
+    stripped = dedup_substring_strip(spark, sf_dir).collect()
+    assert len(stripped) == len(stats)
+    shrunk = 0
+    for r in stripped:
+        st = stats[r["doc_id"]]
+        assert r["n_chars"] == st["n_chars"]
+        assert r["clean_chars"] == st["n_chars"] - st["dup_chars"]
+        if st["dup_chars"] > 0:
+            shrunk += 1
+            assert len(r["clean_text"]) == r["clean_chars"]
+    assert shrunk > 0, "fixture should contain duplicated spans"
