@@ -410,3 +410,70 @@ def test_stateful_agg_under_rocksdb_state_store(spark, tmp_path):
     metrics = rocks_prog["stateOperators"][0].get("customMetrics", {})
     assert any("rocksdb" in k.lower() for k in metrics), metrics
     assert rocks_rows == plain_rows and len(rocks_rows) > 0
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """Checkpointed dropDuplicatesWithinWatermark state must survive a
+    stop/start: a duplicate id arriving in a NEW run of the query
+    (within the watermark horizon) is still dropped, because the keyed
+    state was recovered from the checkpoint, not rebuilt."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(path, rows):
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    def ts(minutes):
+        return f"2024-01-01T{minutes // 60:02d}:{minutes % 60:02d}:00.000Z"
+
+    schema = "event_id long, ts timestamp, user_id long"
+    out_dir = str(tmp_path / "out")
+
+    def run_until_drained(_run_tag):
+        # memory sinks can't recover a checkpoint; a file sink can —
+        # each run appends only the NEW deduped rows to out_dir
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        deduped = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {r["event_id"] for r in spark.read.parquet(out_dir).collect()}
+
+    # run 1: ids 1..5 (id 3 duplicated in-batch)
+    write_batch(
+        src / "b1.json",
+        [{"event_id": i, "ts": ts(i), "user_id": i} for i in [1, 2, 3, 3, 4, 5]],
+    )
+    got1 = run_until_drained("dedup_restart_a")
+    assert got1 == {1, 2, 3, 4, 5}
+
+    # run 2 (fresh query, SAME checkpoint): ids 3,4 re-sent within the
+    # watermark horizon plus new ids 6,7 — the re-sends must be dropped
+    # by RECOVERED state
+    write_batch(
+        src / "b2.json",
+        [{"event_id": i, "ts": ts(10 + i), "user_id": i} for i in [3, 4, 6, 7]],
+    )
+    got2 = run_until_drained("dedup_restart_b")
+    assert got2 == {1, 2, 3, 4, 5, 6, 7}, got2  # ids 3,4 NOT re-emitted
