@@ -502,6 +502,7 @@ FROM (
 )
 WHERE rank <= 5
 """,
+    bench=True,
     tags=("similarity", "knn", "ivf"),
 )
 def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
