@@ -907,7 +907,9 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     match rows — each shared digest counts once per benchmark doc
     carrying it)."""
     d = _docs(spark, sf_dir)
-    g = _char_grams(d).select("doc_id", "dg").distinct()
+    # one materialization feeds both the benchmark and training sides
+    # (same trade as exact_substring_pairs)
+    g = _char_grams(d).select("doc_id", "dg").distinct().localCheckpoint()
     bench = g.where(F.col("doc_id") % 10 == 0)
     train = g.where(F.col("doc_id") % 10 != 0)
     hits = train.alias("t").join(
