@@ -502,3 +502,57 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_gram_frac"
         ),
     )
+
+
+@register(
+    "text_unigram_rarity",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK_D}) AS term FROM documents
+),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+bits AS (
+  SELECT t.doc_id, CAST(length(bin(CAST(c.c AS BIGINT))) AS BIGINT) AS b
+  FROM tok t JOIN cnt c USING (term)
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(SUM(b) AS BIGINT) AS sum_freq_bits,
+       CAST(SUM(b) AS DOUBLE) / count(*) AS mean_freq_bits
+FROM bits
+GROUP BY doc_id
+""",
+    tags=("text", "quality", "perplexity-proxy"),
+)
+def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (CCNet-shaped): per document,
+    the mean QUANTIZED log-frequency of its tokens under the corpus's
+    own unigram distribution — rare-token-heavy docs score low
+    mean_freq_bits, common-word docs high, the same axis a KenLM
+    perplexity filter ranks on (up to the model).
+
+    The log is deliberately integer-exact: bits(c) = length(bin(c)) =
+    floor(log2 c)+1, computed on exact counts — no libm `log`, whose
+    last-ulp behavior differs between the JVM and DuckDB (the same
+    reason ``text_tfidf_top_terms`` uses linear idf). Integer sums
+    then divide once, correctly rounded — bit-identical cross-engine
+    without any sorted-fold machinery.
+
+    Shape: one tokenize pass (multiplicity kept), corpus counts (one
+    map-side-combinable shuffle on term), join back (term-keyed; the
+    count table is Zipf-small relative to the token stream), per-doc
+    integer aggregation. All linear; at 100 TB the hot shuffle is the
+    token→count join, which AQE broadcast-converts when the
+    vocabulary fits."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.expr(_TOK_S)).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    bits = tok.join(cnt, "term").select(
+        "doc_id",
+        F.length(F.expr("bin(c)")).cast("long").alias("b"),
+    )
+    return bits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("b").cast("long").alias("sum_freq_bits"),
+        (F.sum("b").cast("double") / F.count(F.lit(1))).alias("mean_freq_bits"),
+    )

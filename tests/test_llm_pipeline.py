@@ -505,3 +505,21 @@ def test_substring_strip_consistent_with_span_stats(spark, sf_dir):
             shrunk += 1
             assert len(r["clean_text"]) == r["clean_chars"]
     assert shrunk > 0, "fixture should contain duplicated spans"
+
+
+def test_unigram_rarity_on_known_corpus(spark):
+    """Hand corpus: 'a' occurs 4x (bits=3), 'b' 2x (bits=2), 'c' 1x
+    (bits=1) — per-doc sums are exact integers."""
+    from mapreduce_citation_spark.operators.text import text_unigram_rarity
+    import mapreduce_citation_spark.operators.text as text_mod
+    from unittest import mock
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a a b c")], ["doc_id", "text"]
+    )
+    with mock.patch.object(text_mod, "_docs", return_value=docs):
+        rows = {r["doc_id"]: r for r in text_unigram_rarity(spark, "ignored").collect()}
+    # counts: a=4 (bin '100' -> 3 bits), b=2 ('10' -> 2), c=1 ('1' -> 1)
+    assert rows[1]["n_tokens"] == 3 and rows[1]["sum_freq_bits"] == 3 + 3 + 2
+    assert rows[2]["n_tokens"] == 4 and rows[2]["sum_freq_bits"] == 3 + 3 + 2 + 1
+    assert rows[2]["mean_freq_bits"] == (3 + 3 + 2 + 1) / 4
