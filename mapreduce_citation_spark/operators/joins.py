@@ -418,15 +418,31 @@ def bucketed_table(
     shuffle at ingest, then every subsequent join/aggregation on the
     bucket key runs with ZERO exchange — the right trade whenever a
     100 TB fact table is joined on the same key by many queries."""
+    import hashlib
     import os
     import re
     import shutil
 
+    def _tree_size(p: str) -> int:
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(p) for f in fs
+        )
+
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {_BUCKET_DB}")
-    token = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    # Token = basename + an 8-hex hash of the full realpath, so two
+    # fixture dirs sharing a basename (e.g. /a/sf0.1 vs /b/sf0.1) get
+    # distinct warehouse tables.
+    real = os.path.realpath(sf_dir.rstrip("/"))
+    path_tag = hashlib.md5(real.encode()).hexdigest()[:8]
+    token = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(real)) + "_" + path_tag
     tbl = f"{_BUCKET_DB}.{name}_bk_{token}"
     src = os.path.join(sf_dir, f"{name}.parquet")
-    src_mtime = str(int(os.path.getmtime(src)))
+    # Staleness guard: exact float mtime + total byte size, so a fixture
+    # regenerated within the same second is still detected.
+    src_mtime = f"{os.path.getmtime(src)!r}:{_tree_size(src)}"
     if spark.catalog.tableExists(tbl):
         props = {
             r["key"]: r["value"]

@@ -252,7 +252,7 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     plumbing is real). mapInPandas lets one input row emit many output
     rows without a shuffle; downstream per-frame featurization
     parallelizes over the expanded rows. Closure is self-contained
-    (see extract_features)."""
+    (see extract_media_features)."""
     import hashlib as _hl
 
     def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

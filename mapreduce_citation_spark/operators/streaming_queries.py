@@ -440,10 +440,13 @@ def streaming_running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     """CUSTOM stateful operator (``applyInPandasWithState``) as a LIVE
     driver-checked query: the per-user running counter from
     ``streaming/events.py:running_user_counts`` emits an updated
-    (user_id, n_events, last_ts) row every micro-batch; both fields
-    are monotone per user, so the per-user MAX over the drained
-    update-mode sink IS the final state — which must equal the batch
-    aggregation exactly.
+    (user_id, n_events, last_ts) row every micro-batch. ``n_events``
+    is monotone per user (the state carries the running count);
+    ``last_ts`` is the max WITHIN each micro-batch (state does not
+    carry it), so it can decrease across batches — the driver-side
+    per-user MAX over the drained update-mode sink recovers the
+    global max of both, which must equal the batch aggregation
+    exactly.
 
     This is the template for state machines Spark's built-in
     operators can't express; the state rows are Arrow-batched pandas,

@@ -90,9 +90,31 @@ def write_topic(
     Kafka semantics replicated: partition = deterministic hash of the
     key (per-key co-location), offset = arrival order within the
     partition (here: ts, then key — deterministic on both engines so
-    oracles can replay it). ``value_col`` must be a string column
+    oracles can replay it). A second produce into an existing topic
+    continues each partition's offsets from its current max (read
+    back from the topic; the collect is bounded at ``n_partitions``
+    rows), so the monotone-offset contract holds across produces.
+    ``value_col`` must be a string column
     (serialize upstream, e.g. ``to_json``); it lands as UTF-8 bytes
     exactly like a kafka producer's serializer."""
+    spark = records.sparkSession
+    path = os.path.join(topic_dir, topic)
+    base = F.lit(0).cast("long")
+    if os.path.isdir(path):
+        existing = (
+            read_topic_batch(spark, topic_dir, topic)
+            .groupBy("partition")
+            .agg(F.max("offset").alias("_max_off"))
+            .collect()
+        )
+        if existing:
+            next_off = {r["partition"]: r["_max_off"] + 1 for r in existing}
+            mapping = F.create_map(
+                *[F.lit(x) for kv in next_off.items() for x in kv]
+            )
+            base = F.coalesce(
+                mapping[F.col("partition")], F.lit(0)
+            ).cast("long")
     shaped = (
         records.select(
             F.col(key_col).cast("string").alias("_k"),
@@ -108,7 +130,8 @@ def write_topic(
             F.row_number()
             .over(Window.partitionBy("partition").orderBy("timestamp", "_k"))
             .cast("long")
-            - F.lit(1),
+            - F.lit(1)
+            + base,
         )
         .select(
             F.col("_k").cast("binary").alias("key"),

@@ -346,6 +346,32 @@ def test_kafka_shim_plumbing_semantics(spark, tmp_path):
         for r in got.select(F.col("value").cast("string").alias("v")).collect()
     }
     assert vals == {f"payload-{i}" for i in range(200)}
+    # second produce into the SAME topic: offsets must continue from
+    # each partition's max, not restart at 0 (monotone-offset contract)
+    more = spark.range(200, 260).selectExpr(
+        "id % 17 AS user_id",
+        "concat('payload-', id) AS payload",
+        "timestamp_micros(CAST(1704067200000000 + id * 1000000 AS LONG)) AS ts",
+    )
+    write_topic(
+        more, str(tmp_path), "t", key_col="user_id",
+        value_col="payload", ts_col="ts", n_partitions=4,
+    )
+    got2 = read_topic_batch(spark, str(tmp_path), "t")
+    assert got2.count() == 260
+    # still contiguous 0..n-1 per partition, and no duplicate offsets
+    offs2 = (
+        got2.groupBy("partition")
+        .agg(
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("offset").alias("nd"),
+        )
+        .collect()
+    )
+    for r in offs2:
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1 and r["nd"] == r["n"]
 
 
 def test_stateful_agg_under_rocksdb_state_store(spark, tmp_path):
