@@ -975,6 +975,7 @@ SELECT d.doc_id,
        CAST(length(d.text) AS BIGINT) AS n_chars
 FROM documents d LEFT JOIN clean cl USING (doc_id)
 """,
+    bench=True,
     tags=("dedup", "substring", "suffix-array", "strip"),
 )
 def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -411,6 +411,7 @@ LIMIT 20
 @register(
     "citation_pagerank",
     oracle=_pagerank_oracle(6),
+    bench=True,
     tags=("graph", "citation", "pagerank", "iterative"),
 )
 def citation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,3 +423,187 @@ def citation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm in pure python."""
     ranks = pagerank(_edges(spark, sf_dir), iterations=6)
     return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank: the at-scale summation strategy, made exact
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale: ranks live in units of 1e-15 as BIGINT. Total
+#: rank mass is ~1.0 → ~1e15 units, so every sum and every 17×
+#: product stays far below the 9.2e18 BIGINT ceiling.
+_FP_SCALE = 10**15
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 8,
+    scale: int = _FP_SCALE,
+    d_num: int = 17,
+    d_den: int = 20,
+) -> DataFrame:
+    """PageRank with integer-quantized (fixed-point) arithmetic — the
+    summation strategy that is BOTH cluster-scale and bitwise
+    deterministic, resolving the exactness/scale trade that
+    :func:`pagerank`'s ``exact_fold`` flag exposes:
+
+    - gate mode (``exact_fold=True``) is deterministic but pays
+      per-key ``collect_list`` memory ∝ in-degree;
+    - scale mode (``exact_fold=False``) is a plain associative
+      ``F.sum`` but float association order drifts by ulps per run;
+    - THIS variant stores ranks as BIGINT multiples of ``1/scale``
+      (1e-15). Every per-edge contribution is an integer floor
+      division, every reduction a plain ``F.sum`` over BIGINT —
+      associative and exact, so map-side partial aggregation engages
+      (constant per-key state, no lists) and the result is identical
+      regardless of partition order, task retries, or cluster size.
+      Damping 0.85 is the exact rational 17/20 applied as integer
+      multiply-then-floor-divide.
+
+    Quantization truncates ≤1 unit (1e-15) per floor division, so
+    ranks agree with the float variants to ~1e-12 after 6 iterations
+    (pinned in pytest) while the DuckDB oracle replays the integer
+    algorithm hash-exactly. All operands are nonnegative, so Spark's
+    ``div`` (truncate toward zero) and DuckDB's ``//`` (floor) agree.
+    """
+    nodes = (
+        edges.select(F.col("from_paper").alias("node"))
+        .union(edges.select("to_paper"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_total = nodes.count()
+    out_deg = edges.groupBy(F.col("from_paper").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    ).localCheckpoint()
+    # (1-d)·scale/n as one exact python int: ((den-num)·scale // den) // n
+    base1 = ((d_den - d_num) * scale // d_den) // n_total
+    ranks = nodes.select(
+        "node", F.lit(scale // n_total).cast("long").alias("rank_q")
+    )
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg, "node", "left")
+        # lazy 1-row dangling fold, same shape as pagerank(): BIGINT
+        # sum needs no ordering discipline at all
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(
+                F.coalesce(F.sum("rank_q"), F.lit(0))
+                .cast("long")
+                .alias("_dangling_q")
+            )
+        )
+        contribs = (
+            edges.join(
+                with_deg.filter(F.col("out_deg").isNotNull()),
+                edges.from_paper == F.col("node"),
+            )
+            .select(
+                F.col("to_paper").alias("node"),
+                F.expr("rank_q div out_deg").alias("v"),
+            )
+            .groupBy("node")
+            .agg(F.sum("v").cast("long").alias("in_q"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base1)
+                    + F.expr(
+                        f"(({d_num} * _dangling_q) div {d_den}) div {n_total}"
+                    )
+                    + F.expr(f"({d_num} * coalesce(in_q, 0L)) div {d_den}")
+                )
+                .cast("long")
+                .alias("rank_q"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def _pagerank_fp_oracle(iters: int = 6, scale: int = _FP_SCALE) -> str:
+    """Iteration-unrolled DuckDB mirror of :func:`pagerank_fixed_point`.
+
+    Integer arithmetic end to end: ``//`` floor division (equals
+    Spark's ``div`` on the nonnegative operands here) and BIGINT sums
+    (DuckDB's SUM widens to HUGEINT — cast back) make the replay
+    bitwise by construction, with none of the fold-order engineering
+    the float oracle needs."""
+    stages = []
+    for k in range(1, iters + 1):
+        p = f"fr{k - 1}"
+        stages.append(f"""
+fd{k} AS MATERIALIZED (
+  SELECT CAST(COALESCE(SUM(r.rank_q), 0) AS BIGINT) AS dq
+  FROM {p} r LEFT JOIN outd o ON r.node = o.node
+  WHERE o.node IS NULL
+),
+fc{k} AS MATERIALIZED (
+  SELECT e.to_paper AS node,
+         CAST(SUM(r.rank_q // o.out_deg) AS BIGINT) AS in_q
+  FROM edges e
+  JOIN {p} r ON e.from_paper = r.node
+  JOIN outd o ON e.from_paper = o.node
+  GROUP BY e.to_paper
+),
+fr{k} AS MATERIALIZED (
+  SELECT nd.node,
+         ((3 * {scale}) // 20) // (SELECT n FROM nn)
+         + ((17 * (SELECT dq FROM fd{k})) // 20) // (SELECT n FROM nn)
+         + (17 * COALESCE(c.in_q, 0)) // 20 AS rank_q
+  FROM nodes nd LEFT JOIN fc{k} c ON nd.node = c.node
+)""")
+    return (
+        _EDGES_CTE
+        + f""",
+nodes AS MATERIALIZED (
+  SELECT from_paper AS node FROM edges UNION SELECT to_paper FROM edges
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outd AS MATERIALIZED (
+  SELECT from_paper AS node, COUNT(*) AS out_deg FROM edges GROUP BY from_paper
+),
+fr0 AS MATERIALIZED (
+  SELECT node, {scale} // (SELECT n FROM nn) AS rank_q FROM nodes
+),"""
+        + ",".join(stages)
+        + f"""
+SELECT node, CAST(rank_q AS BIGINT) AS rank_q,
+       CAST(rank_q AS DOUBLE) / {float(scale)!r} AS rank
+FROM fr{iters}
+ORDER BY rank_q DESC, node ASC
+LIMIT 20
+"""
+    )
+
+
+@register(
+    "citation_pagerank_scale",
+    oracle=_pagerank_fp_oracle(6),
+    bench=True,
+    tags=("graph", "citation", "pagerank", "iterative", "fixed-point", "scale"),
+)
+def citation_pagerank_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank in the AT-SCALE summation strategy
+    (:func:`pagerank_fixed_point`): plain associative BIGINT sums —
+    map-side combine, constant per-key aggregation state, no
+    ``collect_list`` — yet still a hard driver hash match, because
+    integer quantization makes the arithmetic order-independent.
+    Benched alongside gate-mode ``citation_pagerank`` so the cost of
+    the sorted-fold exactness machinery is measured every round."""
+    ranks = pagerank_fixed_point(_edges(spark, sf_dir), iterations=6)
+    return (
+        ranks.orderBy(F.col("rank_q").desc(), F.col("node").asc())
+        .limit(20)
+        .select(
+            "node",
+            "rank_q",
+            (F.col("rank_q").cast("double") / F.lit(float(_FP_SCALE))).alias(
+                "rank"
+            ),
+        )
+    )

@@ -268,6 +268,98 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew torture pair: the same hot-keyed join, unmitigated vs salted
+# ---------------------------------------------------------------------------
+
+def _hot_keyed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately skewed fact side: every 5th lineitem row (~20% of
+    the table) is remapped onto ONE existing order key (the min), so
+    a shuffle join on the key sends a fifth of the fact table to a
+    single reducer. The hot key is a lazy 1-row broadcast scalar, not
+    a driver collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    hot = o.agg(F.min("o_orderkey").alias("_hk"))
+    return li.crossJoin(F.broadcast(hot)).select(
+        F.when(F.col("l_orderkey") % 5 == 0, F.col("_hk"))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+
+
+_HOT_KEY_ORACLE = f"""
+WITH hot AS (SELECT MIN(o_orderkey) AS hk FROM orders),
+sk AS (
+  SELECT CASE WHEN l_orderkey % 5 = 0 THEN (SELECT hk FROM hot)
+              ELSE l_orderkey END AS k,
+         l_quantity, l_extendedprice, l_discount
+  FROM lineitem
+)
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE) AS revenue
+FROM sk JOIN orders ON k = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def _hot_key_agg(joined: DataFrame) -> DataFrame:
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("SUM(l_quantity)").alias("sum_qty"),
+        F.expr(f"CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)").alias("revenue"),
+    )
+
+
+@register(
+    "join_hot_key_aqe",
+    oracle=_HOT_KEY_ORACLE,
+    bench=True,
+    tags=("join", "skew", "aqe", "torture"),
+)
+def join_hot_key_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-keyed join, mitigation left to the ENGINE: a plain
+    sort-merge join (merge hint pins the at-scale plan — on a 100 TB
+    cluster the orders side never broadcasts) where one reducer
+    receives ~20% of the fact table.
+
+    At bench scale the hot partition is CPU-heavy but byte-light
+    (megabytes — far under AQE's 256MB
+    ``skewJoin.skewedPartitionThresholdInBytes``), so AQE does NOT
+    split it and the join runs at the speed of its slowest reducer:
+    the same bytes-vs-rows blind spot as the coalescing floor
+    (SCALE.md). On a real cluster the hot partition's bytes cross the
+    threshold and AQE splits it automatically; ``join_hot_key_salted``
+    is the structural fix that works at EVERY scale. The bench pair
+    measures the gap each round."""
+    sk = _hot_keyed_lineitem(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders")
+    joined = sk.hint("merge").join(o, sk.k == o.o_orderkey)
+    return _hot_key_agg(joined)
+
+
+@register(
+    "join_hot_key_salted",
+    oracle=_HOT_KEY_ORACLE,
+    bench=True,
+    tags=("join", "skew", "salting", "torture"),
+)
+def join_hot_key_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same hot-keyed join with the 32-way salting rewrite: the
+    hot key's rows spread over 32 reducers (salt = content hash of
+    the fact row), the orders side is replicated once per salt, and
+    the tail task disappears. Identical results by construction —
+    both entries share one plain-join oracle."""
+    sk = _hot_keyed_lineitem(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders")
+    joined = salted_join(sk.hint("merge"), o, "k", "o_orderkey", n_salts=32)
+    return _hot_key_agg(joined)
+
+
+# ---------------------------------------------------------------------------
 # As-of join (custom operator — Spark has no native one)
 # ---------------------------------------------------------------------------
 

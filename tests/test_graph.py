@@ -128,3 +128,37 @@ def test_pagerank_scale_mode_agrees_and_drops_listfold(spark):
     assert "collect_list" not in _rank_fold_expr(False)
     assert "collect_list" not in _rank_fold_expr(False, dangling=True)
     assert "collect_list" in _rank_fold_expr(True)
+
+
+def test_pagerank_fixed_point_agrees_and_is_integer_exact(spark):
+    """Fixed-point mode (the benched at-scale strategy) must agree
+    with gate mode to quantization tolerance on every rank, produce
+    the same top ordering, and be bit-identical across repeated runs
+    (integer sums are associative — no float drift to tolerate)."""
+    from mapreduce_citation_spark.operators.graph import (
+        _FP_SCALE,
+        pagerank,
+        pagerank_fixed_point,
+    )
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+        ("e", "c"), ("c", "e"), ("b", "a"),
+    ]
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    exact = {r["node"]: r["rank"] for r in pagerank(df, iterations=6).collect()}
+    fp1 = {
+        r["node"]: r["rank_q"]
+        for r in pagerank_fixed_point(df, iterations=6).collect()
+    }
+    assert exact.keys() == fp1.keys()
+    # quantization truncates <=1 unit (1e-15) per floor division;
+    # 6 iterations over this graph stay well inside 1e-9
+    for v in exact:
+        assert fp1[v] / _FP_SCALE == pytest.approx(exact[v], abs=1e-9)
+    # deterministic replay: a second run returns the same integers
+    fp2 = {
+        r["node"]: r["rank_q"]
+        for r in pagerank_fixed_point(df, iterations=6).collect()
+    }
+    assert fp1 == fp2

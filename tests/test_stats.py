@@ -98,3 +98,29 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     plain = o.join(c, o.o_custkey == c.c_custkey).count()
     salted = salted_join(o, c, "o_custkey", "c_custkey", n_salts=8).count()
     assert salted == plain
+
+
+def test_hot_key_torture_pair_identical_and_salted_spreads(spark, sf_dir):
+    """The skew-torture bench pair must (a) return identical results
+    (salting is a pure physical rewrite) and (b) really differ in
+    plan: unmitigated joins on [k] alone, salted on [k, _salt] — both
+    pinned to sort-merge (no broadcast escape hatch)."""
+    from mapreduce_citation_spark.operators.joins import (
+        join_hot_key_aqe,
+        join_hot_key_salted,
+    )
+
+    a = join_hot_key_aqe(spark, sf_dir)
+    s = join_hot_key_salted(spark, sf_dir)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_s = sorted(map(tuple, s.collect()))
+    assert rows_a == rows_s and rows_a  # identical, non-empty
+
+    plan_a = a._jdf.queryExecution().executedPlan().toString()
+    plan_s = s._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_a and "SortMergeJoin" in plan_s
+    # the fact-side join must not have been broadcast in either plan
+    # (1-row scalar / salt-table IdentityBroadcast is fine)
+    assert "BroadcastHashJoin" not in plan_a
+    assert "BroadcastHashJoin" not in plan_s
+    assert "_salt" in plan_s and "_salt" not in plan_a
