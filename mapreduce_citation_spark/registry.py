@@ -66,16 +66,19 @@ _PRIORITY = (
     "top_cited",
     "citing_papers",
     # SURVEY §2.2 scalar functions.
+    # (r5 rotation: scalar_datetime_funcs → beyond-window; the scalar
+    # family stays represented by string + math.)
     "scalar_string_funcs",
-    "scalar_datetime_funcs",
     "scalar_math_funcs",
     # Core relational representatives (agg / join+topk).
     "q1_pricing_summary",
     "q3_shipping_priority",
-    # LLM-pipeline: deduplication.
+    # LLM-pipeline: deduplication — every family in-window, including
+    # the full suffix-array-style substring trio and decontamination.
+    # (r5 rotation: dedup_ngram_jaccard — minhash's ground-truth twin
+    # — moved beyond-window to make room.)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     # (dedup_simhash / knn_brute_cosine_pandas: beyond-window — their
     # stronger siblings dedup_simhash_pairs / knn_brute_cosine stay.)
     "dedup_simhash_pairs",
@@ -83,56 +86,66 @@ _PRIORITY = (
     "dedup_clusters",
     "dedup_exact_substring_pairs",
     "dedup_substring_spans",
-    # LLM-pipeline: similarity search.
+    "dedup_substring_strip",
+    "decontaminate_eval_overlap",
+    # LLM-pipeline: similarity search (all four ANN strategies).
+    # (r5 rotation: embedding_label_stats → beyond-window.)
     "knn_brute_cosine",
     "knn_lsh_ann",
     "knn_ivf_ann",
-    "embedding_label_stats",
+    "knn_pq_ann",
     # LLM-pipeline: text analysis.
+    # (r5 rotation: doc_fingerprint / token_count_regex →
+    # beyond-window — winnowing and token_stats cover those families;
+    # unigram rarity joins the window.)
     "text_token_stats",
     "text_quality_scores",
     "text_lang_id",
-    "doc_fingerprint",
     "text_tfidf_top_terms",
     "doc_winnowing_fingerprints",
-    "token_count_regex",
+    "text_unigram_rarity",
     # LLM-pipeline: end-to-end compositions.
     "pipeline_filter_funnel",
+    "corpus_mixture_weights",
     # LLM-pipeline: multimodal plumbing.
+    # (r5 rotation: multimodal_frame_sample → beyond-window; ingest +
+    # decode keep the family covered.)
     "multimodal_ingest_stats",
-    "multimodal_frame_sample",
     "multimodal_decode_features",
     # Event analytics (batch twins of the streaming surface).
+    # (r5 rotation: events_json_struct → beyond-window with its
+    # sibling events_json_props.)
     "events_tumbling_hourly",
-    # (events_sliding_windows: beyond-window — tumbling twin stays.)
     "events_session_window",
     "events_funnel_join",
-    # (events_json_props: beyond-window — events_json_struct covers
-    # the JSON-extraction family in-window.)
-    "events_json_struct",
-    # Structured Streaming, driver-visible: windowed agg, stateful
-    # dedup, kafka-shaped source, stream-stream join, custom
-    # applyInPandasWithState operator.
+    # Structured Streaming, driver-visible: ALL SIX live families —
+    # windowed agg, session windows, stateful dedup, kafka-shaped
+    # source, stream-stream join, custom applyInPandasWithState.
     "streaming_tumbling_counts",
+    "streaming_session_counts",
     "streaming_dedup_watermark",
     "streaming_kafka_topic_counts",
     "streaming_stream_stream_funnel",
     "streaming_running_user_counts",
-    # Graph / iterative.
+    # Graph / iterative: gate mode + the fixed-point scale mode.
     "citation_pagerank",
+    "citation_pagerank_scale",
     "citation_components",
-    # (citation_cocitation / citation_coupling: beyond-window — the
-    # pair-counting family is represented by the graph iteratives.)
     # Statistics.
+    # (r5 rotation: stats_variance → beyond-window.)
     "stats_percentiles",
-    "stats_variance",
     "stats_correlation",
     "stats_approx",
-    # Custom-operator showcases.
+    # Custom-operator showcases + the engine-level bench pairs.
+    # (r5 rotation: window_topk_per_group and join_salted_skew →
+    # beyond-window; the skew family is now represented by the
+    # stronger hot-key torture pair, and the bucketed warehouse join
+    # is driver-gated.)
     "sessionize_events",
-    "window_topk_per_group",
     "asof_join_events_orders",
-    "join_salted_skew",
+    "join_bucketed_fact_fact",
+    "join_hot_key_aqe",
+    "join_hot_key_salted",
 )
 
 

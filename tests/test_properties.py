@@ -223,3 +223,95 @@ def test_exact_substring_pairs_match_python_reference(spark, docs):
                 if shared:
                     want[(x, y)] = len(shared)
     assert got == want
+
+
+def _pairs_via_duckdb(rows, cap):
+    """Run the driver-gate oracle SQL for exact-substring pairs on a
+    planted (doc_id, text) fixture, with the given df cap."""
+    import duckdb
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.dedup import _es_pairs_oracle
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = con.execute(_es_pairs_oracle(maxdf=cap)).fetchall()
+    con.close()
+    return sorted((a, b, int(n)) for a, b, n in out)
+
+
+def _planted_df_groups(cap):
+    """Two doc groups planted EXACTLY at the boundary: every doc is a
+    single 40-char gram (text length == k, so no boundary grams
+    muddy the df), giving one digest with df == cap (pairs must
+    survive the cap) and one with df == cap + 1 (pairs must be
+    filtered as boilerplate)."""
+    rows = []
+    for i in range(cap):
+        rows.append((f"a{i:04d}", "A" * 40))
+    for i in range(cap + 1):
+        rows.append((f"b{i:04d}", "B" * 40))
+    return rows
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cap=st.integers(min_value=2, max_value=6))
+def test_substring_pairs_df_cap_boundary(spark, cap):
+    """The boilerplate cap changes WHICH pairs exist — identical
+    semantics on both engines is load-bearing (VERDICT r4 #7): a
+    digest at df == cap keeps its C(cap, 2) pairs, df == cap + 1
+    yields none, and Spark and the driver-gate DuckDB oracle agree
+    row-for-row on planted fixtures either side of the boundary."""
+    from mapreduce_citation_spark.operators.dedup import exact_substring_pairs
+
+    rows = _planted_df_groups(cap)
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["n_shared"])
+        for r in exact_substring_pairs(docs, maxdf=cap).collect()
+    )
+    want = _pairs_via_duckdb(rows, cap)
+    assert got == want
+    # structural truth, independent of either engine: all C(cap, 2)
+    # a-pairs present with exactly the one shared gram; no b-pairs
+    assert got == sorted(
+        (f"a{i:04d}", f"a{j:04d}", 1)
+        for i in range(cap) for j in range(i + 1, cap)
+    )
+
+
+def test_substring_pairs_df_cap_boundary_at_real_cap(spark):
+    """Same boundary at the PRODUCTION cap (_ES_MAXDF = 1000): a
+    digest planted in exactly 1000 docs keeps its 499 500 pairs, one
+    in 1001 docs is dropped — on both engines (count-compared; the
+    half-million-row pair set itself stays distributed)."""
+    from mapreduce_citation_spark.operators.dedup import (
+        _ES_MAXDF,
+        exact_substring_pairs,
+    )
+
+    rows = _planted_df_groups(_ES_MAXDF)
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    pairs = exact_substring_pairs(docs)  # production cap
+    n_spark = pairs.count()
+    expect = _ES_MAXDF * (_ES_MAXDF - 1) // 2
+    assert n_spark == expect
+    # no pair from the df == cap+1 group
+    assert pairs.filter("doc_a LIKE 'b%' OR doc_b LIKE 'b%'").count() == 0
+    # duckdb agrees on the count
+    import duckdb
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.dedup import _es_pairs_oracle
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    n_duck = con.execute(
+        f"SELECT COUNT(*) FROM ({_es_pairs_oracle()})"
+    ).fetchone()[0]
+    con.close()
+    assert n_duck == expect

@@ -503,3 +503,176 @@ def test_dedup_state_survives_restart(spark, tmp_path):
     )
     got2 = run_until_drained("dedup_restart_b")
     assert got2 == {1, 2, 3, 4, 5, 6, 7}, got2  # ids 3,4 NOT re-emitted
+
+
+def _write_jsonl(path, rows):
+    import json as _json
+
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+
+
+def test_session_window_state_survives_restart(spark, tmp_path):
+    """Checkpointed session-window state must survive a stop/start: an
+    event arriving in a NEW run of the query within the session gap
+    must MERGE into the session opened by the previous run (one final
+    session, not two fragments) — i.e. the open-session state was
+    recovered from the checkpoint, not rebuilt."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def ts(minutes):
+        return f"2024-01-01T{minutes // 60:02d}:{minutes % 60:02d}:00.000Z"
+
+    def run_until_drained():
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        sessions = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.session_window("ts", "10 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", "w.start", "w.end", "n_events")
+        )
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # run 1: user 1 events at 0m and 5m — ONE open session [0, 15m),
+    # not yet emitted (watermark hasn't passed its end)
+    _write_jsonl(
+        src / "b1.json",
+        [
+            {"event_id": 1, "ts": ts(0), "user_id": 1},
+            {"event_id": 2, "ts": ts(5), "user_id": 1},
+        ],
+    )
+    run_until_drained()
+
+    # run 2 (fresh query, SAME checkpoint): 12m extends the recovered
+    # open session (within the 10m gap of its [.., 15m) end); the
+    # 10h event advances the watermark far enough to close + emit it
+    _write_jsonl(
+        src / "b2.json",
+        [
+            {"event_id": 3, "ts": ts(12), "user_id": 1},
+            {"event_id": 99, "ts": ts(600), "user_id": 2},
+        ],
+    )
+    run_until_drained()
+
+    rows = {
+        (r["user_id"], r["start"].isoformat(), r["end"].isoformat(), r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # exactly ONE user-1 session covering all three events — a lost
+    # checkpoint would have produced two fragments (n=2 and n=1)
+    assert rows == {
+        (1, "2024-01-01T00:00:00", "2024-01-01T00:22:00", 3)
+    }, rows
+
+
+def test_stream_stream_join_state_survives_restart(spark, tmp_path):
+    """Checkpointed stream-stream-join buffers must survive a
+    stop/start: a view buffered in run 1 must still match a purchase
+    that only arrives in run 2 (same checkpoint) — the join emits from
+    RECOVERED buffered state."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def ts(minutes):
+        return f"2024-01-01T{minutes // 60:02d}:{minutes % 60:02d}:00.000Z"
+
+    def run_until_drained():
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        views = (
+            ev.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "2 hours")
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
+        )
+        joined = views.join(
+            purchases,
+            (views.user_id == purchases.p_user_id)
+            & (purchases.purchase_ts >= views.view_ts)
+            & (purchases.purchase_ts < views.view_ts + F.expr("INTERVAL 1 HOUR")),
+        ).select("user_id", "view_id", "purchase_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # run 1: a view with no purchase yet — joined output is empty, the
+    # view is buffered in join state
+    _write_jsonl(
+        src / "b1.json",
+        [{"event_id": 1, "ts": ts(0), "user_id": 7, "event_type": "view"}],
+    )
+    run_until_drained()
+    import os as _os
+
+    emitted1 = (
+        spark.read.parquet(out_dir).count()
+        if _os.path.exists(_os.path.join(out_dir, "_spark_metadata"))
+        else 0
+    )
+    assert emitted1 == 0
+
+    # run 2 (SAME checkpoint): the matching purchase arrives 5m after
+    # the buffered view — must join against recovered state
+    _write_jsonl(
+        src / "b2.json",
+        [{"event_id": 2, "ts": ts(5), "user_id": 7, "event_type": "purchase"}],
+    )
+    run_until_drained()
+    rows = {
+        (r["user_id"], r["view_id"], r["purchase_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert rows == {(7, 1, 2)}, rows
