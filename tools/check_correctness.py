@@ -7,7 +7,12 @@ Values are normalized identically on both sides before hashing
 (floats via repr of float64, timestamps to ISO strings) so the check
 is about semantics, not client formatting.
 
-Usage: python tools/check_correctness.py [query ...]
+Usage: python tools/check_correctness.py [--json PATH] [query ...]
+
+``--json PATH`` additionally writes a driver-artifact-style JSON dict
+(per query: rows/schema/hash match flags, row counts, err) so full
+sweeps can be committed as evidence (ADVICE r4: the driver window
+samples 50 queries; the committed artifact covers the rest).
 """
 
 from __future__ import annotations
@@ -90,6 +95,13 @@ def main(names: list[str]) -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    json_path = None
+    if "--json" in names:
+        i = names.index("--json")
+        json_path = names[i + 1]
+        names = names[:i] + names[i + 2:]
+    results: dict[str, dict] = {}
+
     qs, oracles = ent.queries(), ent.oracle_sql()
     use = names or list(qs)
     failures = 0
@@ -99,15 +111,30 @@ def main(names: list[str]) -> int:
             sdf = qs[name](spark, SF_DIR).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark: {e}",
+            }
             failures += 1
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "rows_match": True, "schema_match": True,
+                "hash_match": None, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": f"oracle: {e}",
+            }
             failures += 1
             continue
         problems = []
@@ -128,11 +155,24 @@ def main(names: list[str]) -> int:
                     print(f"      (diff unavailable: {e})")
                     print("      spark dtypes:", dict(sdf.dtypes.astype(str)))
                     print("      oracle dtypes:", dict(odf.dtypes.astype(str)))
+        results[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures += 1
         else:
             print(f"PASS  {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(results, fh, indent=1)
     print(f"\n{len(use) - failures}/{len(use)} passed")
     return 1 if failures else 0
 
