@@ -529,6 +529,59 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS src, b AS dst FROM und
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       (c.doc_id IS NOT NULL) AS was_clustered
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR d.doc_id = c.cluster_id
+""",
+    tags=("dedup", "clusters", "apply", "canonical"),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY cluster dedup to the corpus — the output a training run
+    actually consumes: every doc not in any near-dup cluster plus ONE
+    canonical doc (min doc_id) per cluster, flagged ``was_clustered``
+    so downstream mixture accounting can tell survivors-by-default
+    from survivors-by-canonicalization.
+
+    Scale shape: the cluster table is bounded by near-dup mass (tiny
+    relative to the corpus), so the final left join is
+    broadcast-eligible under AQE and the corpus is never shuffled —
+    the apply step costs one documents scan beyond the pair
+    pipeline. ``dedup_clusters`` finds the clusters; this is the
+    missing "emit the deduplicated corpus" half (compare the
+    reference's report-only pipeline, master/master.py:206-224)."""
+    clusters = dedup_clusters(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    return (
+        d.join(clusters, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | F.col("keep"))
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.col("cluster_id").isNotNull().alias("was_clustered"),
+        )
+    )
+
+
 def _semantic_hybrid_oracle() -> str:
     from .similarity import lsh_band_keys_duck
 

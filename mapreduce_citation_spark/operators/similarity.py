@@ -823,3 +823,87 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection (dimensionality-reduction sketch)
+# ---------------------------------------------------------------------------
+
+_RP_OUT = 16   # projected dimensions
+_RP_IN = 64    # fixture embedding dimension
+
+
+def _rp_sign_matrix(m: int = _RP_OUT, d: int = _RP_IN) -> list[list[int]]:
+    """±1 projection matrix, md5-derived and data-independent: entry
+    (j, i) is +1 iff the first hex nibble of md5('rp-j-i') < 8.
+    Computed ONCE driver-side and embedded as literals in both the
+    Spark expression and the DuckDB oracle — the 100 TB design
+    (precompute the tiny matrix, ship it with the plan; zero runtime
+    hashing, the projection is a pure map over the corpus)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp-{j}-{i}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for i in range(1, d + 1)
+        ]
+        for j in range(1, m + 1)
+    ]
+
+
+def _rp_oracle() -> str:
+    s = _rp_sign_matrix()
+    lit = (
+        "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in row) + "]" for row in s
+        ) + "]"
+    )
+    return f"""
+WITH mm AS MATERIALIZED (
+  SELECT j, ({lit})[j] AS srow
+  FROM (SELECT unnest(generate_series(1, {_RP_OUT})) AS j)
+)
+SELECT e.vec_id, CAST(mm.j AS INT) AS j,
+       list_reduce(list_transform(generate_series(1, {_RP_IN}),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(mm.srow[i] AS DOUBLE)),
+            (a, b) -> a + b) AS proj
+FROM embeddings e CROSS JOIN mm
+"""
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_rp_oracle(),
+    tags=("similarity", "sketch", "dimensionality-reduction", "jl"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: every 64-d embedding →
+    16-d sketch via a fixed ±1 matrix (Achlioptas-style database-
+    friendly JL). The matrix is md5-derived but embedded as literals
+    (see ``_rp_sign_matrix``), so the whole operator is one
+    shuffle-free projection pass — each output coordinate an ordered
+    left-fold in double, bitwise identical on both engines (the
+    ``knn_brute_cosine`` dot-product discipline). Long output
+    (vec_id, j, proj) so downstream bucketing/ANN can treat
+    coordinates relationally."""
+    s = _rp_sign_matrix()
+    folds = ", ".join(
+        "aggregate(zip_with(embedding, array("
+        + ", ".join(f"{v}.0D" for v in row)
+        + "), (x, s) -> CAST(x AS DOUBLE) * s), 0D, (a, b) -> a + b)"
+        for row in s
+    )
+    return (
+        _emb(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.posexplode(F.expr(f"array({folds})")).alias("pos", "proj"),
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("j"),
+            "proj",
+        )
+    )

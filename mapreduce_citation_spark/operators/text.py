@@ -11,7 +11,7 @@ in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text_funcs import (
@@ -555,4 +555,69 @@ def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("b").cast("long").alias("sum_freq_bits"),
         (F.sum("b").cast("double") / F.count(F.lit(1))).alias("mean_freq_bits"),
+    )
+
+
+@register(
+    "text_bigram_lm",
+    oracle=f"""
+WITH t AS (
+  SELECT {_TOK_D} AS toks FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+  FROM t WHERE len(toks) >= 2
+),
+c AS (
+  SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(SUM(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_prefix,
+       CAST(n_pair AS DOUBLE) / SUM(n_pair) OVER (PARTITION BY w1) AS cond_p
+FROM c
+ORDER BY n_pair DESC, w1 ASC, w2 ASC
+LIMIT 100
+""",
+    tags=("text", "lm", "ngram"),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts — the classic MapReduce workload
+    (count pairs, normalize per prefix) as two aggregations: top-100
+    bigrams with their conditional probability P(w2|w1) =
+    n_pair / n_prefix (exact-int numerator/denominator, one IEEE
+    division — deterministic on both engines).
+
+    Shape: map-side bigram explode (adjacent-token pairs, no
+    self-join), one map-side-combinable shuffle to count pairs, one
+    w1-keyed window for the prefix totals (same shuffle key a
+    dedicated prefix-count aggregation would use), TakeOrdered
+    top-100. Linear in token count; the LM-table shape (shuffle on
+    the n-gram, re-key on the prefix) is the same at any n."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.expr(_TOK_S).alias("toks")).where(F.size("toks") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    w = Window.partitionBy("w1")
+    return (
+        c.select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.sum("n_pair").over(w).cast("long").alias("n_prefix"),
+            (
+                F.col("n_pair").cast("double")
+                / F.sum("n_pair").over(w)
+            ).alias("cond_p"),
+        )
+        .orderBy(F.col("n_pair").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(100)
     )

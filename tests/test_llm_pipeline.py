@@ -523,3 +523,101 @@ def test_unigram_rarity_on_known_corpus(spark):
     assert rows[1]["n_tokens"] == 3 and rows[1]["sum_freq_bits"] == 3 + 3 + 2
     assert rows[2]["n_tokens"] == 4 and rows[2]["sum_freq_bits"] == 3 + 3 + 2 + 1
     assert rows[2]["mean_freq_bits"] == (3 + 3 + 2 + 1) / 4
+
+
+def test_keep_canonical_consistent_with_clusters(spark, sf_dir):
+    """The applied dedup output must be exactly: all unclustered docs
+    plus one canonical (min doc_id) per cluster, flags matching the
+    cluster table."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.dedup import (
+        _docs,
+        dedup_clusters,
+        dedup_keep_canonical,
+    )
+
+    out = {r["doc_id"]: r["was_clustered"]
+           for r in dedup_keep_canonical(spark, sf_dir).collect()}
+    clusters = dedup_clusters(spark, sf_dir).collect()
+    clustered = {r["doc_id"] for r in clusters}
+    canonical = {r["doc_id"] for r in clusters if r["keep"]}
+    all_docs = {r["doc_id"] for r in _docs(spark, sf_dir).select("doc_id").collect()}
+
+    assert set(out) == (all_docs - clustered) | canonical
+    assert {d for d, fl in out.items() if fl} == canonical
+    # every cluster keeps exactly one doc: its min label
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m["doc_id"] for m in members if m["doc_id"] in out]
+        assert kept == [min(m["doc_id"] for m in members)]
+
+
+def test_bigram_lm_on_planted_corpus(spark):
+    """Known tiny corpus → exact bigram counts and conditional
+    probabilities (P sums to 1 per prefix when all bigrams kept)."""
+    from mapreduce_citation_spark.operators.text import text_bigram_lm
+    import mapreduce_citation_spark.operators.text as T
+    from pyspark.sql import functions as F
+
+    # run the registered op against a planted parquet fixture dir
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs = spark.createDataFrame(
+            [("d1", "a b a b c"), ("d2", "a b x")],
+            ["doc_id", "text"],
+        ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+         .withColumn("n_chars", F.length("text"))
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {
+            (r["w1"], r["w2"]): (r["n_pair"], r["n_prefix"], r["cond_p"])
+            for r in text_bigram_lm(spark, td).collect()
+        }
+    # bigrams: d1: (a,b) (b,a) (a,b) (b,c); d2: (a,b) (b,x)
+    assert rows[("a", "b")] == (3, 3, 1.0)          # P(b|a) = 3/3
+    assert rows[("b", "a")] == (1, 3, 1 / 3)        # b prefixes: a, c, x
+    assert rows[("b", "c")] == (1, 3, 1 / 3)
+    assert rows[("b", "x")] == (1, 3, 1 / 3)
+    assert len(rows) == 4
+
+
+def test_random_projection_linear_and_deterministic(spark, sf_dir):
+    """JL sign projection must be (a) bit-identical across runs and
+    (b) linear: proj(-v) == -proj(v) coordinate-wise."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.similarity import (
+        _RP_OUT,
+        embedding_random_projection,
+    )
+
+    p1 = {(r["vec_id"], r["j"]): r["proj"]
+          for r in embedding_random_projection(spark, sf_dir).collect()}
+    p2 = {(r["vec_id"], r["j"]): r["proj"]
+          for r in embedding_random_projection(spark, sf_dir).collect()}
+    assert p1 == p2 and p1  # bitwise-stable sketch
+    n_vecs = len({k[0] for k in p1})
+    assert len(p1) == n_vecs * _RP_OUT
+
+    # linearity on a negated copy routed through the same operator
+    import os
+    import tempfile
+
+    from mapreduce_citation_spark.operators.similarity import _emb
+
+    with tempfile.TemporaryDirectory() as td:
+        neg = _emb(spark, sf_dir).select(
+            "vec_id",
+            F.expr("transform(embedding, x -> -x)").alias("embedding"),
+            "label",
+        )
+        neg.write.parquet(os.path.join(td, "embeddings.parquet"))
+        pn = {(r["vec_id"], r["j"]): r["proj"]
+              for r in embedding_random_projection(spark, td).collect()}
+    assert set(pn) == set(p1)
+    for k, v in p1.items():
+        assert pn[k] == -v or abs(pn[k] + v) < 1e-12
