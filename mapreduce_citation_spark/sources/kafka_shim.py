@@ -143,7 +143,7 @@ def write_topic(
             F.lit(0).alias("timestampType"),  # 0 = CreateTime
         )
     )
-    shaped.write.mode("append").json(os.path.join(topic_dir, topic))
+    shaped.write.mode("append").json(path)
 
 
 def read_topic_stream(

@@ -96,7 +96,7 @@ def main(names: list[str]) -> int:
     print(json.dumps(report, indent=1))
     # markdown for SCALE.md
     print("\n| family | rows 0.001/0.01/0.1 | sec 0.001/0.01/0.1 | "
-          "time× @10× input | time× @10× input |", file=sys.stderr)
+          "time× step 1 | time× step 2 |", file=sys.stderr)
     print("| --- | --- | --- | --- | --- |", file=sys.stderr)
     for name, r in report.items():
         p = r["points"]
