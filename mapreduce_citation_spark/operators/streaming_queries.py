@@ -475,3 +475,64 @@ def streaming_running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("last_ts").cast("timestamp_ntz").alias("last_ts"),
         )
     )
+
+
+@register(
+    "streaming_cdc_compaction",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       event_type AS last_type
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+    tags=("streaming", "stateful", "cdc", "applyInPandasWithState"),
+)
+def streaming_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE CDC latest-wins compaction — the streaming twin of
+    ``events_cdc_compaction`` (same oracle): per-key state holds ONLY
+    the current winner under the deterministic (ts, event_id) order
+    (``streaming/events.py:latest_event_state``), so state is O(keys)
+    regardless of stream length — the snapshot-materialization
+    pattern for an upsert stream.
+
+    The winner is monotone per key, so after draining the update-mode
+    sink the last emitted row per key is the global latest; the
+    deterministic (last_ts, last_event_id) window below reduces the
+    sink to exactly the batch compaction."""
+    from pyspark.sql import Window
+
+    from ..streaming.events import latest_event_state
+
+    ev = read_events_parquet_stream(spark, sf_dir)
+    updates = latest_event_state(
+        ev.select("user_id", "ts", "event_id", "event_type")
+    )
+    name = f"streaming_cdc_compaction_{next(_SINK_COUNTER)}"
+    q = (
+        updates.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_ts").desc(), F.col("last_event_id").desc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "last_event_id",
+            F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+            "last_type",
+        )
+    )

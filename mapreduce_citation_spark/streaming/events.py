@@ -280,3 +280,64 @@ def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "append") ->
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+#: Output/state schemas for the latest-wins CDC compactor.
+_CDC_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("last_type", StringType()),
+    ]
+)
+_CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_ns", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def latest_event_state(events: DataFrame) -> DataFrame:
+    """LIVE CDC compaction (latest-wins) via applyInPandasWithState:
+    per-key state holds only the current winner under the
+    deterministic (ts, event_id) order — constant state per key, the
+    streaming twin of ``events_cdc_compaction``'s batch window. Each
+    micro-batch emits the key's current latest record (update mode);
+    the winner is monotone in (ts, event_id), so the last update per
+    key in a drained sink IS the global latest."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            cand = (
+                int(pd.Timestamp(top["ts"]).value),
+                int(top["event_id"]),
+                str(top["event_type"]),
+            )
+            if best is None or cand[:2] > best[:2]:
+                best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_event_id": [best[1]],
+                "last_ts": [pd.Timestamp(best[0])],
+                "last_type": [best[2]],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_CDC_SCHEMA,
+        stateStructType=_CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

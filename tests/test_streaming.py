@@ -676,3 +676,43 @@ def test_stream_stream_join_state_survives_restart(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert rows == {(7, 1, 2)}, rows
+
+
+def test_latest_event_state_equals_batch_compaction(spark, stream_dir):
+    """Live latest-wins CDC state must reduce to the batch window
+    compaction: for every user, the final emitted winner equals the
+    (ts desc, event_id desc) top-1 of the fully-arrived data."""
+    from mapreduce_citation_spark.streaming.events import latest_event_state
+
+    stream = read_event_stream(spark, stream_dir)
+    got = _run(
+        spark,
+        latest_event_state(
+            stream.select("user_id", "ts", "event_id", "event_type")
+        ),
+        "cdc_out",
+        "update",
+    )
+    # last update per user is the global winner (state is monotone)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_ts").desc(), F.col("last_event_id").desc()
+    )
+    final = {
+        (r["user_id"]): (r["last_event_id"], r["last_ts"], r["last_type"])
+        for r in got.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    batch = spark.read.schema(EVENTS_SCHEMA).json(stream_dir)
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r["user_id"]: (r["event_id"], r["ts"], r["event_type"])
+        for r in batch.withColumn("rn", F.row_number().over(wb))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert final == want and len(final) > 0
