@@ -271,3 +271,52 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (target / share).alias("weight"),
         )
     )
+
+
+@register(
+    "corpus_train_val_test_split",
+    oracle="""
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+              ELSE 'test' END AS split,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT split, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned
+GROUP BY split, source
+""",
+    tags=("pipeline", "split", "sampling"),
+)
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split, audited per
+    source — the assignment step every training run needs, with the
+    same reproducibility discipline as ``corpus_stratified_sample``:
+    the coin is md5(doc_id) (stable across engines, retries, reruns,
+    and cluster sizes — rand() is none of those), the boundaries are
+    hex-prefix thresholds (cccc ≈ 80%, e666 ≈ 90%). Assignment is
+    pure map-side; the audit rollup is one tiny (split × source)
+    shuffle. A doc's split NEVER changes when the corpus grows —
+    the property that keeps eval sets stable across dataset
+    versions."""
+    d = _docs(spark, sf_dir)
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(coin < "cccc", "train")
+        .when(coin < "e666", "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "source", F.length("text").alias("n_chars"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -357,9 +357,20 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteeing any sufficiently long match between two documents
     shares a fingerprint. Positional n-grams via posexplode + lead
     (codegen-friendly); the window min is one pass per doc partition."""
-    from pyspark.sql import Window
+    winnowed = winnowed_fingerprints(_docs(spark, sf_dir))
+    return winnowed.groupBy("doc_id").agg(
+        F.count_distinct("sel").alias("n_fingerprints"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_set("sel")), "").cast("binary")
+        ).alias("sketch"),
+    )
 
-    d = _docs(spark, sf_dir)
+
+def winnowed_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, sel) winnowing selections (MOSS core): positional
+    word-3-gram hashes, a w=4 sliding window selects each window's
+    minimum — shared by ``doc_winnowing_fingerprints`` (per-doc
+    sketch) and ``dedup_winnowing_pairs`` (pairing)."""
     tok = d.repartition(F.col("doc_id")).select(
         "doc_id", F.posexplode(F.expr(_TOK_S)).alias("pos", "w0")
     )
@@ -376,17 +387,11 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matching suffix in another document).
     w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
     w_doc = Window.partitionBy("doc_id")
-    winnowed = (
+    return (
         grams.withColumn("max_pos", F.max("pos").over(w_doc))
         .withColumn("sel", F.min("h").over(w_min))
         .filter(F.col("pos") + 3 <= F.col("max_pos"))
         .select("doc_id", "sel")
-    )
-    return winnowed.groupBy("doc_id").agg(
-        F.count_distinct("sel").alias("n_fingerprints"),
-        F.md5(
-            F.array_join(F.array_sort(F.collect_set("sel")), "").cast("binary")
-        ).alias("sketch"),
     )
 
 
@@ -620,4 +625,80 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_pair").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(100)
+    )
+
+
+_WINNOW_MAXDF = 1000  # boilerplate guard, same rationale as dedup._ES_MAXDF
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_D} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS pos,
+         t
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(t[CAST(pos AS INT):CAST(pos + 2 AS INT)], ' ')) AS h
+  FROM grams
+),
+winnowed AS (
+  SELECT doc_id, pos,
+         MAX(pos) OVER (PARTITION BY doc_id) AS max_pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM hashed
+),
+sel_d AS (
+  SELECT DISTINCT doc_id, sel FROM winnowed WHERE pos + 3 <= max_pos
+),
+eligible AS (
+  SELECT sel FROM sel_d GROUP BY sel HAVING count(*) BETWEEN 2 AND {_WINNOW_MAXDF}
+),
+gg AS (SELECT s.doc_id, s.sel FROM sel_d s JOIN eligible USING (sel))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM gg a JOIN gg b ON a.sel = b.sel AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING count(*) >= 2
+""",
+    tags=("dedup", "winnowing", "fingerprint", "pairs"),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based near-dup PAIRS — the MOSS matching step:
+    documents sharing >= 2 winnowed fingerprints, with the shared
+    count as evidence. Winnowing guarantees any sufficiently long
+    token match selects a common fingerprint, so this detects long
+    verbatim overlaps the word-shingle MinHash family can dilute.
+
+    Same scale discipline as the substring family: distinct
+    (doc_id, sel) materialized once, fingerprint document-frequency
+    capped at 1000 (boilerplate guard, mirrored in the oracle) so
+    the pair join stays linear in true near-dup mass; pairs
+    materialize only for fingerprints that actually repeat."""
+    sel_d = (
+        winnowed_fingerprints(_docs(spark, sf_dir))
+        .distinct()
+        .localCheckpoint()
+    )
+    eligible = (
+        sel_d.groupBy("sel")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= _WINNOW_MAXDF))
+        .select("sel")
+    )
+    gg = sel_d.join(eligible, "sel")
+    a = gg.select(F.col("doc_id").alias("doc_a"), "sel")
+    b = gg.select(F.col("doc_id").alias("doc_b"), "sel")
+    return (
+        a.join(b, "sel")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
     )

@@ -621,3 +621,74 @@ def test_random_projection_linear_and_deterministic(spark, sf_dir):
     assert set(pn) == set(p1)
     for k, v in p1.items():
         assert pn[k] == -v or abs(pn[k] + v) < 1e-12
+
+
+def test_winnowing_pairs_detect_planted_overlap(spark):
+    """Two docs sharing a long verbatim token run must pair (winnowing
+    guarantees a shared fingerprint for any long match); unrelated
+    docs must not."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.text import (
+        _WINNOW_MAXDF,
+        winnowed_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            ("a", shared + " tail one here"),
+            ("b", "lead in words " + shared),
+            ("c", "completely different content with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    sel = winnowed_fingerprints(docs).distinct()
+    pairs = (
+        sel.alias("x")
+        .join(sel.alias("y"), F.col("x.sel") == F.col("y.sel"))
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy("x.doc_id", "y.doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {(r["doc_id"], r["y.doc_id"] if "y.doc_id" in r.asDict() else r[1]): r["n"] for r in pairs}
+    keys = set(got)
+    assert ("a", "b") in keys
+    assert all("c" not in k for k in keys)
+    assert _WINNOW_MAXDF >= 2  # guard exists
+
+
+def test_train_val_test_split_stable_under_growth(spark, sf_dir):
+    """Split assignment is per-doc deterministic: every doc lands in
+    exactly one split, shares are ~80/10/10, and restricting the
+    corpus to a subset never changes any doc's split."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.pipeline import (
+        _docs,
+        corpus_train_val_test_split,
+    )
+
+    agg = {(r["split"], r["source"]): r["n_docs"]
+           for r in corpus_train_val_test_split(spark, sf_dir).collect()}
+    total = sum(agg.values())
+    by_split = {}
+    for (s, _src), n in agg.items():
+        by_split[s] = by_split.get(s, 0) + n
+    assert set(by_split) == {"train", "val", "test"}
+    assert total == _docs(spark, sf_dir).count()
+    assert 0.7 < by_split["train"] / total < 0.9
+    # per-doc stability: the same hash rule applied to HALF the corpus
+    # assigns identical splits (no dependence on corpus contents)
+    d = _docs(spark, sf_dir)
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(coin < "cccc", "train").when(coin < "e666", "val").otherwise("test")
+    )
+    full = {r["doc_id"]: r["s"] for r in d.select("doc_id", split.alias("s")).collect()}
+    half = {
+        r["doc_id"]: r["s"]
+        for r in d.filter("n_chars % 2 = 0").select("doc_id", split.alias("s")).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
