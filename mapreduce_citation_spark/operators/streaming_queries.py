@@ -536,3 +536,53 @@ def streaming_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_type",
         )
     )
+
+
+@register(
+    "streaming_stream_static_join",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("streaming", "stream-static-join"),
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join as a LIVE query — the enrichment pattern
+    (each micro-batch joins against a static dimension; no state, no
+    watermark needed on the static side, and Spark re-plans the join
+    per batch so a broadcast dim stays broadcast). Here: events
+    enriched with the customer segment, then a running per-segment
+    rollup in complete mode, drained and compared to the batch join.
+
+    At 100 TB this is the metadata-enrichment step of every ingest
+    pipeline; the static side is a slowly-changing dim refreshed
+    between restarts (for intra-run updates, swap the static read
+    for a CDC-compacted snapshot — ``streaming_cdc_compaction``)."""
+    from ..sources.readers import load_table
+
+    ev = read_events_parquet_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
+    # (distinct aggregates are not streaming-legal; min/max of the
+    # joined key still prove the per-segment enrichment is lossless)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+    name = f"streaming_stream_static_join_{next(_SINK_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
