@@ -586,3 +586,57 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+WITH win AS (
+  SELECT e.*,
+         make_timestamp(CAST((FLOOR(epoch_us(ts) / 1800000000) * 1800 - off) * 1000000 AS BIGINT)) AS window_start
+  FROM events e, (VALUES (0), (1800)) AS offsets(off)
+  WHERE epoch_us(ts) >= (FLOOR(epoch_us(ts) / 1800000000) * 1800 - off) * 1000000
+)
+SELECT window_start, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM win
+GROUP BY 1
+""",
+    tags=("streaming", "window-agg", "sliding", "watermark"),
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide) as a LIVE streaming
+    query — every event updates TWO overlapping windows, so the
+    stateful window store holds 2× the tumbling entries and the
+    watermark finalizes each window 30 min after its end. Same
+    drain-to-memory harness as ``streaming_tumbling_counts``; oracle
+    is the batch epoch-grid reconstruction (``events_sliding_windows``),
+    which the fully-drained complete-mode state must equal exactly."""
+    ev = read_events_parquet_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+    name = f"streaming_sliding_counts_{next(_SINK_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -315,3 +315,4 @@ def test_substring_pairs_df_cap_boundary_at_real_cap(spark):
     ).fetchone()[0]
     con.close()
     assert n_duck == expect
+
