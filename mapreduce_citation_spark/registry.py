@@ -118,7 +118,9 @@ _PRIORITY = (
     "events_tumbling_hourly",
     "events_session_window",
     "events_funnel_join",
-    # Structured Streaming, driver-visible: ALL SIX live families —
+    # Structured Streaming, driver-visible: six live families in the
+    # window (three more — CDC compaction, stream-static join, sliding
+    # windows — are registered beyond it, full-sweep-gated) —
     # windowed agg, session windows, stateful dedup, kafka-shaped
     # source, stream-stream join, custom applyInPandasWithState.
     "streaming_tumbling_counts",
