@@ -907,3 +907,216 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "proj",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point k-means: Lloyd's algorithm with cluster-scale, hash-exact math
+# ---------------------------------------------------------------------------
+
+#: Quantization scale for k-means: embedding components (float32,
+#: |x| < 1 on the fixture) become BIGINT multiples of 2^-20. The
+#: float→double widening is exact, multiply by a power of two is
+#: exact, floor is exact — so quantization is bit-identical on both
+#: engines, and everything after it is integer arithmetic.
+_KM_SCALE = 1 << 20
+_KM_K = 8
+_KM_ITERS = 3
+
+#: Squared L2 distance between two BIGINT vectors (Spark SQL HOF).
+#: Magnitude: diff ≤ 2^21, squared ≤ 2^42, ×64 dims ≤ 2^48 — safely
+#: inside BIGINT for the per-point distance and the corpus-wide
+#: inertia sum.
+_KM_DIST = "aggregate(zip_with(xq, cvec, (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v)"
+
+
+def kmeans_fixed_point(
+    e: DataFrame,
+    k: int = _KM_K,
+    iterations: int = _KM_ITERS,
+    scale: int = _KM_SCALE,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over ``embeddings`` in integer (fixed-point)
+    arithmetic — the ``pagerank_fixed_point`` determinism strategy
+    applied to clustering, which a curation pipeline needs for
+    SemDeDup-style semantic grouping and IVF coarse-quantizer
+    training.
+
+    Why fixed point: float centroid means depend on summation order,
+    so a float Lloyd's loop can't hash-match any oracle. Quantized to
+    BIGINT multiples of ``1/scale``, every reduction is an associative
+    integer ``SUM`` (map-side combine, constant per-key state — the
+    at-scale aggregation shape) and the result is identical regardless
+    of partition order or cluster size.
+
+    Per iteration (the textbook distributed plan):
+    - assignment: points × broadcast centroid table (k rows), squared
+      L2 distance as a zip_with fold, argmin via row_number — the
+      corpus never shuffles for scoring;
+    - update: posexplode members → per-(cluster, dim) integer SUM and
+      COUNT, centroid component = ``sum div count``. Spark's ``div``
+      and DuckDB's ``//`` both truncate toward zero (probed: -7//2 =
+      -3 on both), so negative component sums agree too.
+    - empty clusters keep their previous centroid (left-join
+      coalesce), mirrored in the oracle.
+
+    Init is deterministic: the ``k`` lowest vec_ids, cent_id by rank.
+    Returns ``(assignment, centroids)`` where assignment =
+    (vec_id, xq, cent_id, dist, rk) at the FINAL centroids and
+    centroids = (cent_id, cvec).
+    """
+    q = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0D) AS BIGINT))"
+        ).alias("xq"),
+    ).localCheckpoint()
+    cent = (
+        q.orderBy("vec_id")
+        .limit(k)
+        .withColumn(
+            "cent_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int"),
+        )
+        .select("cent_id", F.col("xq").alias("cvec"))
+        .localCheckpoint()
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = q.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "xq", "cent_id", F.expr(_KM_DIST).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dist").asc(), F.col("cent_id").asc()
+        )
+        return scored.withColumn("rk", F.row_number().over(w))
+
+    for _ in range(iterations):
+        members = assign(cent).filter(F.col("rk") == 1)
+        sums = (
+            members.select("cent_id", F.posexplode("xq").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.expr("sum(x) div count(1)").alias("m"))
+        )
+        newc = (
+            sums.groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cent_id", F.expr("transform(pm, p -> p.m)").alias("cvec"))
+        )
+        cent = (
+            cent.select("cent_id", F.col("cvec").alias("prev"))
+            .join(newc, "cent_id", "left")
+            .select("cent_id", F.coalesce("cvec", "prev").alias("cvec"))
+            .localCheckpoint()
+        )
+    return assign(cent), cent
+
+
+def _kmeans_oracle(
+    k: int = _KM_K, iters: int = _KM_ITERS, scale: int = _KM_SCALE, dim: int = 64
+) -> str:
+    """Iteration-unrolled DuckDB mirror of :func:`kmeans_fixed_point`.
+
+    Integer end to end: quantization is the same exact float→double→
+    floor chain, distances the same squared-diff folds, centroid
+    updates the same truncating integer division (DuckDB ``//`` ≡
+    Spark ``div`` on these operands), so the replay is bitwise by
+    construction — no fold-order engineering needed."""
+    stages = []
+    for t in range(1, iters + 1):
+        p = f"kc{t - 1}"
+        stages.append(f"""
+ka{t} AS MATERIALIZED (
+  SELECT vec_id, xq, cent_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, cent_id ASC) AS rk
+  FROM (
+    SELECT p.vec_id, p.xq, c.cent_id,
+           list_reduce(list_transform(generate_series(1, {dim}),
+             i -> (p.xq[i] - c.cvec[i]) * (p.xq[i] - c.cvec[i])),
+             (s, v) -> s + v) AS dist
+    FROM kq p, {p} c
+  )
+),
+km{t} AS MATERIALIZED (
+  SELECT cent_id, j.pos,
+         CAST(CAST(SUM(xq[j.pos]) AS BIGINT) // COUNT(*) AS BIGINT) AS m
+  FROM ka{t}, generate_series(1, {dim}) AS j(pos)
+  WHERE rk = 1
+  GROUP BY cent_id, j.pos
+),
+kc{t} AS MATERIALIZED (
+  SELECT o.cent_id, COALESCE(n.cvec, o.cvec) AS cvec
+  FROM {p} o LEFT JOIN (
+    SELECT cent_id, list(m ORDER BY pos) AS cvec FROM km{t} GROUP BY cent_id
+  ) n USING (cent_id)
+)""")
+    return f"""
+WITH kq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS xq
+  FROM embeddings
+),
+kc0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cent_id,
+         xq AS cvec
+  FROM (SELECT vec_id, xq FROM kq ORDER BY vec_id ASC LIMIT {k})
+),""" + ",".join(stages) + f""",
+kaf AS (
+  SELECT vec_id, cent_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, cent_id ASC) AS rk
+  FROM (
+    SELECT p.vec_id, c.cent_id,
+           list_reduce(list_transform(generate_series(1, {dim}),
+             i -> (p.xq[i] - c.cvec[i]) * (p.xq[i] - c.cvec[i])),
+             (s, v) -> s + v) AS dist
+    FROM kq p, kc{iters} c
+  )
+)
+SELECT a.cent_id, COUNT(*) AS n_points,
+       CAST(SUM(a.dist) AS BIGINT) AS inertia_q,
+       ck.centroid_checksum_q
+FROM kaf a
+JOIN (
+  SELECT cent_id,
+         CAST(list_reduce(cvec, (s, v) -> s + v) AS BIGINT)
+           AS centroid_checksum_q
+  FROM kc{iters}
+) ck USING (cent_id)
+WHERE a.rk = 1
+GROUP BY a.cent_id, ck.centroid_checksum_q
+"""
+
+
+@register(
+    "embedding_kmeans",
+    oracle=_kmeans_oracle(),
+    bench=True,
+    tags=("similarity", "clustering", "kmeans", "iterative", "fixed-point", "scale"),
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster summary (k=8, 3 Lloyd iterations, fixed-point):
+    per final cluster its size, total inertia (Σ squared L2 distance,
+    integer), and the centroid component checksum. Every number is a
+    BIGINT derived from order-independent integer arithmetic, so the
+    DuckDB oracle (same unrolled iterations) is a hard hash match —
+    clustering with a correctness gate, at the aggregation shape
+    (plain sums, broadcast centroids) a 100 TB corpus needs."""
+    assignment, cent = kmeans_fixed_point(_emb(spark, sf_dir))
+    checksum = cent.select(
+        "cent_id",
+        F.expr("CAST(aggregate(cvec, 0L, (s, v) -> s + v) AS BIGINT)").alias(
+            "centroid_checksum_q"
+        ),
+    )
+    return (
+        assignment.filter(F.col("rk") == 1)
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.expr("CAST(SUM(dist) AS BIGINT)").alias("inertia_q"),
+        )
+        .join(checksum, "cent_id")
+        .select("cent_id", "n_points", "inertia_q", "centroid_checksum_q")
+    )

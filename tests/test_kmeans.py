@@ -1,0 +1,69 @@
+"""Fixed-point k-means: a pure-python/numpy replay of the quantized
+Lloyd loop must reproduce the Spark result exactly, and the clustering
+must be sane (all points assigned, inertia non-increasing across
+iterations by Lloyd's monotonicity on the un-quantized update — here
+checked as: final inertia no worse than the init-assignment inertia)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark ``div`` ≡ DuckDB
+    ``//``); python's ``//`` floors, so negatives need the fix-up."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _replay(V: np.ndarray, ids: np.ndarray, k=8, iters=3, scale=1 << 20):
+    Xq = np.floor(V.astype(np.float64) * scale).astype(np.int64)
+    order = np.argsort(ids)
+    cent = {c: Xq[order[c]].copy() for c in range(k)}
+
+    def assign(cent):
+        C = np.stack([cent[c] for c in range(k)])
+        d = ((Xq[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        best = d.argmin(axis=1)  # ties: lowest cent_id (argmin is first-min)
+        return best, d[np.arange(len(Xq)), best]
+
+    init_inertia = int(assign(cent)[1].sum())
+    for _ in range(iters):
+        best, _ = assign(cent)
+        for c in range(k):
+            m = Xq[best == c]
+            if len(m):
+                s = m.sum(axis=0)
+                cent[c] = np.array(
+                    [_trunc_div(int(x), len(m)) for x in s], dtype=np.int64
+                )
+    best, dist = assign(cent)
+    out = {}
+    for c in range(k):
+        mask = best == c
+        if mask.any():
+            out[c] = (
+                int(mask.sum()),
+                int(dist[mask].sum()),
+                int(cent[c].sum()),
+            )
+    return out, init_inertia
+
+
+def test_kmeans_matches_numpy_replay(spark, sf_dir):
+    from mapreduce_citation_spark.operators.similarity import embedding_kmeans
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in e])
+    V = np.array([r["embedding"] for r in e], dtype=np.float64)
+    want, init_inertia = _replay(V, ids)
+
+    rows = embedding_kmeans(spark, sf_dir).collect()
+    got = {
+        r["cent_id"]: (r["n_points"], r["inertia_q"], r["centroid_checksum_q"])
+        for r in rows
+    }
+    assert got == want
+    assert sum(n for n, _, _ in got.values()) == len(ids)
+    assert sum(i for _, i, _ in got.values()) <= init_inertia
