@@ -251,3 +251,135 @@ def events_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_type"),
         )
     )
+
+
+@register(
+    "events_gap_fill_hourly",
+    oracle="""
+WITH b AS MATERIALIZED (
+  SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n, MAX(value) AS v
+  FROM events WHERE user_id < 12 GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM b GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM span
+)
+SELECT g.user_id, g.h AS hour_start,
+       COALESCE(b.n, 0) AS n_events,
+       b.n IS NULL AS is_gap,
+       last_value(b.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h
+""",
+    tags=("events", "timeseries", "gap-fill", "resample"),
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: each (kept) user's event
+    stream becomes a dense hourly grid over their active span —
+    ``sequence()`` + ``explode`` generates the grid, a left join marks
+    gaps, and the last observed hourly max value forward-fills via
+    ``last(ignorenulls)`` over an unbounded-preceding window.
+
+    Scale shape: the grid explodes per user (rows ∝ span hours, not
+    events), the join and the fill window both partition on user_id —
+    one shuffle key end to end, no global window. The user filter
+    (user_id < 12) bounds output for the gate; at 100 TB the same plan
+    runs unfiltered since per-user state is a single pass. The hourly
+    max carried through the fill is compared bit-exact (no float
+    arithmetic, only selection)."""
+    ev = _ev(spark, sf_dir)
+    # referenced by the span derivation AND the grid join — materialize
+    # so the filtered pre-aggregation scans events once
+    b = (
+        ev.filter(F.col("user_id") < 12)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("v"))
+        .localCheckpoint()
+    )
+    span = b.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )
+
+
+@register(
+    "events_daily_anomaly",
+    oracle="""
+WITH d AS MATERIALIZED (
+  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT user_id, COUNT(*) AS nd,
+         CAST(SUM(n_events) AS BIGINT) AS s,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS ss
+  FROM d GROUP BY user_id
+)
+SELECT d.user_id, d.day, d.n_events,
+       (CAST(d.n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+         / sqrt((CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+                / CAST(nd AS DOUBLE)) AS z,
+       ABS((CAST(d.n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+         / sqrt((CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+                / CAST(nd AS DOUBLE))) >= 2.0 AS is_anomaly
+FROM d JOIN m USING (user_id)
+""",
+    tags=("events", "anomaly", "stats", "zscore"),
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity anomaly scoring: each day's event count
+    is z-scored against that user's own mean/stddev (population,
+    moment form). Counts are integers, so the moment sums are exact
+    and every double derives from bit-identical inputs — the
+    ``stats_variance`` determinism discipline — making the z-scores
+    and the |z| ≥ 2 flag hash-comparable.
+
+    Scale shape: two aggregations on the same user_id key (daily
+    rollup, then per-user moments) + a broadcast-size join back —
+    map-side combine on both, no collect, no window."""
+    ev = _ev(spark, sf_dir)
+    d = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint()
+    )
+    m = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.expr("CAST(SUM(n_events) AS BIGINT)").alias("s"),
+        F.expr("CAST(SUM(n_events * n_events) AS BIGINT)").alias("ss"),
+    )
+    z = (
+        "(CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))"
+        " / sqrt((CAST(ss AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))"
+        " / CAST(nd AS DOUBLE))"
+    )
+    return d.join(m, "user_id").select(
+        "user_id",
+        "day",
+        "n_events",
+        F.expr(z).alias("z"),
+        (F.abs(F.expr(z)) >= F.lit(2.0)).alias("is_anomaly"),
+    )

@@ -1016,3 +1016,52 @@ def agg_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(SUM({ACCTBAL}) AS DOUBLE)").alias("sum_bal"),
         F.expr(f"CAST(SUM({ACCTBAL}) AS DOUBLE) / COUNT(*)").alias("avg_bal"),
     )
+
+
+@register(
+    "orders_retention_cohorts",
+    oracle="""
+WITH f AS (
+  SELECT o_custkey,
+         MIN(EXTRACT(year FROM o_orderdate) * 12
+             + (EXTRACT(month FROM o_orderdate) - 1)) AS cohort_m
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(cohort_m // 12 AS INT) AS cohort_year,
+       CAST(cohort_m % 12 + 1 AS INT) AS cohort_month,
+       CAST((EXTRACT(year FROM o.o_orderdate) * 12
+             + (EXTRACT(month FROM o.o_orderdate) - 1)) - cohort_m AS INT)
+         AS months_since,
+       COUNT(DISTINCT o.o_custkey) AS n_active,
+       COUNT(*) AS n_orders
+FROM orders o JOIN f USING (o_custkey)
+GROUP BY 1, 2, 3
+""",
+    tags=("aggregate", "cohort", "retention", "datetime"),
+)
+def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month
+    (the cohort), activity bucketed by months-since-cohort. Month
+    arithmetic stays integral (year*12 + month-1), so the matrix keys
+    are exact on both engines; COUNT(DISTINCT) gives active customers
+    per cell.
+
+    Scale shape: the first-order derivation and the join both key on
+    o_custkey (one shuffle reused), then one hash aggregation on the
+    small (cohort, months_since) key space — the distinct expands to
+    a two-phase agg automatically."""
+    o = _t(spark, sf_dir, "orders")
+    ym = "(year(o_orderdate) * 12 + (month(o_orderdate) - 1))"
+    f = o.groupBy("o_custkey").agg(F.expr(f"MIN({ym})").alias("cohort_m"))
+    return (
+        o.join(f, "o_custkey")
+        .groupBy(
+            F.expr("CAST(cohort_m div 12 AS INT)").alias("cohort_year"),
+            F.expr("CAST(cohort_m % 12 + 1 AS INT)").alias("cohort_month"),
+            F.expr(f"CAST({ym} - cohort_m AS INT)").alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

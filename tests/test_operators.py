@@ -149,3 +149,64 @@ def test_session_window_matches_manual_islands(spark, sf_dir):
     n2 = {r["user_id"]: r["n"] for r in manual.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert n1 == n2
+
+
+def test_gap_fill_grid_is_dense_and_fill_is_last_observation(spark, sf_dir):
+    from mapreduce_citation_spark.operators.events import events_gap_fill_hourly
+
+    rows = events_gap_fill_hourly(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["hour_start"])
+        # dense hourly grid: consecutive rows are exactly 1h apart
+        for a, b in zip(rs, rs[1:]):
+            assert (b["hour_start"] - a["hour_start"]).total_seconds() == 3600
+        # ends of the span are observations, not gaps
+        assert not rs[0]["is_gap"] and not rs[-1]["is_gap"]
+        # forward fill: v_filled on a gap equals the last observed value
+        last_v = None
+        for r in rs:
+            if not r["is_gap"]:
+                last_v = r["v_filled"]
+            else:
+                assert r["n_events"] == 0 and r["v_filled"] == last_v
+
+
+def test_daily_anomaly_zscores_center_per_user(spark, sf_dir):
+    import math
+
+    from mapreduce_citation_spark.operators.events import events_daily_anomaly
+
+    rows = events_daily_anomaly(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, rs in by_user.items():
+        zs = [r["z"] for r in rs if not math.isnan(r["z"])]
+        if len(zs) < 2:
+            continue
+        # population z-scores: mean 0, variance 1 (moment form is exact)
+        assert abs(sum(zs) / len(zs)) < 1e-9
+        assert abs(sum(z * z for z in zs) / len(zs) - 1.0) < 1e-9
+        for r in rs:
+            assert r["is_anomaly"] == (abs(r["z"]) >= 2.0) or math.isnan(r["z"])
+
+
+def test_retention_cohort_matrix_accounting(spark, sf_dir):
+    from mapreduce_citation_spark.operators.relational import (
+        orders_retention_cohorts,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    rows = orders_retention_cohorts(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    n_customers = o.select("o_custkey").distinct().count()
+    n_orders = o.count()
+    # every order lands in exactly one cell
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    # month-0 cells: every customer is active in their cohort month
+    assert sum(r["n_active"] for r in rows if r["months_since"] == 0) == n_customers
+    assert all(r["months_since"] >= 0 for r in rows)
