@@ -173,24 +173,43 @@ def pagerank(
     # forgets both — probed on pyspark 4.1), so each iteration's
     # sort-merge join exchanges/sorts only the ranks side. Measured at
     # sf0.1: ~25-30% off the 6-iteration wall time.
-    edges = (
+    #
+    # out_deg rides INSIDE the edge layout (a window count over the
+    # same partitioning — no join, no extra shuffle), and each rank
+    # row carries a loop-invariant is_dangling flag, so an iteration
+    # no longer joins ranks×out_deg in either branch: the dangling
+    # mass is a plain filter+fold over the checkpointed ranks and the
+    # contribution join is the only rank shuffle. Two rank-table
+    # shuffle joins per iteration removed vs the r4 shape.
+    from pyspark.sql import Window
+
+    edges_w = (
         edges.repartition(F.col("from_paper"))
         .sortWithinPartitions("from_paper")
+        .withColumn(
+            "out_deg", F.count(F.lit(1)).over(Window.partitionBy("from_paper"))
+        )
         .persist()
     )
+    # node set + dangling flag in ONE aggregation: tag citer
+    # occurrences False / cited occurrences True and take min(bool)
+    # per node (false < true) — a node with any out-edge is
+    # non-dangling. Replaces distinct-union + distinct + join.
     nodes = (
-        edges.select(F.col("from_paper").alias("node"))
-        .union(edges.select("to_paper"))
-        .distinct()
+        edges_w.select(
+            F.col("from_paper").alias("node"),
+            F.lit(False).alias("is_dangling"),
+        )
+        .union(edges_w.select("to_paper", F.lit(True)))
+        .groupBy("node")
+        .agg(F.min("is_dangling").alias("is_dangling"))
         .localCheckpoint()
     )
     n_total = nodes.count()
-    out_deg = edges.groupBy(F.col("from_paper").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    ).localCheckpoint()
-    ranks = nodes.select("node", F.lit(1.0 / n_total).alias("rank"))
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n_total).alias("rank"), "is_dangling"
+    )
     for _ in range(iterations):
-        with_deg = ranks.join(out_deg, "node", "left")
         # Dangling mass as a LAZY 1-row aggregate folded in via a
         # broadcast crossJoin (the q22 lazy-scalar pattern,
         # relational.py) — no driver-side collect per iteration: the
@@ -198,7 +217,7 @@ def pagerank(
         # rides the same pass instead of costing an extra full scan of
         # the ranks per iteration.
         dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
+            ranks.filter(F.col("is_dangling"))
             .select(
                 F.struct(
                     F.col("node").alias("k"), F.col("rank").alias("v")
@@ -207,9 +226,9 @@ def pagerank(
             .agg(F.expr(_rank_fold_expr(exact_fold, dangling=True)).alias("_dangling"))
         )
         contribs = (
-            edges.join(
-                with_deg.filter(F.col("out_deg").isNotNull()),
-                edges.from_paper == F.col("node"),
+            edges_w.join(
+                ranks.filter(~F.col("is_dangling")),
+                edges_w.from_paper == F.col("node"),
             )
             .select(
                 F.col("to_paper").alias("node"),
@@ -234,13 +253,14 @@ def pagerank(
                 (base + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))).alias(
                     "rank"
                 ),
+                "is_dangling",
             )
             .localCheckpoint()
         )
     # ranks are checkpointed (eagerly materialized), so the cached
     # edge layout is no longer referenced
-    edges.unpersist()
-    return ranks
+    edges_w.unpersist()
+    return ranks.select("node", "rank")
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
@@ -482,34 +502,44 @@ def pagerank_fixed_point(
     ``div`` (truncate toward zero) and DuckDB's ``//`` (floor) agree.
     """
     # loop-invariant edge layout: one shuffle+sort on the join key,
-    # cached with partitioning/ordering intact — see pagerank() for
-    # the rationale and measured win
-    edges = (
+    # cached with partitioning/ordering intact, out_deg riding inside
+    # it via a window count and is_dangling riding inside the rank
+    # rows — see pagerank() for the rationale and measured wins
+    from pyspark.sql import Window
+
+    edges_w = (
         edges.repartition(F.col("from_paper"))
         .sortWithinPartitions("from_paper")
+        .withColumn(
+            "out_deg", F.count(F.lit(1)).over(Window.partitionBy("from_paper"))
+        )
         .persist()
     )
+    # node set + dangling flag in ONE aggregation: tag citer
+    # occurrences False / cited occurrences True and take min(bool)
+    # per node (false < true) — a node with any out-edge is
+    # non-dangling. Replaces distinct-union + distinct + join.
     nodes = (
-        edges.select(F.col("from_paper").alias("node"))
-        .union(edges.select("to_paper"))
-        .distinct()
+        edges_w.select(
+            F.col("from_paper").alias("node"),
+            F.lit(False).alias("is_dangling"),
+        )
+        .union(edges_w.select("to_paper", F.lit(True)))
+        .groupBy("node")
+        .agg(F.min("is_dangling").alias("is_dangling"))
         .localCheckpoint()
     )
     n_total = nodes.count()
-    out_deg = edges.groupBy(F.col("from_paper").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    ).localCheckpoint()
     # (1-d)·scale/n as one exact python int: ((den-num)·scale // den) // n
     base1 = ((d_den - d_num) * scale // d_den) // n_total
     ranks = nodes.select(
-        "node", F.lit(scale // n_total).cast("long").alias("rank_q")
+        "node", F.lit(scale // n_total).cast("long").alias("rank_q"), "is_dangling"
     )
     for _ in range(iterations):
-        with_deg = ranks.join(out_deg, "node", "left")
         # lazy 1-row dangling fold, same shape as pagerank(): BIGINT
         # sum needs no ordering discipline at all
         dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
+            ranks.filter(F.col("is_dangling"))
             .agg(
                 F.coalesce(F.sum("rank_q"), F.lit(0))
                 .cast("long")
@@ -517,9 +547,9 @@ def pagerank_fixed_point(
             )
         )
         contribs = (
-            edges.join(
-                with_deg.filter(F.col("out_deg").isNotNull()),
-                edges.from_paper == F.col("node"),
+            edges_w.join(
+                ranks.filter(~F.col("is_dangling")),
+                edges_w.from_paper == F.col("node"),
             )
             .select(
                 F.col("to_paper").alias("node"),
@@ -542,11 +572,12 @@ def pagerank_fixed_point(
                 )
                 .cast("long")
                 .alias("rank_q"),
+                "is_dangling",
             )
             .localCheckpoint()
         )
-    edges.unpersist()
-    return ranks
+    edges_w.unpersist()
+    return ranks.select("node", "rank_q")
 
 
 def _pagerank_fp_oracle(iters: int = 6, scale: int = _FP_SCALE) -> str:
