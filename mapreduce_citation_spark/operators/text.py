@@ -702,3 +702,46 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+@register(
+    "corpus_vocab_topk",
+    oracle=r"""
+SELECT word, COUNT(*) AS tf,
+       COUNT(DISTINCT doc_id) AS df
+FROM (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+)
+GROUP BY word
+ORDER BY tf DESC, word ASC
+LIMIT 200
+""",
+    tags=("text", "vocabulary", "topk"),
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 terms by total frequency with
+    document frequency — the counting pass a tokenizer-training
+    (BPE/unigram) pipeline starts from.
+
+    Scale shape: explode is map-side; one hash aggregation on the
+    term key computes tf AND df together (df via count(distinct
+    doc_id), which Spark expands to a two-phase partial-distinct agg
+    — no second pass over the corpus); top-k is
+    TakeOrderedAndProject, never a global sort."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("word"),
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("word").asc())
+        .limit(200)
+    )

@@ -210,3 +210,25 @@ def test_retention_cohort_matrix_accounting(spark, sf_dir):
     # month-0 cells: every customer is active in their cohort month
     assert sum(r["n_active"] for r in rows if r["months_since"] == 0) == n_customers
     assert all(r["months_since"] >= 0 for r in rows)
+
+
+def test_vocab_topk_matches_python_reference(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from mapreduce_citation_spark.operators.text import corpus_vocab_topk
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    tf: Counter = Counter()
+    df: Counter = Counter()
+    for r in docs:
+        words = re.findall("[a-z0-9]+", r["text"].lower())
+        tf.update(words)
+        df.update(set(words))
+    want = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+
+    rows = corpus_vocab_topk(spark, sf_dir).collect()
+    got = [(r["word"], r["tf"]) for r in rows]
+    assert got == want
+    assert all(r["df"] == df[r["word"]] for r in rows)
