@@ -1046,15 +1046,21 @@ def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact on both engines; COUNT(DISTINCT) gives active customers
     per cell.
 
-    Scale shape: the first-order derivation and the join both key on
-    o_custkey (one shuffle reused), then one hash aggregation on the
-    small (cohort, months_since) key space — the distinct expands to
-    a two-phase agg automatically."""
+    Scale shape: the cohort month is a MIN window over o_custkey —
+    ONE orders scan and one shuffle on the customer key (the
+    self-join formulation scans orders twice; the window is the same
+    hash partitioning without the second scan) — then one hash
+    aggregation on the small (cohort, months_since) key space; the
+    distinct expands to a two-phase agg automatically."""
+    from pyspark.sql import Window
+
     o = _t(spark, sf_dir, "orders")
     ym = "(year(o_orderdate) * 12 + (month(o_orderdate) - 1))"
-    f = o.groupBy("o_custkey").agg(F.expr(f"MIN({ym})").alias("cohort_m"))
     return (
-        o.join(f, "o_custkey")
+        o.withColumn(
+            "cohort_m",
+            F.min(F.expr(ym)).over(Window.partitionBy("o_custkey")),
+        )
         .groupBy(
             F.expr("CAST(cohort_m div 12 AS INT)").alias("cohort_year"),
             F.expr("CAST(cohort_m % 12 + 1 AS INT)").alias("cohort_month"),

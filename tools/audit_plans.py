@@ -47,6 +47,7 @@ BROADCAST_ALLOWLIST = {
     ("relational.py", "avg_bal"): "1-row aggregate (scalar fold)",
     ("similarity.py", "q"): "fixed 10-row query side",
     ("similarity.py", "cent"): "per-label centroids: ≤|labels| rows",
+    ("similarity.py", "centroids"): "k-means centroid table: exactly k=8 rows",
     ("similarity.py", "codebook"): "PQ codebook: K×m constant rows",
     ("similarity.py", "tables"): "ADC tables: n_queries×K×m constant",
     ("similarity.py", "cand_ids"): "PQ shortlist: ≤ n_queries×shortlist",
