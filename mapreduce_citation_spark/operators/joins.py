@@ -607,3 +607,150 @@ def join_bucketed_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned warehouse + dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+def partitioned_table(
+    spark: SparkSession, sf_dir: str, name: str, part_col: str, part_expr: str
+) -> DataFrame:
+    """Return fixture table ``name`` as a warehouse table
+    hive-partitioned on ``part_col`` (computed by ``part_expr``),
+    (re)building only when missing or the source parquet changed —
+    the ``bucketed_table`` staleness discipline.
+
+    This is the layout half of the partition-pruning strategy: a
+    100 TB fact laid out by month means a month-bounded query reads
+    only the touched directories — static pruning when the bound is
+    a literal, DYNAMIC partition pruning (a runtime subquery filter
+    pushed into the scan) when the bound arrives through a dim-table
+    join."""
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    def _tree_size(p: str) -> int:
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(p) for f in fs
+        )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_BUCKET_DB}")
+    real = os.path.realpath(sf_dir.rstrip("/"))
+    path_tag = hashlib.md5(real.encode()).hexdigest()[:8]
+    token = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(real)) + "_" + path_tag
+    tbl = f"{_BUCKET_DB}.{name}_pt_{token}"
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    src_mtime = f"{os.path.getmtime(src)!r}:{_tree_size(src)}"
+    if spark.catalog.tableExists(tbl):
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()
+        }
+        if props.get("src_mtime") == src_mtime:
+            return spark.table(tbl)
+    else:
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(
+            os.path.join(wh, f"{_BUCKET_DB}.db", tbl.split(".", 1)[1]),
+            ignore_errors=True,
+        )
+    (
+        spark.read.parquet(src)
+        .withColumn(part_col, F.expr(part_expr))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .saveAsTable(tbl)
+    )
+    spark.sql(f"ALTER TABLE {tbl} SET TBLPROPERTIES ('src_mtime'='{src_mtime}')")
+    return spark.table(tbl)
+
+
+def _month_dim(spark: SparkSession) -> DataFrame:
+    """84-row month dimension (1995-01..2001-12, the fixture's
+    date range) with year/quarter attributes — a constant-size dim built
+    driver-side, the join side that makes partition pruning DYNAMIC
+    (the month set reaching the fact scan is only known after the
+    dim filter runs)."""
+    rows = [
+        (f"{y}-{m:02d}", y, (m - 1) // 3 + 1)
+        for y in range(1995, 2002)
+        for m in range(1, 13)
+    ]
+    return spark.createDataFrame(rows, ["ship_month", "d_year", "d_quarter"])
+
+
+_DPP_SQL = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       COUNT(*) AS n_lines,
+       CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE EXTRACT(year FROM l_shipdate) = 1997
+  AND EXTRACT(quarter FROM l_shipdate) <= 2
+GROUP BY 1
+"""
+
+
+@register(
+    "join_partition_pruned",
+    oracle=_DPP_SQL,
+    bench=True,
+    tags=("join", "partition-pruning", "dpp", "warehouse"),
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: lineitem laid out month-partitioned
+    in the warehouse, joined to a month dim filtered to 1997 H1 — the
+    runtime DPP subquery prunes the fact scan to 6 of 84 partition
+    directories before any row is read (plan-pinned:
+    ``dynamicpruning`` in the scan's PartitionFilters). The benched
+    flat twin ``join_partition_flat`` runs the same logical query
+    against the unpartitioned parquet, so the pruning payoff is
+    measured every round."""
+    li = partitioned_table(
+        spark, sf_dir, "lineitem", "ship_month",
+        "date_format(l_shipdate, 'yyyy-MM')",
+    )
+    dim = _month_dim(spark).filter(
+        (F.col("d_year") == 1997) & (F.col("d_quarter") <= 2)
+    )
+    return (
+        li.join(F.broadcast(dim), "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(f"CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_partition_flat",
+    oracle=_DPP_SQL,
+    bench=True,
+    tags=("join", "partition-pruning", "flat-twin"),
+)
+def join_partition_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat twin of ``join_partition_pruned``: identical logical
+    query against the raw unpartitioned parquet — the scan reads
+    every row group and filters after decode. The bench delta between
+    the pair is the partition-layout payoff (at 100 TB: reading 6/84
+    of the fact vs all of it)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    dim = _month_dim(spark).filter(
+        (F.col("d_year") == 1997) & (F.col("d_quarter") <= 2)
+    )
+    return (
+        li.join(F.broadcast(dim), "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(f"CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)").alias("revenue"),
+        )
+    )

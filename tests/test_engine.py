@@ -115,3 +115,27 @@ def test_bucketed_table_rebuilds_on_source_change(spark, tmp_path):
     )
     t2 = bucketed_table(spark, str(src_dir), "orders", "o_orderkey", n_buckets=2)
     assert t2.count() == 7
+
+
+def test_partition_pruned_join_uses_dpp_and_matches_flat(spark, sf_dir):
+    """The partitioned-warehouse join must (a) trigger a dynamic
+    partition pruning subquery on the fact scan, (b) read only the
+    projected columns, and (c) return exactly the flat twin's rows."""
+    from mapreduce_citation_spark.operators.joins import (
+        join_partition_flat,
+        join_partition_pruned,
+    )
+
+    pruned = join_partition_pruned(spark, sf_dir)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # column pruning: the fact scan carries only price/discount/month
+    scan = next(l for l in plan.splitlines() if "lineitem_pt_" in l)
+    assert "l_extendedprice" in scan and "l_orderkey" not in scan
+
+    got = {r["ship_month"]: (r["n_lines"], r["revenue"]) for r in pruned.collect()}
+    want = {
+        r["ship_month"]: (r["n_lines"], r["revenue"])
+        for r in join_partition_flat(spark, sf_dir).collect()
+    }
+    assert got == want and got

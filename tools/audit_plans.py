@@ -37,6 +37,7 @@ BROADCAST_ALLOWLIST = {
     ("joins.py", "c"): "broadcast-join demo: the hint IS the operator",
     ("joins.py", "salts"): "n_salts-row salt table (constant fan-out)",
     ("joins.py", "hot"): "1-row aggregate (hot-key scalar fold)",
+    ("joins.py", "dim"): "month dim: 84 rows max (constant calendar table)",
     ("relational.py", "s"): "supplier dim (TPC-H dim-side convention)",
     ("relational.py", "c"): "customer dim (TPC-H dim-side convention)",
     ("relational.py", "n"): "nation dim: 25 rows",

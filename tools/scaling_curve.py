@@ -42,6 +42,7 @@ FAMILIES = {
     "citation_pagerank": "lineitem",
     "citation_pagerank_scale": "lineitem",
     "join_hot_key_salted": "lineitem",
+    "embedding_kmeans": "embeddings",
 }
 
 
