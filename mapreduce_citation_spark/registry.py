@@ -88,12 +88,17 @@ _PRIORITY = (
     "dedup_substring_spans",
     "dedup_substring_strip",
     "decontaminate_eval_overlap",
-    # LLM-pipeline: similarity search (all four ANN strategies).
+    # LLM-pipeline: similarity search (all four ANN strategies) +
+    # clustering (r5b: embedding_kmeans joins the window — a new
+    # family: fixed-point Lloyd's with a hash-exact oracle; in
+    # exchange stats_correlation rotates beyond-window, the stats
+    # family staying represented by percentiles + approx).
     # (r5 rotation: embedding_label_stats → beyond-window.)
     "knn_brute_cosine",
     "knn_lsh_ann",
     "knn_ivf_ann",
     "knn_pq_ann",
+    "embedding_kmeans",
     # LLM-pipeline: text analysis.
     # (r5 rotation: doc_fingerprint / token_count_regex →
     # beyond-window — winnowing and token_stats cover those families;
@@ -134,9 +139,9 @@ _PRIORITY = (
     "citation_pagerank_scale",
     "citation_components",
     # Statistics.
-    # (r5 rotation: stats_variance → beyond-window.)
+    # (r5 rotation: stats_variance → beyond-window; r5b:
+    # stats_correlation follows it, making room for embedding_kmeans.)
     "stats_percentiles",
-    "stats_correlation",
     "stats_approx",
     # Custom-operator showcases + the engine-level bench pairs.
     # (r5 rotation: window_topk_per_group and join_salted_skew →
