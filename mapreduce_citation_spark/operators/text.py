@@ -745,3 +745,85 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), F.col("word").asc())
         .limit(200)
     )
+
+
+@register(
+    "corpus_quality_gate",
+    oracle=f"""
+WITH g AS (
+  SELECT source,
+         len({_TOK_D}) AS ntok,
+         length(regexp_replace(text, '\\s', '', 'g')) AS tokchars,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         list_has_any({_TOK_D}, ['the', 'a', 'of']) AS has_stop
+  FROM documents
+),
+r AS (
+  SELECT source,
+         (ntok BETWEEN 5 AND 500) AS r_len,
+         (2 * ntok <= tokchars AND tokchars <= 12 * ntok) AS r_word_len,
+         (5 * digits <= tokchars) AS r_symbol,
+         has_stop AS r_stop
+  FROM g
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+       CAST(SUM(CASE WHEN r_word_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_word_len,
+       CAST(SUM(CASE WHEN r_symbol THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbol,
+       CAST(SUM(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+       CAST(SUM(CASE WHEN r_len AND r_word_len AND r_symbol AND r_stop
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM r
+GROUP BY source
+""",
+    tags=("text", "quality", "gopher-rules", "pipeline"),
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate with per-rule funnel accounting, by
+    source: word-count bounds, mean-word-length bounds, symbol
+    (digit) ratio cap, stopword presence — each rule evaluated in
+    INTEGER arithmetic (bounds as cross-multiplications, e.g.
+    ``2·ntok ≤ tokchars ≤ 12·ntok`` instead of a float mean), so the
+    booleans and counts are exact on both engines.
+
+    Scale shape: pure map-side featurization + one aggregation on the
+    tiny source key — at 100 TB, one scan; the per-rule pass counts
+    are what a curation run reports to decide which rule is doing the
+    filtering."""
+    d = _docs(spark, sf_dir)
+    g = d.select(
+        "source",
+        F.expr(f"size({_TOK_S})").alias("ntok"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("tokchars"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("digits"),
+        F.expr(f"arrays_overlap({_TOK_S}, array('the', 'a', 'of'))").alias(
+            "has_stop"
+        ),
+    )
+    r = g.select(
+        "source",
+        F.col("ntok").between(5, 500).alias("r_len"),
+        (
+            (F.lit(2) * F.col("ntok") <= F.col("tokchars"))
+            & (F.col("tokchars") <= F.lit(12) * F.col("ntok"))
+        ).alias("r_word_len"),
+        (F.lit(5) * F.col("digits") <= F.col("tokchars")).alias("r_symbol"),
+        F.col("has_stop").alias("r_stop"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt("r_len").alias("pass_len"),
+        cnt("r_word_len").alias("pass_word_len"),
+        cnt("r_symbol").alias("pass_symbol"),
+        cnt("r_stop").alias("pass_stop"),
+        F.sum(
+            F.when(
+                F.col("r_len")
+                & F.col("r_word_len")
+                & F.col("r_symbol")
+                & F.col("r_stop"),
+                1,
+            ).otherwise(0)
+        ).alias("n_keep"),
+    )

@@ -692,3 +692,44 @@ def test_train_val_test_split_stable_under_growth(spark, sf_dir):
         for r in d.filter("n_chars % 2 = 0").select("doc_id", split.alias("s")).collect()
     }
     assert all(full[k] == v for k, v in half.items())
+
+
+def test_quality_gate_rule_boundaries_on_planted_corpus(spark):
+    """Each Gopher-style rule exercised at its boundary on a planted
+    corpus: too-short doc, degenerate mean word length, digit-heavy
+    doc, missing stopwords — per-rule pass counts and the keep
+    conjunction must account exactly."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.text import corpus_quality_gate
+
+    docs = [
+        # passes everything
+        ("g1", "the quick brown fox jumps over a lazy dog of note"),
+        # fails r_len (4 tokens < 5)
+        ("g2", "the of a short"),
+        # fails r_word_len (mean token length 1 < 2) but len ok
+        ("g3", "a b c d e f g h the"),
+        # fails r_symbol (digits > 20% of token chars) - 8 digits / 15 chars
+        ("g4", "the 1234 5678 of cat"),
+        # fails r_stop (no marker stopwords)
+        ("g5", "quick brown foxes jump high today"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        df = (
+            spark.createDataFrame(docs, ["doc_id", "text"])
+            .withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("s"))
+            .withColumn("n_chars", F.length("text"))
+        )
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        [r] = corpus_quality_gate(spark, td).collect()
+    assert r["n_docs"] == 5
+    assert r["pass_len"] == 4       # g2 out
+    assert r["pass_word_len"] == 4  # g3 out
+    assert r["pass_symbol"] == 4    # g4 out
+    assert r["pass_stop"] == 4      # g5 out
+    assert r["n_keep"] == 1         # only g1 passes all
