@@ -1120,3 +1120,34 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(checksum, "cent_id")
         .select("cent_id", "n_points", "inertia_q", "centroid_checksum_q")
     )
+
+
+def _kmeans_assign_oracle(
+    k: int = _KM_K, iters: int = _KM_ITERS, scale: int = _KM_SCALE, dim: int = 64
+) -> str:
+    """Final-assignment view of :func:`_kmeans_oracle`: same unrolled
+    training, but emitting one row per vector."""
+    base = _kmeans_oracle(k, iters, scale, dim)
+    head, _, _tail = base.partition("\nSELECT a.cent_id, COUNT(*) AS n_points,")
+    return head + """
+SELECT vec_id, cent_id, dist AS dist_q
+FROM kaf WHERE rk = 1
+"""
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle=_kmeans_assign_oracle(),
+    tags=("similarity", "clustering", "kmeans", "apply", "fixed-point"),
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the k-means model: one row per vector with its final
+    cluster id and integer squared distance — the per-point
+    assignment a SemDeDup-style pipeline joins back onto the corpus
+    (cluster summary: ``embedding_kmeans``). Same fixed-point
+    training, so the full assignment is hash-exact."""
+    assignment, _cent = kmeans_fixed_point(_emb(spark, sf_dir))
+    return (
+        assignment.filter(F.col("rk") == 1)
+        .select("vec_id", "cent_id", F.col("dist").alias("dist_q"))
+    )
