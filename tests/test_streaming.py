@@ -716,3 +716,89 @@ def test_latest_event_state_equals_batch_compaction(spark, stream_dir):
         .collect()
     }
     assert final == want and len(final) > 0
+
+
+def test_cdc_compaction_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState CDC state must survive a stop/start: a
+    STALE event arriving in a new run of the query still emits the
+    winner recovered from the checkpoint (not the stale record), and
+    a genuinely newer event replaces it."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def write_batch(path, rows):
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    def run_until_drained():
+        from mapreduce_citation_spark.streaming.events import (
+            latest_event_state,
+        )
+
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .select("user_id", "ts", "event_id", "event_type")
+        )
+        updates = latest_event_state(ev)
+
+        def sink(df, _epoch):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            updates.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_batch(
+        src / "b1.json",
+        [
+            {"event_id": 10, "ts": "2024-01-01T10:00:00.000Z",
+             "user_id": 1, "event_type": "view"},
+            {"event_id": 20, "ts": "2024-01-01T10:00:00.000Z",
+             "user_id": 2, "event_type": "view"},
+        ],
+    )
+    run_until_drained()
+    run1 = {
+        (r["user_id"], r["last_event_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert run1 == {(1, 10), (2, 20)}
+
+    # run 2: stale event for user 1, newer event for user 2
+    write_batch(
+        src / "b2.json",
+        [
+            {"event_id": 5, "ts": "2024-01-01T09:00:00.000Z",
+             "user_id": 1, "event_type": "stale"},
+            {"event_id": 21, "ts": "2024-01-01T11:00:00.000Z",
+             "user_id": 2, "event_type": "purchase"},
+        ],
+    )
+    run_until_drained()
+    all_rows = sorted(
+        (r["user_id"], r["last_event_id"], r["last_type"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # user 1: run 2 re-emits the winner RECOVERED from checkpointed
+    # state (id 10), never the stale record (id 5); user 2: the newer
+    # event replaces the run-1 winner.
+    assert all_rows == [
+        (1, 10, "view"), (1, 10, "view"),
+        (2, 20, "view"), (2, 21, "purchase"),
+    ]
