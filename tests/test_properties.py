@@ -316,3 +316,68 @@ def test_substring_pairs_df_cap_boundary_at_real_cap(spark):
     con.close()
     assert n_duck == expect
 
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # user_id (< 12: kept)
+            st.integers(min_value=0, max_value=120),  # minutes offset
+            st.integers(min_value=-5, max_value=5),   # value (int-valued double)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_gap_fill_matches_pandas_reference(spark, events):
+    """Random sparse event sets: the gap-fill operator must equal an
+    independent pandas reference (dense per-user hourly grid between
+    first and last active hour, hourly max carried, forward fill)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.events import events_gap_fill_hourly
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(events)),
+            "ts": [base + pd.Timedelta(minutes=m) for _, m, _ in events],
+            "user_id": [u for u, _, _ in events],
+            "event_type": "view",
+            "value": [float(v) for _, _, v in events],
+            "props": "{}",
+        }
+    )
+    # pandas reference
+    b = (
+        pdf.assign(h=pdf.ts.dt.floor("h"))
+        .groupby(["user_id", "h"])
+        .agg(n=("event_id", "size"), v=("value", "max"))
+        .reset_index()
+    )
+    want = {}
+    for u, g in b.groupby("user_id"):
+        grid = pd.date_range(g.h.min(), g.h.max(), freq="h")
+        gg = g.set_index("h").reindex(grid)
+        filled = gg.v.ffill()
+        for h, n, v in zip(grid, gg.n, filled):
+            want[(u, h)] = (0 if pd.isna(n) else int(n), pd.isna(gg.n[h]), v)
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(
+            os.path.join(td, "events.parquet")
+        )
+        rows = events_gap_fill_hourly(spark, td).collect()
+    got = {
+        (r["user_id"], pd.Timestamp(r["hour_start"])): (
+            r["n_events"],
+            r["is_gap"],
+            r["v_filled"],
+        )
+        for r in rows
+    }
+    assert got == want
