@@ -754,3 +754,74 @@ def join_partition_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)").alias("revenue"),
         )
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts, arg_max(event_type, event_id) AS event_type
+  FROM events WHERE event_type <> 'purchase'
+  GROUP BY user_id, ts
+),
+attributed AS (
+  SELECT p.event_id, t.event_type AS channel,
+         (t.ts IS NOT NULL
+          AND p.ts - t.ts <= INTERVAL 30 MINUTE) AS within_window
+  FROM purchases p ASOF LEFT JOIN touches t
+    ON p.user_id = t.user_id AND t.ts <= p.ts
+)
+SELECT CASE WHEN within_window THEN channel ELSE 'unattributed' END
+         AS channel,
+       COUNT(*) AS n_purchases
+FROM attributed
+GROUP BY 1
+""",
+    tags=("join", "asof", "attribution", "events"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent non-purchase event within a 30-minute window (else
+    'unattributed') — built on this module's as-of join (union +
+    window, no candidate blow-up), showing the custom operator
+    composes: the attribution threshold is a plain filter on the
+    matched timestamp, and the rollup is one small-key aggregation.
+
+    The as-of right side dedupes to one row per (user, ts) with the
+    max event_id so ties are deterministic on both engines; DuckDB's
+    native ASOF JOIN picks the same greatest-ts row."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("t_type"))
+        .withColumn("t_ts", F.col("ts"))
+    )
+    matched = asof_join(
+        purchases,
+        touches,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["t_type", "t_ts"],
+    )
+    return (
+        matched.select(
+            F.when(
+                F.col("t_ts").isNotNull()
+                & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+                F.col("t_type"),
+            )
+            .otherwise(F.lit("unattributed"))
+            .alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )

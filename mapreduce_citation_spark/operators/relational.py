@@ -1071,3 +1071,56 @@ def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "nation_region_revenue_share",
+    oracle=f"""
+WITH nr AS (
+  SELECT r_name AS region, n_name AS nation,
+         SUM({OPRICE}) AS rev_d
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       CAST(rev_d AS DOUBLE) AS revenue,
+       CAST(rev_d AS DOUBLE)
+         / CAST(SUM(rev_d) OVER (PARTITION BY region) AS DOUBLE)
+         AS region_share
+FROM nr
+""",
+    tags=("aggregate", "window", "share-of-parent"),
+)
+def nation_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent: each nation's revenue as a fraction of its
+    region's total — aggregate once on the fine key, then a window
+    SUM over the parent key on the aggregated (tiny) result. The
+    shares divide two doubles cast from exact DECIMAL sums, so they
+    hash-match.
+
+    Scale shape: the fact shuffles once into the nation-level
+    aggregate; the parent rollup is a window over ≤|nations| rows —
+    never a second pass over the fact, never a self-join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nr = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.expr(f"SUM({OPRICE})").alias("rev_d"))
+    )
+    return nr.select(
+        "region",
+        "nation",
+        F.expr("CAST(rev_d AS DOUBLE)").alias("revenue"),
+        F.expr(
+            "CAST(rev_d AS DOUBLE)"
+            " / CAST(SUM(rev_d) OVER (PARTITION BY region) AS DOUBLE)"
+        ).alias("region_share"),
+    )

@@ -232,3 +232,36 @@ def test_vocab_topk_matches_python_reference(spark, sf_dir):
     got = [(r["word"], r["tf"]) for r in rows]
     assert got == want
     assert all(r["df"] == df[r["word"]] for r in rows)
+
+
+def test_attribution_accounts_for_every_purchase(spark, sf_dir):
+    from mapreduce_citation_spark.operators.joins import (
+        events_attribution_last_touch,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    rows = events_attribution_last_touch(spark, sf_dir).collect()
+    total = sum(r["n_purchases"] for r in rows)
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert total == n_purchases
+    channels = {r["channel"] for r in rows}
+    assert "purchase" not in channels  # purchases never self-attribute
+
+
+def test_region_shares_sum_to_one(spark, sf_dir):
+    from mapreduce_citation_spark.operators.relational import (
+        nation_region_revenue_share,
+    )
+
+    rows = nation_region_revenue_share(spark, sf_dir).collect()
+    by_region: dict[str, float] = {}
+    for r in rows:
+        by_region[r["region"]] = by_region.get(r["region"], 0.0) + r["region_share"]
+        assert 0.0 < r["region_share"] <= 1.0
+    assert by_region
+    for region, s in by_region.items():
+        assert abs(s - 1.0) < 1e-12
