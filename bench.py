@@ -26,6 +26,38 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _calibrate() -> dict[str, float]:
+    """~0.5 s CPU-throughput probe (single thread + all threads).
+
+    This box is a VM whose effective parallel CPU capacity varies
+    several-fold between measurement windows (host neighbors are
+    invisible from the guest). The probe is recorded alongside the
+    timings so a cross-round wall-time delta can be attributed to
+    host capacity vs plan changes: aggregate throughput / single
+    thread ≈ the cores actually available to the 32-thread JVM."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    def work(mb: int) -> None:
+        h = hashlib.sha256()
+        for _ in range(mb):
+            h.update(b"x" * 1_000_000)
+
+    t0 = time.perf_counter()
+    work(50)
+    one = 50 / (time.perf_counter() - t0)
+    n = os.cpu_count() or 1
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(n) as ex:
+        list(ex.map(work, [50] * n))
+    alln = n * 50 / (time.perf_counter() - t0)
+    return {
+        "cal_1t_mbps": round(one),
+        "cal_all_mbps": round(alln),
+        "cal_effective_cores": round(alln / one, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -66,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                **_calibrate(),
             }
         )
     )
