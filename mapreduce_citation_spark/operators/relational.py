@@ -1124,3 +1124,126 @@ def nation_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(SUM(rev_d) OVER (PARTITION BY region) AS DOUBLE)"
         ).alias("region_share"),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+WITH rfm AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(SUM({OPRICE}) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(NTILE(5) OVER (ORDER BY last_order DESC, o_custkey ASC) AS INT)
+         AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INT)
+         AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INT)
+         AS m_score,
+       o_custkey, frequency, monetary
+FROM rfm
+""",
+    tags=("aggregate", "window", "rfm", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quintiles (NTILE over total orders — each ORDER BY carries the
+    custkey tiebreak so the quintile assignment is deterministic on
+    both engines; monetary from the exact decimal sum).
+
+    Scale note: NTILE over an ungrouped window is a single-partition
+    sort — fine for the per-customer aggregate (|customers| ≪ |fact|),
+    and the global sort is exactly what rank-based scoring means. A
+    100 TB variant with billions of customers would swap NTILE for
+    percentile thresholds (two-pass: approx quantiles → map-side
+    bucketing)."""
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.expr(f"CAST(SUM({OPRICE}) AS DOUBLE)").alias("monetary"),
+    )
+    return rfm.select(
+        F.expr(
+            "CAST(NTILE(5) OVER (ORDER BY last_order DESC, o_custkey ASC) AS INT)"
+        ).alias("r_score"),
+        F.expr(
+            "CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INT)"
+        ).alias("f_score"),
+        F.expr(
+            "CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INT)"
+        ).alias("m_score"),
+        "o_custkey",
+        "frequency",
+        "monetary",
+    )
+
+
+@register(
+    "part_abc_classification",
+    oracle=f"""
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(SUM({PRICE} * (1 - {DISC})) AS DECIMAL(18,4)) AS revenue_d
+  FROM lineitem GROUP BY l_partkey
+),
+c AS (
+  SELECT l_partkey, revenue_d,
+         CAST(SUM(revenue_d) OVER (ORDER BY revenue_d DESC, l_partkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)
+           / CAST(SUM(revenue_d) OVER () AS DOUBLE) AS cum_share
+  FROM pr
+)
+SELECT CASE WHEN cum_share <= 0.5 THEN 'A'
+            WHEN cum_share <= 0.8 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       COUNT(*) AS n_parts,
+       CAST(SUM(revenue_d) AS DOUBLE) AS class_revenue
+FROM c
+GROUP BY 1
+""",
+    tags=("aggregate", "window", "pareto", "abc"),
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification: parts ranked by revenue, cumulative
+    revenue share thresholds 50%/80% split A/B/C; reports class sizes
+    and revenue. The running SUM stays in exact DECIMAL (a running
+    DOUBLE sum would diverge: DuckDB evaluates window aggregates with
+    a segment tree, so its float association order differs from a
+    left-to-right scan) and only the final share division happens in
+    double — the class boundaries then agree bit-exactly.
+
+    Scale note: like RFM, the ranking window runs over the PART-level
+    aggregate, not the fact; the final rollup is three groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.expr(
+            f"CAST(SUM({PRICE} * (1 - {DISC})) AS DECIMAL(18,4))"
+        ).alias("revenue_d")
+    )
+    c = pr.select(
+        "l_partkey",
+        "revenue_d",
+        F.expr(
+            "CAST(SUM(revenue_d) OVER (ORDER BY revenue_d DESC, l_partkey ASC"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+            " / CAST(SUM(revenue_d) OVER () AS DOUBLE)"
+        ).alias("cum_share"),
+    )
+    return (
+        c.select(
+            F.when(F.col("cum_share") <= 0.5, "A")
+            .when(F.col("cum_share") <= 0.8, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "revenue_d",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr("CAST(SUM(revenue_d) AS DOUBLE)").alias("class_revenue"),
+        )
+    )

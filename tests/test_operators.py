@@ -265,3 +265,45 @@ def test_region_shares_sum_to_one(spark, sf_dir):
     assert by_region
     for region, s in by_region.items():
         assert abs(s - 1.0) < 1e-12
+
+
+def test_rfm_quintiles_are_balanced(spark, sf_dir):
+    from mapreduce_citation_spark.operators.relational import (
+        customer_rfm_segments,
+    )
+
+    rows = customer_rfm_segments(spark, sf_dir).collect()
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = {}
+        for r in rows:
+            sizes[r[col]] = sizes.get(r[col], 0) + 1
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        # NTILE: bucket sizes differ by at most one
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        assert sum(sizes.values()) == n
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    from mapreduce_citation_spark.operators.relational import (
+        part_abc_classification,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    rows = {r["abc_class"]: r for r in part_abc_classification(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_parts = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    # boundary consistency: class A stops at <=50% cumulative share and
+    # A+B at <=80%, each within one part's revenue of the threshold
+    # (the fixture's revenue is near-uniform, so no Pareto-skew claims)
+    total = sum(r["class_revenue"] for r in rows.values())
+    max_part_rev = max(
+        r["class_revenue"] / r["n_parts"] for r in rows.values()
+    )
+    assert rows["A"]["class_revenue"] <= 0.5 * total + max_part_rev
+    ab = rows["A"]["class_revenue"] + rows["B"]["class_revenue"]
+    assert 0.5 * total - max_part_rev <= rows["A"]["class_revenue"]
+    assert 0.8 * total - max_part_rev <= ab <= 0.8 * total + max_part_rev
