@@ -336,14 +336,16 @@ m AS (
   FROM d GROUP BY user_id
 )
 SELECT d.user_id, d.day, d.n_events,
-       (CAST(d.n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
-         / sqrt((CAST(ss AS DOUBLE)
-                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
-                / CAST(nd AS DOUBLE)) AS z,
-       ABS((CAST(d.n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
-         / sqrt((CAST(ss AS DOUBLE)
-                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
-                / CAST(nd AS DOUBLE))) >= 2.0 AS is_anomaly
+       CASE WHEN nd * ss = s * s THEN NULL ELSE
+         (CAST(d.n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+           / sqrt((CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+                  / CAST(nd AS DOUBLE)) END AS z,
+       CASE WHEN nd * ss = s * s THEN FALSE ELSE
+         ABS((CAST(d.n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+           / sqrt((CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+                  / CAST(nd AS DOUBLE))) >= 2.0 END AS is_anomaly
 FROM d JOIN m USING (user_id)
 """,
     tags=("events", "anomaly", "stats", "zscore"),
@@ -376,10 +378,19 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))"
         " / CAST(nd AS DOUBLE))"
     )
+    # zero-variance guard on the INTEGER moments (nd·ss == s² ⇔ all
+    # daily counts equal): without it z is 0/0 — which Spark returns
+    # as NULL but DuckDB may return as NaN (and NaN >= 2 is TRUE
+    # there), silently diverging the gate on a degenerate user
+    zero_var = F.expr("nd * ss = s * s")
     return d.join(m, "user_id").select(
         "user_id",
         "day",
         "n_events",
-        F.expr(z).alias("z"),
-        (F.abs(F.expr(z)) >= F.lit(2.0)).alias("is_anomaly"),
+        F.when(zero_var, F.lit(None).cast("double"))
+        .otherwise(F.expr(z))
+        .alias("z"),
+        F.when(zero_var, F.lit(False))
+        .otherwise(F.abs(F.expr(z)) >= F.lit(2.0))
+        .alias("is_anomaly"),
     )

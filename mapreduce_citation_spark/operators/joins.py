@@ -505,19 +505,27 @@ _BUCKET_DB = "benchdb"
 _N_BUCKETS = 16
 
 
-def bucketed_table(
-    spark: SparkSession, sf_dir: str, name: str, key: str,
-    n_buckets: int = _N_BUCKETS,
+def _warehouse_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    suffix: str,
+    spec_tag: str,
+    write,
 ) -> DataFrame:
-    """Return fixture table ``name`` as a warehouse table bucketed +
-    sorted on ``key``, (re)building only when missing or the source
-    parquet changed (mtime pinned in TBLPROPERTIES). Table names carry
-    the sf token, so different scale factors never collide.
+    """Shared warehouse-table builder behind ``bucketed_table`` and
+    ``partitioned_table``: returns fixture table ``name`` laid out in
+    the warehouse per ``write`` (a callable applying the layout to a
+    DataFrame and saving to the given table name), (re)building only
+    when missing or stale.
 
-    This is the ETL half of the co-located join strategy: pay one
-    shuffle at ingest, then every subsequent join/aggregation on the
-    bucket key runs with ZERO exchange — the right trade whenever a
-    100 TB fact table is joined on the same key by many queries."""
+    Cache identity = (source realpath, layout spec): the table token
+    hashes the full realpath (two fixture dirs sharing a basename
+    never collide) AND ``spec_tag`` (two different layouts of the
+    same source — e.g. month- vs week-partitioned — never share a
+    table). Staleness = exact float mtime + total byte size in
+    TBLPROPERTIES, so a fixture regenerated within the same second is
+    still detected."""
     import hashlib
     import os
     import re
@@ -532,16 +540,11 @@ def bucketed_table(
         )
 
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {_BUCKET_DB}")
-    # Token = basename + an 8-hex hash of the full realpath, so two
-    # fixture dirs sharing a basename (e.g. /a/sf0.1 vs /b/sf0.1) get
-    # distinct warehouse tables.
     real = os.path.realpath(sf_dir.rstrip("/"))
-    path_tag = hashlib.md5(real.encode()).hexdigest()[:8]
-    token = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(real)) + "_" + path_tag
-    tbl = f"{_BUCKET_DB}.{name}_bk_{token}"
+    tag = hashlib.md5(f"{real}|{spec_tag}".encode()).hexdigest()[:8]
+    token = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(real)) + "_" + tag
+    tbl = f"{_BUCKET_DB}.{name}_{suffix}_{token}"
     src = os.path.join(sf_dir, f"{name}.parquet")
-    # Staleness guard: exact float mtime + total byte size, so a fixture
-    # regenerated within the same second is still detected.
     src_mtime = f"{os.path.getmtime(src)!r}:{_tree_size(src)}"
     if spark.catalog.tableExists(tbl):
         props = {
@@ -558,15 +561,33 @@ def bucketed_table(
             os.path.join(wh, f"{_BUCKET_DB}.db", tbl.split(".", 1)[1]),
             ignore_errors=True,
         )
-    (
-        spark.read.parquet(src)
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
-        .saveAsTable(tbl)
-    )
+    write(spark.read.parquet(src), tbl)
     spark.sql(f"ALTER TABLE {tbl} SET TBLPROPERTIES ('src_mtime'='{src_mtime}')")
     return spark.table(tbl)
+
+
+def bucketed_table(
+    spark: SparkSession, sf_dir: str, name: str, key: str,
+    n_buckets: int = _N_BUCKETS,
+) -> DataFrame:
+    """Fixture table ``name`` as a warehouse table bucketed + sorted
+    on ``key``. This is the ETL half of the co-located join strategy:
+    pay one shuffle at ingest, then every subsequent join/aggregation
+    on the bucket key runs with ZERO exchange — the right trade
+    whenever a 100 TB fact table is joined on the same key by many
+    queries."""
+
+    def write(df: DataFrame, tbl: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+
+    return _warehouse_table(
+        spark, sf_dir, name, "bk", f"bucket:{key}:{n_buckets}", write
+    )
 
 
 @register(
@@ -616,64 +637,31 @@ def join_bucketed_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def partitioned_table(
     spark: SparkSession, sf_dir: str, name: str, part_col: str, part_expr: str
 ) -> DataFrame:
-    """Return fixture table ``name`` as a warehouse table
-    hive-partitioned on ``part_col`` (computed by ``part_expr``),
-    (re)building only when missing or the source parquet changed —
-    the ``bucketed_table`` staleness discipline.
+    """Fixture table ``name`` as a warehouse table hive-partitioned on
+    ``part_col`` (computed by ``part_expr``). This is the layout half
+    of the partition-pruning strategy: a 100 TB fact laid out by
+    month means a month-bounded query reads only the touched
+    directories — static pruning when the bound is a literal, DYNAMIC
+    partition pruning (a runtime subquery filter pushed into the
+    scan) when the bound arrives through a dim-table join."""
 
-    This is the layout half of the partition-pruning strategy: a
-    100 TB fact laid out by month means a month-bounded query reads
-    only the touched directories — static pruning when the bound is
-    a literal, DYNAMIC partition pruning (a runtime subquery filter
-    pushed into the scan) when the bound arrives through a dim-table
-    join."""
-    import hashlib
-    import os
-    import re
-    import shutil
-
-    def _tree_size(p: str) -> int:
-        if os.path.isfile(p):
-            return os.path.getsize(p)
-        return sum(
-            os.path.getsize(os.path.join(d, f))
-            for d, _, fs in os.walk(p) for f in fs
+    def write(df: DataFrame, tbl: str) -> None:
+        (
+            df.withColumn(part_col, F.expr(part_expr))
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .saveAsTable(tbl)
         )
 
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_BUCKET_DB}")
-    real = os.path.realpath(sf_dir.rstrip("/"))
-    path_tag = hashlib.md5(real.encode()).hexdigest()[:8]
-    token = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(real)) + "_" + path_tag
-    tbl = f"{_BUCKET_DB}.{name}_pt_{token}"
-    src = os.path.join(sf_dir, f"{name}.parquet")
-    src_mtime = f"{os.path.getmtime(src)!r}:{_tree_size(src)}"
-    if spark.catalog.tableExists(tbl):
-        props = {
-            r["key"]: r["value"]
-            for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()
-        }
-        if props.get("src_mtime") == src_mtime:
-            return spark.table(tbl)
-    else:
-        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        shutil.rmtree(
-            os.path.join(wh, f"{_BUCKET_DB}.db", tbl.split(".", 1)[1]),
-            ignore_errors=True,
-        )
-    (
-        spark.read.parquet(src)
-        .withColumn(part_col, F.expr(part_expr))
-        .write.mode("overwrite")
-        .partitionBy(part_col)
-        .saveAsTable(tbl)
+    return _warehouse_table(
+        spark, sf_dir, name, "pt", f"part:{part_col}:{part_expr}", write
     )
-    spark.sql(f"ALTER TABLE {tbl} SET TBLPROPERTIES ('src_mtime'='{src_mtime}')")
-    return spark.table(tbl)
 
 
 def _month_dim(spark: SparkSession) -> DataFrame:
     """84-row month dimension (1995-01..2001-12, the fixture's
-    date range) with year/quarter attributes — a constant-size dim built
+    date range; the fact's max ship month is 2001-11, so 83 of the 84
+    dim months actually occur) with year/quarter attributes — a constant-size dim built
     driver-side, the join side that makes partition pruning DYNAMIC
     (the month set reaching the fact scan is only known after the
     dim filter runs)."""
@@ -705,8 +693,8 @@ GROUP BY 1
 def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning: lineitem laid out month-partitioned
     in the warehouse, joined to a month dim filtered to 1997 H1 — the
-    runtime DPP subquery prunes the fact scan to 6 of 84 partition
-    directories before any row is read (plan-pinned:
+    runtime DPP subquery prunes the fact scan to the 6 matching of the fixture's 83
+    ship-month partition directories before any row is read (plan-pinned:
     ``dynamicpruning`` in the scan's PartitionFilters). The benched
     flat twin ``join_partition_flat`` runs the same logical query
     against the unpartitioned parquet, so the pruning payoff is

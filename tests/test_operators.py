@@ -185,6 +185,10 @@ def test_daily_anomaly_zscores_center_per_user(spark, sf_dir):
     for r in rows:
         by_user.setdefault(r["user_id"], []).append(r)
     for user, rs in by_user.items():
+        if any(r["z"] is None for r in rs):
+            # zero-variance guard: all-or-nothing per user, flag False
+            assert all(r["z"] is None and r["is_anomaly"] is False for r in rs)
+            continue
         zs = [r["z"] for r in rs if not math.isnan(r["z"])]
         if len(zs) < 2:
             continue
@@ -297,13 +301,64 @@ def test_abc_classes_partition_revenue(spark, sf_dir):
     )
     assert sum(r["n_parts"] for r in rows.values()) == n_parts
     # boundary consistency: class A stops at <=50% cumulative share and
-    # A+B at <=80%, each within one part's revenue of the threshold
-    # (the fixture's revenue is near-uniform, so no Pareto-skew claims)
+    # A+B at <=80%, each within ONE part's revenue of the threshold —
+    # the tolerance is the true max per-part revenue (a class average
+    # would under-bound it on skewed data)
     total = sum(r["class_revenue"] for r in rows.values())
-    max_part_rev = max(
-        r["class_revenue"] / r["n_parts"] for r in rows.values()
+    from pyspark.sql import functions as F
+
+    max_part_rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)"
+            ).alias("rev")
+        )
+        .agg(F.max("rev"))
+        .collect()[0][0]
     )
     assert rows["A"]["class_revenue"] <= 0.5 * total + max_part_rev
     ab = rows["A"]["class_revenue"] + rows["B"]["class_revenue"]
     assert 0.5 * total - max_part_rev <= rows["A"]["class_revenue"]
     assert 0.8 * total - max_part_rev <= ab <= 0.8 * total + max_part_rev
+
+
+def test_daily_anomaly_zero_variance_user_gets_null_z(spark):
+    """A user with identical daily counts has zero variance: the
+    integer-moment guard must emit NULL z and is_anomaly=False (not
+    0/0, which Spark and DuckDB disagree on)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.events import events_daily_anomaly
+
+    rows = []
+    eid = 0
+    # user 7: exactly 2 events on each of 3 days -> zero variance
+    for day in (1, 2, 3):
+        for _ in range(2):
+            rows.append((eid, f"2024-02-0{day}T10:0{eid % 6}:00", 7, "view", 1.0, "{}"))
+            eid += 1
+    # user 8: varying counts (1, 3) -> normal z-scores
+    rows.append((eid, "2024-02-01T10:00:00", 8, "view", 1.0, "{}")); eid += 1
+    for _ in range(3):
+        rows.append((eid, "2024-02-02T11:00:00", 8, "view", 1.0, "{}")); eid += 1
+
+    with tempfile.TemporaryDirectory() as td:
+        (
+            spark.createDataFrame(
+                rows, ["event_id", "raw_ts", "user_id", "event_type", "value", "props"]
+            )
+            .withColumn("ts", F.to_timestamp("raw_ts"))
+            .drop("raw_ts")
+            .write.parquet(os.path.join(td, "events.parquet"))
+        )
+        got = events_daily_anomaly(spark, td).collect()
+    u7 = [r for r in got if r["user_id"] == 7]
+    u8 = [r for r in got if r["user_id"] == 8]
+    assert len(u7) == 3 and all(r["z"] is None and r["is_anomaly"] is False for r in u7)
+    assert len(u8) == 2 and all(r["z"] is not None for r in u8)
