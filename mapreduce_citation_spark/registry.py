@@ -122,7 +122,11 @@ _PRIORITY = (
     # sibling events_json_props.)
     "events_tumbling_hourly",
     "events_session_window",
-    "events_funnel_join",
+    # (r5b rotation: events_funnel_join → beyond-window — the funnel
+    # family stays represented by streaming_stream_stream_funnel;
+    # join_partition_pruned joins the window so the DPP capability is
+    # driver-gated alongside the bucketed warehouse join.)
+    "join_partition_pruned",
     # Structured Streaming, driver-visible: six live families in the
     # window (three more — CDC compaction, stream-static join, sliding
     # windows — are registered beyond it, full-sweep-gated) —
