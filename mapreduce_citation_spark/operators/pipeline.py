@@ -320,3 +320,121 @@ def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+def _curation_funnel_oracle() -> str:
+    """Stage-chained DuckDB mirror of :func:`corpus_curation_funnel`,
+    built from the SAME shared predicates the primitive operators
+    use: ``QG_KEEP_DUCK`` (quality gate), the ``dedup_exact``
+    min-doc_id-per-md5 keeper, and the ``decontaminate_eval_overlap``
+    40-char-gram criterion (60-bit integer digests, benchmark =
+    ``doc_id % 10 = 0``)."""
+    from .dedup import _ESK
+    from .text import QG_KEEP_DUCK
+
+    return f"""
+WITH s1 AS MATERIALIZED (
+  SELECT doc_id, text, n_chars FROM documents WHERE {QG_KEEP_DUCK}
+),
+s2 AS MATERIALIZED (
+  SELECT * FROM s1 WHERE doc_id IN (
+    SELECT MIN(doc_id) FROM s1 GROUP BY md5(text)
+  )
+),
+pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {_ESK} + 1)) AS i
+  FROM documents WHERE length(text) >= {_ESK}
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {_ESK})), 1, 15)) AS BIGINT) AS dg
+  FROM pos
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE doc_id % 10 <> 0
+    AND dg IN (SELECT dg FROM g WHERE doc_id % 10 = 0)
+),
+s3 AS MATERIALIZED (
+  SELECT * FROM s2
+  WHERE doc_id % 10 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT '0_total' AS stage, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents
+UNION ALL SELECT '1_quality', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM s1
+UNION ALL SELECT '2_exact_dedup', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM s2
+UNION ALL SELECT '3_decontaminated', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM s3
+"""
+
+
+@register(
+    "corpus_curation_funnel",
+    oracle=_curation_funnel_oracle(),
+    tags=("pipeline", "funnel", "dedup", "decontamination", "quality", "composition"),
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the composition a training-data
+    run actually executes, with per-stage corpus accounting:
+
+    1. quality gate (the shared Gopher-rule predicates),
+    2. exact dedup (min-doc_id keeper per md5, applied to survivors),
+    3. eval-set decontamination (drop the held-out tenth and any
+       survivor sharing a ≥40-char exact span with it).
+
+    Every stage reuses the primitive operator's exact predicate, so
+    this is a true composition, not a reimplementation; the oracle
+    chains the same stages in SQL and hash-matches the (stage,
+    n_docs, total_chars) accounting.
+
+    Scale shape: one documents scan feeds the quality+dedup chain
+    (digest shuffle only), one more feeds the gram stream (inherent —
+    decontamination grams need the raw text); the benchmark gram set
+    is the small join side, the corpus never self-joins; stage
+    reports are 1-row aggregates unioned at the end."""
+    from pyspark.sql import Window
+
+    from .dedup import _char_grams
+    from .text import QG_KEEP_SPARK
+
+    d = _docs(spark, sf_dir)
+    # one scan feeds all survivor stages
+    s1 = d.filter(F.expr(QG_KEEP_SPARK)).select(
+        "doc_id", "text", "n_chars"
+    ).localCheckpoint()
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    s2 = (
+        s1.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()
+    )
+    g = _char_grams(d).select("doc_id", "dg").distinct()
+    bench_g = g.where(F.col("doc_id") % 10 == 0).select("dg").distinct()
+    contaminated = (
+        g.where(F.col("doc_id") % 10 != 0)
+        .join(bench_g, "dg")
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = (
+        s2.where(F.col("doc_id") % 10 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.expr("CAST(SUM(n_chars) AS BIGINT)"), F.lit(0)).alias(
+                "total_chars"
+            ),
+        ).select("stage", "n_docs", "total_chars")
+
+    return (
+        stage(d.select("n_chars"), "0_total")
+        .unionByName(stage(s1, "1_quality"))
+        .unionByName(stage(s2, "2_exact_dedup"))
+        .unionByName(stage(s3, "3_decontaminated"))
+    )

@@ -747,24 +747,53 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Gopher-style quality rules as self-contained boolean SQL over a
+#: ``documents`` row — ONE definition consumed by ``corpus_quality_gate``
+#: (per-rule funnel accounting) and ``corpus_curation_funnel``
+#: (pipeline.py). All bounds are integer cross-multiplications, so the
+#: booleans are exact on both engines; repeated subexpressions are
+#: CSE'd by both optimizers.
+# NOTE the doubled backslash: Spark's SQL parser unescapes string
+# literals (so the literal must read \\s to mean regex \s), DuckDB's
+# does not (single \s suffices there).
+_QG_TOKCHARS_S = "length(regexp_replace(text, '\\\\s', ''))"
+_QG_TOKCHARS_D = "length(regexp_replace(text, '\\s', '', 'g'))"
+_QG_DIGITS_S = "length(regexp_replace(text, '[^0-9]', ''))"
+_QG_DIGITS_D = "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+
+QG_RULES_SPARK: dict[str, str] = {
+    "r_len": f"size({_TOK_S}) BETWEEN 5 AND 500",
+    "r_word_len": (
+        f"2 * size({_TOK_S}) <= {_QG_TOKCHARS_S}"
+        f" AND {_QG_TOKCHARS_S} <= 12 * size({_TOK_S})"
+    ),
+    "r_symbol": f"5 * {_QG_DIGITS_S} <= {_QG_TOKCHARS_S}",
+    "r_stop": f"arrays_overlap({_TOK_S}, array('the', 'a', 'of'))",
+}
+QG_RULES_DUCK: dict[str, str] = {
+    "r_len": f"len({_TOK_D}) BETWEEN 5 AND 500",
+    "r_word_len": (
+        f"2 * len({_TOK_D}) <= {_QG_TOKCHARS_D}"
+        f" AND {_QG_TOKCHARS_D} <= 12 * len({_TOK_D})"
+    ),
+    "r_symbol": f"5 * {_QG_DIGITS_D} <= {_QG_TOKCHARS_D}",
+    "r_stop": f"list_has_any({_TOK_D}, ['the', 'a', 'of'])",
+}
+#: conjunction of all rules (the keep decision)
+QG_KEEP_SPARK = " AND ".join(f"({e})" for e in QG_RULES_SPARK.values())
+QG_KEEP_DUCK = " AND ".join(f"({e})" for e in QG_RULES_DUCK.values())
+
+
 @register(
     "corpus_quality_gate",
     oracle=f"""
-WITH g AS (
+WITH r AS (
   SELECT source,
-         len({_TOK_D}) AS ntok,
-         length(regexp_replace(text, '\\s', '', 'g')) AS tokchars,
-         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
-         list_has_any({_TOK_D}, ['the', 'a', 'of']) AS has_stop
+         ({QG_RULES_DUCK["r_len"]}) AS r_len,
+         ({QG_RULES_DUCK["r_word_len"]}) AS r_word_len,
+         ({QG_RULES_DUCK["r_symbol"]}) AS r_symbol,
+         ({QG_RULES_DUCK["r_stop"]}) AS r_stop
   FROM documents
-),
-r AS (
-  SELECT source,
-         (ntok BETWEEN 5 AND 500) AS r_len,
-         (2 * ntok <= tokchars AND tokchars <= 12 * ntok) AS r_word_len,
-         (5 * digits <= tokchars) AS r_symbol,
-         has_stop AS r_stop
-  FROM g
 )
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
@@ -780,35 +809,20 @@ GROUP BY source
 )
 def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule gate with per-rule funnel accounting, by
-    source: word-count bounds, mean-word-length bounds, symbol
-    (digit) ratio cap, stopword presence — each rule evaluated in
-    INTEGER arithmetic (bounds as cross-multiplications, e.g.
-    ``2·ntok ≤ tokchars ≤ 12·ntok`` instead of a float mean), so the
-    booleans and counts are exact on both engines.
+    source — the rules are the shared ``QG_RULES_*`` definitions
+    (integer cross-multiplication bounds, e.g. ``2·ntok ≤ tokchars ≤
+    12·ntok`` instead of a float mean), so the booleans and counts
+    are exact on both engines and ``corpus_curation_funnel``
+    (pipeline.py) gates on the very same predicates.
 
     Scale shape: pure map-side featurization + one aggregation on the
     tiny source key — at 100 TB, one scan; the per-rule pass counts
     are what a curation run reports to decide which rule is doing the
     filtering."""
     d = _docs(spark, sf_dir)
-    g = d.select(
+    r = d.select(
         "source",
-        F.expr(f"size({_TOK_S})").alias("ntok"),
-        F.length(F.regexp_replace("text", r"\s", "")).alias("tokchars"),
-        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("digits"),
-        F.expr(f"arrays_overlap({_TOK_S}, array('the', 'a', 'of'))").alias(
-            "has_stop"
-        ),
-    )
-    r = g.select(
-        "source",
-        F.col("ntok").between(5, 500).alias("r_len"),
-        (
-            (F.lit(2) * F.col("ntok") <= F.col("tokchars"))
-            & (F.col("tokchars") <= F.lit(12) * F.col("ntok"))
-        ).alias("r_word_len"),
-        (F.lit(5) * F.col("digits") <= F.col("tokchars")).alias("r_symbol"),
-        F.col("has_stop").alias("r_stop"),
+        *[F.expr(e).alias(name) for name, e in QG_RULES_SPARK.items()],
     )
     cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
     return r.groupBy("source").agg(

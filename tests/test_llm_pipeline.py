@@ -733,3 +733,27 @@ def test_quality_gate_rule_boundaries_on_planted_corpus(spark):
     assert r["pass_symbol"] == 4    # g4 out
     assert r["pass_stop"] == 4      # g5 out
     assert r["n_keep"] == 1         # only g1 passes all
+
+
+def test_curation_funnel_consistent_with_primitives(spark, sf_dir):
+    """The funnel's stage counts must be monotone and agree with the
+    primitive operators it composes (quality gate keep count; exact
+    dedup keeps ≤ survivors)."""
+    from mapreduce_citation_spark.operators.pipeline import (
+        corpus_curation_funnel,
+    )
+    from mapreduce_citation_spark.operators.text import corpus_quality_gate
+
+    rows = {r["stage"]: r for r in corpus_curation_funnel(spark, sf_dir).collect()}
+    assert list(sorted(rows)) == [
+        "0_total", "1_quality", "2_exact_dedup", "3_decontaminated"
+    ]
+    counts = [rows[s]["n_docs"] for s in sorted(rows)]
+    chars = [rows[s]["total_chars"] for s in sorted(rows)]
+    assert counts == sorted(counts, reverse=True)
+    assert chars == sorted(chars, reverse=True)
+    n_keep = sum(
+        r["n_keep"] for r in corpus_quality_gate(spark, sf_dir).collect()
+    )
+    assert rows["1_quality"]["n_docs"] == n_keep
+    assert rows["3_decontaminated"]["n_docs"] > 0
