@@ -640,3 +640,77 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def read_documents_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture (same staged
+    symlink-dir shim as ``read_events_parquet_stream``; no timestamp
+    normalization needed — the table has none)."""
+    src = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    stage = _STAGE_DIRS.get(src)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="documents_stream_")
+        os.symlink(src, os.path.join(stage, "documents.parquet"))
+        _STAGE_DIRS[src] = stage
+    return spark.readStream.schema(_DOCS_SCHEMA).parquet(stage)
+
+
+from .text import QG_KEEP_DUCK as _QG_KEEP_DUCK  # noqa: E402
+
+
+@register(
+    "streaming_quality_gate_counts",
+    oracle=f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN {_QG_KEEP_DUCK} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep
+FROM documents GROUP BY source
+""",
+    tags=("streaming", "quality", "gopher-rules", "stateful-agg"),
+)
+def streaming_quality_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE quality-gate accounting — the Gopher-rule gate running as
+    a streaming aggregation over a document stream: per source, docs
+    seen and docs passing ALL shared ``QG_RULES_SPARK`` predicates
+    (the exact predicates the batch gate and the curation funnel
+    use). State is two counters per source key; update mode emits the
+    cumulative counts per changed key each micro-batch, and both
+    counters are monotone, so the max row per key after draining IS
+    the final accounting — the same drained-sink reduction the other
+    streaming families use."""
+    from pyspark.sql import Window
+
+    from .text import QG_KEEP_SPARK
+
+    docs = read_documents_parquet_stream(spark, sf_dir)
+    agg = (
+        docs.withColumn("keep", F.expr(QG_KEEP_SPARK))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        )
+    )
+    name = f"streaming_quality_gate_counts_{next(_SINK_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), F.col("n_keep").desc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "n_docs", "n_keep")
+    )

@@ -802,3 +802,22 @@ def test_cdc_compaction_state_survives_restart(spark, tmp_path):
         (1, 10, "view"), (1, 10, "view"),
         (2, 20, "view"), (2, 21, "purchase"),
     ]
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_dir):
+    """The live quality-gate aggregation must equal the batch gate's
+    (source, n_docs, n_keep) projection — same shared predicates."""
+    from mapreduce_citation_spark.operators.streaming_queries import (
+        streaming_quality_gate_counts,
+    )
+    from mapreduce_citation_spark.operators.text import corpus_quality_gate
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_keep"])
+        for r in streaming_quality_gate_counts(spark, sf_dir).collect()
+    }
+    want = {
+        r["source"]: (r["n_docs"], r["n_keep"])
+        for r in corpus_quality_gate(spark, sf_dir).collect()
+    }
+    assert got == want and got
