@@ -43,6 +43,7 @@ FAMILIES = {
     "citation_pagerank_scale": "lineitem",
     "join_hot_key_salted": "lineitem",
     "embedding_kmeans": "embeddings",
+    "corpus_curation_funnel": "documents",
 }
 
 
