@@ -394,3 +394,54 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(F.expr(z)) >= F.lit(2.0))
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, user_id FROM events GROUP BY 1, 2
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM d GROUP BY day),
+w AS (
+  SELECT date_trunc('week', day) AS week, user_id FROM d GROUP BY 1, 2
+),
+wau AS (SELECT week, COUNT(*) AS wau FROM w GROUP BY week)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON date_trunc('week', dau.day) = wau.week
+""",
+    tags=("events", "engagement", "dau-wau"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement accounting: daily active users, the containing
+    calendar week's weekly active users, and the DAU/WAU stickiness
+    ratio. Distinct-user sets dedupe at day grain first (one compact
+    (day, user) table feeds both rollups — the raw stream is touched
+    once); counts are integers so the ratio is a deterministic
+    double."""
+    ev = _ev(spark, sf_dir)
+    d = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .agg(F.lit(1).alias("_one"))
+        .select("day", "user_id")
+        .localCheckpoint()
+    )
+    dau = d.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        d.select(F.date_trunc("week", "day").alias("week"), "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, F.date_trunc("week", F.col("day")) == F.col("week"))
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -1247,3 +1247,56 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(revenue_d) AS DOUBLE)").alias("class_revenue"),
         )
     )
+
+
+@register(
+    "segment_interorder_gaps",
+    oracle="""
+WITH g AS (
+  SELECT c_mktsegment,
+         date_diff('day',
+           LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment,
+       COUNT(gap_days) AS n_gaps,
+       CAST(SUM(gap_days) AS DOUBLE) / COUNT(gap_days) AS avg_gap_days,
+       quantile_cont(gap_days, 0.5) AS median_gap_days
+FROM g
+GROUP BY c_mktsegment
+""",
+    tags=("window", "lag", "aggregate", "engagement"),
+)
+def segment_interorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: per-customer gaps between consecutive
+    orders (LAG over a (date, orderkey)-total order), rolled up per
+    market segment — count, mean (integer-day sums → exact double),
+    and exact interpolated median (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the ``stats_percentiles`` equivalence).
+
+    Scale shape: one shuffle on the customer key serves the LAG
+    window; the segment rollup is a 5-key aggregate; customer joins
+    broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn(
+            "gap_days",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ),
+        )
+    )
+    return g.groupBy("c_mktsegment").agg(
+        F.count("gap_days").alias("n_gaps"),
+        (
+            F.expr("CAST(SUM(gap_days) AS DOUBLE)") / F.count("gap_days")
+        ).alias("avg_gap_days"),
+        F.expr("percentile(gap_days, 0.5)").alias("median_gap_days"),
+    )

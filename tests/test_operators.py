@@ -362,3 +362,32 @@ def test_daily_anomaly_zero_variance_user_gets_null_z(spark):
     u8 = [r for r in got if r["user_id"] == 8]
     assert len(u7) == 3 and all(r["z"] is None and r["is_anomaly"] is False for r in u7)
     assert len(u8) == 2 and all(r["z"] is not None for r in u8)
+
+
+def test_dau_wau_stickiness_bounds(spark, sf_dir):
+    from mapreduce_citation_spark.operators.events import (
+        events_dau_wau_stickiness,
+    )
+
+    rows = events_dau_wau_stickiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["dau"] <= r["wau"]
+        assert abs(r["stickiness"] - r["dau"] / r["wau"]) < 1e-15
+        assert 0 < r["stickiness"] <= 1.0
+
+
+def test_interorder_gaps_accounting(spark, sf_dir):
+    from mapreduce_citation_spark.operators.relational import (
+        segment_interorder_gaps,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    rows = segment_interorder_gaps(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    n_orders = o.count()
+    n_customers = o.select("o_custkey").distinct().count()
+    # each customer's first order has no gap; every later order has one
+    assert sum(r["n_gaps"] for r in rows) == n_orders - n_customers
+    for r in rows:
+        assert r["avg_gap_days"] >= 0 and r["median_gap_days"] >= 0
