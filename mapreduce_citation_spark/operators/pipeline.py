@@ -399,10 +399,14 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import QG_KEEP_SPARK
 
     d = _docs(spark, sf_dir)
-    # one scan feeds all survivor stages
-    s1 = d.filter(F.expr(QG_KEEP_SPARK)).select(
-        "doc_id", "text", "n_chars"
+    # ONE documents scan feeds stage-0 accounting AND every survivor
+    # stage: materialize (doc_id, text, n_chars, keep) once; the only
+    # other scan is the gram stream (inherent — decontamination needs
+    # the raw text a second time at a different granularity)
+    base = d.select(
+        "doc_id", "text", "n_chars", F.expr(QG_KEEP_SPARK).alias("keep")
     ).localCheckpoint()
+    s1 = base.filter(F.col("keep")).drop("keep")
     w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
     s2 = (
         s1.withColumn("_rn", F.row_number().over(w))
@@ -433,7 +437,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("stage", "n_docs", "total_chars")
 
     return (
-        stage(d.select("n_chars"), "0_total")
+        stage(base.select("n_chars"), "0_total")
         .unionByName(stage(s1, "1_quality"))
         .unionByName(stage(s2, "2_exact_dedup"))
         .unionByName(stage(s3, "3_decontaminated"))
