@@ -1151,3 +1151,76 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         assignment.filter(F.col("rk") == 1)
         .select("vec_id", "cent_id", F.col("dist").alias("dist_q"))
     )
+
+
+def _ann_recall_oracle() -> str:
+    """Composes the registered brute/IVF/PQ oracles (their full
+    SELECTs nest as CTE bodies — DuckDB supports WITH inside a CTE)
+    into a recall@5 report: per method, the fraction of brute-force
+    top-5 pairs the ANN variant recovered."""
+    # read the raw registry dict (NOT all_specs(), whose _load() would
+    # re-enter module imports mid-initialization): the three source
+    # operators are registered earlier in THIS module, so their
+    # oracles are already present at this point
+    from ..registry import _REGISTRY
+
+    brute = _REGISTRY["knn_brute_cosine"].oracle
+    ivf = _REGISTRY["knn_ivf_ann"].oracle
+    pq = _REGISTRY["knn_pq_ann"].oracle
+    return f"""
+WITH brute AS ({brute}),
+ivf AS ({ivf}),
+pq AS ({pq}),
+n AS (SELECT COUNT(*) AS n_true FROM brute)
+SELECT 'ivf' AS method,
+       (SELECT COUNT(*) FROM ivf JOIN brute USING (query_id, neighbor_id))
+         AS n_hit,
+       n_true,
+       CAST((SELECT COUNT(*) FROM ivf JOIN brute USING (query_id, neighbor_id))
+            AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall_at_5
+FROM n
+UNION ALL
+SELECT 'pq',
+       (SELECT COUNT(*) FROM pq JOIN brute USING (query_id, neighbor_id)),
+       n_true,
+       CAST((SELECT COUNT(*) FROM pq JOIN brute USING (query_id, neighbor_id))
+            AS DOUBLE) / CAST(n_true AS DOUBLE)
+FROM n
+"""
+
+
+@register(
+    "knn_ann_recall_report",
+    oracle=_ann_recall_oracle(),
+    tags=("similarity", "knn", "recall", "composition"),
+)
+def knn_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality report: recall@5 of the IVF and PQ variants
+    against the brute-force ground truth — the acceptance metric an
+    ANN deployment is judged by, computed as a composition of the
+    registered operators themselves (both engines replay the full
+    index pipelines, so even this report is hash-exact). The sign-LSH
+    variant is excluded here because its bucketing is not
+    SQL-oracle-expressible (it stays rows-only + pytest-gated)."""
+    brute = knn_brute_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    brute = brute.localCheckpoint()  # two consumers per method join
+    n_true = brute.count()
+
+    def report(df: DataFrame, method: str) -> DataFrame:
+        return (
+            df.select("query_id", "neighbor_id")
+            .join(brute, ["query_id", "neighbor_id"])
+            .agg(
+                F.lit(method).alias("method"),
+                F.count(F.lit(1)).alias("n_hit"),
+                F.lit(n_true).alias("n_true"),
+                (
+                    F.count(F.lit(1)).cast("double") / F.lit(float(n_true))
+                ).alias("recall_at_5"),
+            )
+            .select("method", "n_hit", "n_true", "recall_at_5")
+        )
+
+    return report(knn_ivf_ann(spark, sf_dir), "ivf").unionByName(
+        report(knn_pq_ann(spark, sf_dir), "pq")
+    )

@@ -116,3 +116,30 @@ def test_pq_matches_numpy_replay(spark, sf_dir):
         len(brute[q]) for q in brute
     )
     assert recall >= 0.2, f"PQ recall vs brute too low: {recall:.2f}"
+
+
+def test_ann_recall_report_consistent_with_member_queries(spark, sf_dir):
+    """The recall report must equal recall computed directly from the
+    member operators' outputs, and IVF/PQ recall must clear the
+    pytest recall floors the individual variants are held to."""
+    from mapreduce_citation_spark.operators.similarity import (
+        knn_ann_recall_report,
+        knn_brute_cosine,
+        knn_ivf_ann,
+        knn_pq_ann,
+    )
+
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_brute_cosine(spark, sf_dir).collect()
+    }
+    got = {r["method"]: r for r in knn_ann_recall_report(spark, sf_dir).collect()}
+    for method, fn in (("ivf", knn_ivf_ann), ("pq", knn_pq_ann)):
+        ann = {(r["query_id"], r["neighbor_id"]) for r in fn(spark, sf_dir).collect()}
+        r = got[method]
+        assert r["n_true"] == len(brute)
+        assert r["n_hit"] == len(ann & brute)
+        assert abs(r["recall_at_5"] - len(ann & brute) / len(brute)) < 1e-15
+        # 4-byte PQ codes on 64-dim synthetic data are lossy at this
+        # corpus size; the floor documents sanity, not quality
+        assert r["recall_at_5"] >= 0.3
