@@ -332,16 +332,17 @@ WITH d AS MATERIALIZED (
 m AS (
   SELECT user_id, COUNT(*) AS nd,
          CAST(SUM(n_events) AS BIGINT) AS s,
-         CAST(SUM(n_events * n_events) AS BIGINT) AS ss
+         CAST(SUM(n_events * n_events) AS BIGINT) AS ss,
+         MIN(n_events) = MAX(n_events) AS zv
   FROM d GROUP BY user_id
 )
 SELECT d.user_id, d.day, d.n_events,
-       CASE WHEN nd * ss = s * s THEN NULL ELSE
+       CASE WHEN zv THEN NULL ELSE
          (CAST(d.n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
            / sqrt((CAST(ss AS DOUBLE)
                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
                   / CAST(nd AS DOUBLE)) END AS z,
-       CASE WHEN nd * ss = s * s THEN FALSE ELSE
+       CASE WHEN zv THEN FALSE ELSE
          ABS((CAST(d.n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
            / sqrt((CAST(ss AS DOUBLE)
                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
@@ -371,6 +372,7 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nd"),
         F.expr("CAST(SUM(n_events) AS BIGINT)").alias("s"),
         F.expr("CAST(SUM(n_events * n_events) AS BIGINT)").alias("ss"),
+        F.expr("MIN(n_events) = MAX(n_events)").alias("zv"),
     )
     z = (
         "(CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))"
@@ -378,11 +380,13 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))"
         " / CAST(nd AS DOUBLE))"
     )
-    # zero-variance guard on the INTEGER moments (nd·ss == s² ⇔ all
-    # daily counts equal): without it z is 0/0 — which Spark returns
-    # as NULL but DuckDB may return as NaN (and NaN >= 2 is TRUE
-    # there), silently diverging the gate on a degenerate user
-    zero_var = F.expr("nd * ss = s * s")
+    # zero-variance guard (all daily counts equal ⇔ variance zero):
+    # without it z is 0/0 — which Spark returns as NULL but DuckDB may
+    # return as NaN (and NaN >= 2 is TRUE there), silently diverging
+    # the gate on a degenerate user. Stated as MIN = MAX rather than
+    # the equivalent nd·ss == s² so the guard can't BIGINT-overflow on
+    # a heavy user (Spark would wrap silently, DuckDB raise).
+    zero_var = F.col("zv")
     return d.join(m, "user_id").select(
         "user_id",
         "day",

@@ -362,10 +362,13 @@ s3 AS MATERIALIZED (
     AND doc_id NOT IN (SELECT doc_id FROM contaminated)
 )
 SELECT '0_total' AS stage, COUNT(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents
-UNION ALL SELECT '1_quality', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM s1
-UNION ALL SELECT '2_exact_dedup', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM s2
-UNION ALL SELECT '3_decontaminated', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM s3
+       COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) AS total_chars FROM documents
+UNION ALL SELECT '1_quality', COUNT(*),
+       COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM s1
+UNION ALL SELECT '2_exact_dedup', COUNT(*),
+       COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM s2
+UNION ALL SELECT '3_decontaminated', COUNT(*),
+       COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM s3
 """
 
 

@@ -1128,7 +1128,11 @@ def _kmeans_assign_oracle(
     """Final-assignment view of :func:`_kmeans_oracle`: same unrolled
     training, but emitting one row per vector."""
     base = _kmeans_oracle(k, iters, scale, dim)
-    head, _, _tail = base.partition("\nSELECT a.cent_id, COUNT(*) AS n_points,")
+    head, sep, _tail = base.partition("\nSELECT a.cent_id, COUNT(*) AS n_points,")
+    # guard the textual split: if the sibling oracle's final SELECT
+    # drifts, partition() silently returns the whole string and the
+    # composed SQL would carry two SELECTs — fail at import instead
+    assert sep, "_kmeans_oracle final SELECT drifted; update the separator"
     return head + """
 SELECT vec_id, cent_id, dist AS dist_q
 FROM kaf WHERE rk = 1

@@ -116,16 +116,76 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_approx",
-    tags=("stats", "approx", "rows-only"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS hll_within_15pct,
+       TRUE AS approx_median_rank_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("stats", "approx", "sketch", "claims"),
 )
 def stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB path: HLL++ distinct counts
     and GK-sketch percentiles (single pass, bounded memory, mergeable
-    across partitions). Rows-only: the estimates are sketch-specific,
-    so DuckDB's approx functions produce different (equally valid)
-    numbers; accuracy bounds vs exact values are pinned in pytest."""
+    across partitions) — emitted as engine-independent CLAIMS so the
+    sketch path is hash-gated, not rows-only.
+
+    Sketch VALUES are engine-specific (DuckDB's approx functions
+    produce different, equally valid, estimates), so the query emits
+    what IS cross-engine comparable: the exact aggregates plus
+    booleans asserting each sketch's published error bound, checked
+    against exact counts computed in the same query. The oracle
+    recomputes the exact columns and asserts the claims as literal
+    TRUE — if Spark's HLL++ ever exceeds 3σ (rsd=0.05 → 15%) or the
+    GK median's exact rank leaves its guaranteed window
+    (accuracy=1000 → rank error ≤ n/1000, claimed with 2× slack),
+    the hash breaks. All claim arithmetic is integer — no float
+    divergence possible.
+
+    Scale shape: pass 1 computes the sketches per group (map-side
+    combinable, mergeable state); pass 2 re-scans to rank-check the
+    sketch output against the data — inherent two-phase (the claim is
+    ABOUT pass 1's result), same vetted category as the LSH/ANN
+    verify phases. The 3-row sketch table broadcasts."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("approx_median"),
+    sketches = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("_hll"),
+            F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("_amed"),
+        )
+        .localCheckpoint()  # 3 rows; feeds the rank re-scan AND the output
+    )
+    ranks = (
+        li.join(F.broadcast(sketches.select("l_returnflag", "_amed")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("_amed"), 1).otherwise(0)
+            ).alias("_lt"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("_amed"), 1).otherwise(0)
+            ).alias("_le"),
+        )
+    )
+    return (
+        sketches.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "exact_parts",
+            (
+                F.abs(F.col("_hll") - F.col("exact_parts")) * 100
+                <= F.col("exact_parts") * 15
+            ).alias("hll_within_15pct"),
+            (
+                (F.col("_lt") * 1000 <= F.col("n_rows") * 502)
+                & (F.col("_le") * 1000 >= F.col("n_rows") * 498)
+            ).alias("approx_median_rank_ok"),
+        )
     )

@@ -33,6 +33,11 @@ def test_correlation_matches_numpy(spark, sf_dir):
 
 
 def test_approx_aggregates_within_bounds(spark, sf_dir):
+    """stats_approx emits engine-independent CLAIMS (r6): the exact
+    aggregates must equal an independently-computed ground truth and
+    every sketch-accuracy boolean must be TRUE — plus a direct raw
+    sketch-vs-exact accuracy check so this test fails on a sketch
+    regression even if the claim thresholds were loosened."""
     from pyspark.sql import functions as F
 
     from mapreduce_citation_spark.operators.stats import stats_approx
@@ -40,18 +45,35 @@ def test_approx_aggregates_within_bounds(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     exact = {
-        r["l_returnflag"]: (r["nd"], r["med"])
+        r["l_returnflag"]: (r["n"], r["nd"], r["med"])
         for r in li.groupBy("l_returnflag")
         .agg(
+            F.count(F.lit(1)).alias("n"),
             F.count_distinct("l_partkey").alias("nd"),
             F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
         )
         .collect()
     }
-    for r in stats_approx(spark, sf_dir).collect():
-        nd, med = exact[r["l_returnflag"]]
-        assert abs(r["approx_parts"] - nd) / nd < 0.1  # HLL++ rsd default 5%
-        assert abs(r["approx_median"] - med) / med < 0.1
+    raw = {
+        r["l_returnflag"]: (r["hll"], r["amed"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("hll"),
+            F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("amed"),
+        )
+        .collect()
+    }
+    rows = stats_approx(spark, sf_dir).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        n, nd, med = exact[r["l_returnflag"]]
+        assert r["n_rows"] == n
+        assert r["exact_parts"] == nd
+        assert r["hll_within_15pct"] is True
+        assert r["approx_median_rank_ok"] is True
+        hll, amed = raw[r["l_returnflag"]]
+        assert abs(hll - nd) / nd < 0.1  # HLL++ rsd default 5%
+        assert abs(amed - med) / med < 0.1
 
 
 def test_salted_aggregate_correct_under_extreme_skew(spark):

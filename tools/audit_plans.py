@@ -62,6 +62,8 @@ BROADCAST_ALLOWLIST = {
     ("tpch_extra.py", "total"): "1-row aggregate (scalar fold)",
     ("tpch_extra.py", "mx"): "1-row aggregate (scalar fold)",
     ("pipeline.py", "tot"): "1-row aggregate (mixture normalizer fold)",
+    ("stats.py", 'sketches.select("l_returnflag", "_amed")'):
+        "per-group sketch table: ≤|l_returnflag| = 3 rows",
 }
 
 
