@@ -311,6 +311,189 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def make_image_dhash():
+    """Pure-python perceptual-hash kit: returns ``(perturb, dhash)``.
+
+    - ``perturb(payload) -> bytes`` flips the low bit of the first
+      pixel's three channel bytes (BMP data offset 54) — a planted
+      near-identical image whose dHash differs from the base's in at
+      most ONE bit (only grid cell (0,0) samples that pixel).
+    - ``dhash(payload) -> str`` is a REAL difference-hash over the
+      decoded bitmap: parse the BMP header with ``struct``, sample a
+      9×8 grid of pixels (nearest-neighbor: x_i = i·w//9,
+      y_j = j·h//8), grayscale = integer sum of the 3 channel bytes,
+      bit (i,j) = g(x_{i+1},y_j) > g(x_i,y_j) — the classic dHash,
+      64 bits as a '0'/'1' string (char k = bit (k%8, k//8)). Pure
+      integer arithmetic end-to-end, so the DuckDB oracle can replay
+      it exactly from the codec's construction definition.
+
+    Factory-nested for cloudpickle capture (see make_media_codec)."""
+    import struct
+
+    def perturb(payload: bytes) -> bytes:
+        v = bytearray(payload)
+        for ch in range(3):
+            v[54 + ch] ^= 1
+        return bytes(v)
+
+    def dhash(p: bytes) -> str:
+        offset = struct.unpack_from("<I", p, 10)[0]
+        w = struct.unpack_from("<i", p, 18)[0]
+        h = abs(struct.unpack_from("<i", p, 22)[0])
+        ch = struct.unpack_from("<H", p, 28)[0] // 8
+        stride = ((w * ch + 3) // 4) * 4
+        xs = [(i * w) // 9 for i in range(9)]
+        ys = [(j * h) // 8 for j in range(8)]
+        bits = []
+        for y in ys:
+            row = offset + y * stride
+            gs = [p[row + x * ch] + p[row + x * ch + 1] + p[row + x * ch + 2]
+                  for x in xs]
+            bits.extend("1" if gs[i + 1] > gs[i] else "0" for i in range(8))
+        return "".join(bits)
+
+    return perturb, dhash
+
+
+#: Per-image perceptual-hash signature (planted variants included).
+DHASH_SCHEMA = StructType(
+    [StructField("img_id", LongType()), StructField("dh", StringType())]
+)
+
+
+def image_dhash_signatures(assets: DataFrame) -> DataFrame:
+    """BMP assets → (img_id, 64-bit dHash string) rows: every image
+    under img_id = 2·doc_id, plus — for each doc_id % 10 == 0 — a
+    planted low-bit-perturbed variant under img_id = 2·doc_id + 1.
+    One Arrow-batched pass; payload bytes are hashed in place and
+    never shuffle — only the 64-char signatures move."""
+    perturb, dhash = make_image_dhash()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                rows.append((int(doc_id) * 2, dhash(p)))
+                if doc_id % 10 == 0:
+                    rows.append((int(doc_id) * 2 + 1, dhash(perturb(p))))
+            yield pd.DataFrame(rows, columns=["img_id", "dh"])
+
+    return assets.select("doc_id", "payload").mapInPandas(batches, DHASH_SCHEMA)
+
+
+def _phash_oracle() -> str:
+    """DuckDB replay of the full encode→dHash→pair pipeline from the
+    construction definition: pixel (x,y,ch) of doc_id's BMP is text
+    byte (y·w·3 + x·3 + ch) mod L (low bit xor'd for the planted
+    variant's first pixel), grayscale sums the 3 channels, and the
+    9×8-grid comparisons build the same 64-char bit string. All-pairs
+    bit_count(xor) ≤ 2 is exact at fixture scale — the total-recall
+    ground truth the pigeonhole plan must reproduce."""
+
+    def code(ch: int) -> str:
+        idx = f"(((j * u.h) // 8) * u.w * 3 + ((i * u.w) // 9) * 3 + {ch})"
+        base = f"ascii(substr(u.text, CAST({idx} % u.L AS INT) + 1, 1))"
+        return f"(CASE WHEN u.pert AND {idx} < 3 THEN xor({base}, 1) ELSE {base} END)"
+
+    g = " + ".join(code(ch) for ch in range(3))
+    return f"""
+WITH imgs AS (
+  SELECT doc_id, text, length(text) AS L,
+         8 + CAST(doc_id % 8 AS INT) AS w,
+         8 + CAST(length(text) % 8 AS INT) AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+units AS (
+  SELECT doc_id * 2 AS img_id, text, L, w, h, FALSE AS pert FROM imgs
+  UNION ALL
+  SELECT doc_id * 2 + 1, text, L, w, h, TRUE FROM imgs WHERE doc_id % 10 = 0
+),
+cells AS (
+  SELECT u.img_id, j, i, {g} AS gray
+  FROM units u, range(0, 8) tj(j), range(0, 9) ti(i)
+),
+cmp AS (
+  SELECT img_id, j, i, gray,
+         LEAD(gray) OVER (PARTITION BY img_id, j ORDER BY i) AS gray_next
+  FROM cells
+),
+sigs AS (
+  SELECT img_id,
+         string_agg(CASE WHEN gray_next > gray THEN '1' ELSE '0' END,
+                    '' ORDER BY j, i) AS dh
+  FROM cmp WHERE i < 8
+  GROUP BY img_id
+)
+SELECT a.img_id AS img_a, b.img_id AS img_b,
+       CAST(bit_count(xor(a.dh::BIT, b.dh::BIT)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.img_id < b.img_id
+WHERE bit_count(xor(a.dh::BIT, b.dh::BIT)) <= 2
+"""
+
+
+@register(
+    "multimodal_phash_pairs",
+    oracle=_phash_oracle(),
+    tags=("multimodal", "dedup", "phash", "dhash", "pandas-udf"),
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup pairs — the multimodal half of
+    the dedup story: encode the image docs as real BMPs, dHash the
+    decoded bitmaps (``make_image_dhash``), and pair images within
+    Hamming ≤ 2, including deterministically PLANTED low-bit-perturbed
+    variants (every planted pair differs in ≤ 1 dHash bit, so total
+    recall of the planted set is part of the hash gate).
+
+    Pairing is the SimHash pigeonhole strategy (dedup.py:314): 3
+    blocks of 22/21/21 bits — a pair within Hamming ≤ 2 matches
+    exactly on ≥ 1 block — so candidates come from a block equi-join,
+    never all-pairs; the exact distance is codegen'd bit_count(xor)
+    over the two 32-bit signature halves. At 100 TB: signatures are
+    64 bits per image (payloads never shuffle), the block join is the
+    only exchange, and recall is guaranteed by construction rather
+    than probabilistic."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    sigs = image_dhash_signatures(build_media_assets(d))
+    # materialize: the block self-join below would otherwise run the
+    # whole encode+dhash pandas pipeline once per side
+    sigs = sigs.localCheckpoint()
+    blocks = [(0, 1, 22), (1, 23, 21), (2, 44, 21)]  # (id, start, len), 1-based
+    block_cols = [
+        F.concat_ws(":", F.lit(i), F.substring("dh", st, ln)).alias(f"blk{i}")
+        for i, st, ln in blocks
+    ]
+    bands = sigs.select(
+        "img_id",
+        F.conv(F.substring("dh", 1, 32), 2, 10).cast("long").alias("hi"),
+        F.conv(F.substring("dh", 33, 32), 2, 10).cast("long").alias("lo"),
+        F.explode(F.array(*block_cols)).alias("block_key"),
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("long").alias("hamming")
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.block_key") == F.col("y.block_key"))
+            & (F.col("x.img_id") < F.col("y.img_id")),
+        )
+        .select(
+            F.col("x.img_id").alias("img_a"),
+            F.col("y.img_id").alias("img_b"),
+            F.col("x.hi").alias("hi_a"),
+            F.col("x.lo").alias("lo_a"),
+            F.col("y.hi").alias("hi_b"),
+            F.col("y.lo").alias("lo_b"),
+        )
+        .distinct()
+        .select("img_a", "img_b", ham)
+        .filter(F.col("hamming") <= 2)
+    )
+
+
 @register(
     "multimodal_ingest_stats",
     oracle="""

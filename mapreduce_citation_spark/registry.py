@@ -84,9 +84,12 @@ _PRIORITY = (
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    # (r6 rotation: dedup_substring_strip → beyond-window — the
+    # substring family stays represented by pairs + spans +
+    # decontamination; multimodal_phash_pairs joins the window so the
+    # new image near-dup capability is driver-gated.)
     "dedup_exact_substring_pairs",
     "dedup_substring_spans",
-    "dedup_substring_strip",
     "decontaminate_eval_overlap",
     # LLM-pipeline: similarity search (all four ANN strategies) +
     # clustering (r5b: embedding_kmeans joins the window — a new
@@ -112,15 +115,20 @@ _PRIORITY = (
     # LLM-pipeline: end-to-end compositions.
     "pipeline_filter_funnel",
     "corpus_mixture_weights",
-    # LLM-pipeline: multimodal plumbing.
-    # (r5 rotation: multimodal_frame_sample → beyond-window; ingest +
-    # decode keep the family covered.)
+    # LLM-pipeline: multimodal plumbing + image near-dup (r6:
+    # multimodal_phash_pairs — dHash over real decoded BMPs with
+    # planted variants — joins the window).
     "multimodal_ingest_stats",
     "multimodal_decode_features",
+    "multimodal_phash_pairs",
     # Event analytics (batch twins of the streaming surface).
     # (r5 rotation: events_json_struct → beyond-window with its
-    # sibling events_json_props.)
-    "events_tumbling_hourly",
+    # sibling events_json_props. r6: events_tumbling_hourly →
+    # beyond-window — the tumbling family stays represented by
+    # streaming_tumbling_counts, its live twin; the r5b analytics
+    # family gets its first in-window representative,
+    # orders_retention_cohorts.)
+    "orders_retention_cohorts",
     "events_session_window",
     # (r5b rotation: events_funnel_join → beyond-window — the funnel
     # family stays represented by streaming_stream_stream_funnel;

@@ -332,6 +332,55 @@ def test_multimodal_features_channels_by_mime(spark, sf_dir):
             assert r["n_channels"] == 1 + (r["doc_id"] // 2) % 2
 
 
+def test_image_dhash_locality_on_planted_bmp():
+    """Direct dHash properties on a hand-built BMP: 64 bits; identical
+    payloads hash identically; the planted low-bit perturbation moves
+    the hash by at most 1 bit (only grid cell (0,0) samples the first
+    pixel); a genuinely different image moves it by many bits."""
+    from mapreduce_citation_spark.operators.multimodal import (
+        make_image_dhash,
+        make_media_codec,
+    )
+
+    build, _decode = make_media_codec()
+    perturb, dhash = make_image_dhash()
+    _, p = build(12, "The quick brown fox jumps over the lazy dog. " * 3)
+    h = dhash(p)
+    assert len(h) == 64 and set(h) <= {"0", "1"}
+    assert dhash(p) == h  # deterministic
+    hv = dhash(perturb(p))
+    assert sum(a != b for a, b in zip(h, hv)) <= 1
+    _, q = build(12, "abcdefghij klmnopqrst uvwxyz0123 456789ABCD EFGH" * 2)
+    hq = dhash(q)
+    assert sum(a != b for a, b in zip(h, hq)) > 4
+
+
+def test_phash_pairs_recover_all_planted_variants(spark, sf_dir):
+    """Every planted (base, variant) image pair must be recovered by
+    the pigeonhole plan — recall of the planted set is total by
+    construction — with hamming ≤ 1; pair ids are well-formed
+    (ordered, within-threshold)."""
+    from mapreduce_citation_spark.operators.multimodal import (
+        multimodal_phash_pairs,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    planted = {
+        2 * r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10 == 0))
+        .select("doc_id")
+        .collect()
+    }
+    pairs = multimodal_phash_pairs(spark, sf_dir).collect()
+    found = {(r["img_a"], r["img_b"]): r["hamming"] for r in pairs}
+    for base in planted:
+        assert (base, base + 1) in found, f"planted pair {base} missing"
+        assert found[(base, base + 1)] <= 1
+    for (a, b), ham in found.items():
+        assert a < b and 0 <= ham <= 2
+
+
 def test_dedup_clusters_are_transitive_components(spark, sf_dir):
     """Cluster invariants on the sf0.01 fixture: every paired doc lands
     in a cluster; both endpoints of every pair share a cluster (even
