@@ -326,20 +326,41 @@ def _curation_funnel_oracle() -> str:
     """Stage-chained DuckDB mirror of :func:`corpus_curation_funnel`,
     built from the SAME shared predicates the primitive operators
     use: ``QG_KEEP_DUCK`` (quality gate), the ``dedup_exact``
-    min-doc_id-per-md5 keeper, and the ``decontaminate_eval_overlap``
-    40-char-gram criterion (60-bit integer digests, benchmark =
-    ``doc_id % 10 = 0``)."""
-    from .dedup import _ESK
+    min-doc_id-per-md5 keeper, the ``dedup_keep_canonical``
+    cluster-keeper criterion (MinHash-LSH pairs → transitive
+    components → keep the min-doc_id member), and the
+    ``decontaminate_eval_overlap`` 40-char-gram criterion (60-bit
+    integer digests, benchmark = ``doc_id % 10 = 0``)."""
+    from .dedup import _ESK, _MINHASH_PAIRS_CTES
     from .text import QG_KEEP_DUCK
 
     return f"""
-WITH s1 AS MATERIALIZED (
+WITH RECURSIVE s1 AS MATERIALIZED (
   SELECT doc_id, text, n_chars FROM documents WHERE {QG_KEEP_DUCK}
 ),
 s2 AS MATERIALIZED (
   SELECT * FROM s1 WHERE doc_id IN (
     SELECT MIN(doc_id) FROM s1 GROUP BY md5(text)
   )
+),
+{_MINHASH_PAIRS_CTES},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS src, b AS dst FROM und
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+s3 AS MATERIALIZED (
+  SELECT s2.* FROM s2 LEFT JOIN comp c ON s2.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL OR s2.doc_id = c.cluster_id
 ),
 pos AS (
   SELECT doc_id, text,
@@ -356,8 +377,8 @@ contaminated AS (
   WHERE doc_id % 10 <> 0
     AND dg IN (SELECT dg FROM g WHERE doc_id % 10 = 0)
 ),
-s3 AS MATERIALIZED (
-  SELECT * FROM s2
+s4 AS MATERIALIZED (
+  SELECT * FROM s3
   WHERE doc_id % 10 <> 0
     AND doc_id NOT IN (SELECT doc_id FROM contaminated)
 )
@@ -367,8 +388,10 @@ UNION ALL SELECT '1_quality', COUNT(*),
        COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM s1
 UNION ALL SELECT '2_exact_dedup', COUNT(*),
        COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM s2
-UNION ALL SELECT '3_decontaminated', COUNT(*),
+UNION ALL SELECT '3_near_dedup', COUNT(*),
        COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM s3
+UNION ALL SELECT '4_decontaminated', COUNT(*),
+       COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) FROM s4
 """
 
 
@@ -383,7 +406,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. quality gate (the shared Gopher-rule predicates),
     2. exact dedup (min-doc_id keeper per md5, applied to survivors),
-    3. eval-set decontamination (drop the held-out tenth and any
+    3. near dedup (the ``dedup_keep_canonical`` criterion: MinHash-LSH
+       verified pairs → transitive components → drop every clustered
+       survivor except the min-doc_id canonical),
+    4. eval-set decontamination (drop the held-out tenth and any
        survivor sharing a ≥40-char exact span with it).
 
     Every stage reuses the primitive operator's exact predicate, so
@@ -392,20 +418,24 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs, total_chars) accounting.
 
     Scale shape: one documents scan feeds the quality+dedup chain
-    (digest shuffle only), one more feeds the gram stream (inherent —
-    decontamination grams need the raw text); the benchmark gram set
-    is the small join side, the corpus never self-joins; stage
-    reports are 1-row aggregates unioned at the end."""
+    (digest shuffle only); the near-dedup stage adds the pair
+    pipeline's own scans (shingle stream + candidate verify —
+    inherent to MinHash) but its output, the bounded cluster table,
+    joins the survivors AQE-broadcast-side; one more scan feeds the
+    gram stream (inherent — decontamination grams need the raw text);
+    the benchmark gram set is the small join side, the corpus never
+    self-joins; stage reports are 1-row aggregates unioned at the
+    end."""
     from pyspark.sql import Window
 
-    from .dedup import _char_grams
+    from .dedup import _char_grams, dedup_clusters
     from .text import QG_KEEP_SPARK
 
     d = _docs(spark, sf_dir)
     # ONE documents scan feeds stage-0 accounting AND every survivor
     # stage: materialize (doc_id, text, n_chars, keep) once; the only
-    # other scan is the gram stream (inherent — decontamination needs
-    # the raw text a second time at a different granularity)
+    # other scans are the near-dedup pair pipeline and the gram stream
+    # (both inherent — they need the raw text at other granularities)
     base = d.select(
         "doc_id", "text", "n_chars", F.expr(QG_KEEP_SPARK).alias("keep")
     ).localCheckpoint()
@@ -417,6 +447,17 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .localCheckpoint()
     )
+    # stage 3: near dedup — reuse the registered cluster operator's
+    # exact output (corpus-level clusters, as dedup_keep_canonical
+    # applies them); survivors not in any cluster pass, clustered
+    # survivors pass only as their cluster's canonical member
+    clusters = dedup_clusters(spark, sf_dir)
+    s3 = (
+        s2.join(clusters, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
+        .select("doc_id", "text", "n_chars")
+        .localCheckpoint()
+    )
     g = _char_grams(d).select("doc_id", "dg").distinct()
     bench_g = g.where(F.col("doc_id") % 10 == 0).select("dg").distinct()
     contaminated = (
@@ -425,8 +466,8 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    s3 = (
-        s2.where(F.col("doc_id") % 10 != 0)
+    s4 = (
+        s3.where(F.col("doc_id") % 10 != 0)
         .join(contaminated, "doc_id", "left_anti")
     )
 
@@ -443,5 +484,6 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage(base.select("n_chars"), "0_total")
         .unionByName(stage(s1, "1_quality"))
         .unionByName(stage(s2, "2_exact_dedup"))
-        .unionByName(stage(s3, "3_decontaminated"))
+        .unionByName(stage(s3, "3_near_dedup"))
+        .unionByName(stage(s4, "4_decontaminated"))
     )

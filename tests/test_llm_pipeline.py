@@ -793,9 +793,12 @@ def test_curation_funnel_consistent_with_primitives(spark, sf_dir):
     )
     from mapreduce_citation_spark.operators.text import corpus_quality_gate
 
+    from mapreduce_citation_spark.operators.dedup import dedup_clusters
+
     rows = {r["stage"]: r for r in corpus_curation_funnel(spark, sf_dir).collect()}
     assert list(sorted(rows)) == [
-        "0_total", "1_quality", "2_exact_dedup", "3_decontaminated"
+        "0_total", "1_quality", "2_exact_dedup", "3_near_dedup",
+        "4_decontaminated",
     ]
     counts = [rows[s]["n_docs"] for s in sorted(rows)]
     chars = [rows[s]["total_chars"] for s in sorted(rows)]
@@ -805,4 +808,10 @@ def test_curation_funnel_consistent_with_primitives(spark, sf_dir):
         r["n_keep"] for r in corpus_quality_gate(spark, sf_dir).collect()
     )
     assert rows["1_quality"]["n_docs"] == n_keep
-    assert rows["3_decontaminated"]["n_docs"] > 0
+    # near-dedup stage drops at most the non-canonical clustered docs
+    n_dropped_max = dedup_clusters(spark, sf_dir).filter("NOT keep").count()
+    assert (
+        rows["2_exact_dedup"]["n_docs"] - rows["3_near_dedup"]["n_docs"]
+        <= n_dropped_max
+    )
+    assert rows["4_decontaminated"]["n_docs"] > 0
