@@ -6,6 +6,7 @@ SURVEY.md §7 phase 3)."""
 from __future__ import annotations
 
 import json
+import os
 
 import pandas as pd
 import pytest
@@ -821,3 +822,92 @@ def test_streaming_quality_gate_matches_batch(spark, sf_dir):
         for r in corpus_quality_gate(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+_TASK_RETRY_CHILD = r"""
+import json, os, sys
+repo, stream_dir, out, ckpt, marker_dir = sys.argv[1:6]
+sys.path.insert(0, repo)
+from pyspark.sql import SparkSession
+from mapreduce_citation_spark.streaming.events import (
+    dedup_within_watermark, read_event_stream, write_epoch)
+
+# local[4,2]: 2 task attempts — task retry is REAL, not simulated
+# (the session factory's local[n] master defaults to maxFailures=1,
+# where any task failure is fatal; retry semantics need a fresh JVM)
+spark = (SparkSession.builder.appName("task-retry-exactly-once")
+         .master("local[4,2]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+
+def flaky(it):
+    # deterministic first-attempt failure in the sink stage: partition
+    # 0 of every epoch's write job dies once AFTER emitting some rows,
+    # leaving a partially-produced task attempt for Spark to discard
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    first = True
+    for pdf in it:
+        if first and ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+            yield pdf.head(1)  # partial output, then die mid-task
+            open(os.path.join(
+                marker_dir, f"fail_{ctx.stageId()}_{ctx.taskAttemptId()}"
+            ), "w").close()
+            raise RuntimeError("injected first-attempt task failure")
+        first = False
+        yield pdf
+
+
+def write_batch(batch_df, epoch_id):
+    wounded = batch_df.repartition(2).mapInPandas(flaky, batch_df.schema)
+    write_epoch(wounded, epoch_id, out)
+
+
+stream = dedup_within_watermark(read_event_stream(spark, stream_dir))
+q = (stream.writeStream.outputMode("append")
+     .option("checkpointLocation", ckpt)
+     .foreachBatch(write_batch).start())
+q.processAllAvailable()
+q.stop()
+
+ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+print(json.dumps({"n": len(ids), "n_distinct": len(set(ids)),
+                  "ids_sum": sum(ids)}))
+"""
+
+
+def test_exactly_once_under_midbatch_task_retry(spark, stream_dir, tmp_path):
+    """Exactly-once under TASK failure (not just query restart): a
+    mapInPandas stage in the sink path emits partial output then dies
+    on every first attempt of partition 0; with task retries enabled
+    (local[4,2]) the epoch-keyed parquet sink must still land every
+    event exactly once — partial attempt output discarded by the
+    commit protocol, retried attempts not double-counted."""
+    import subprocess
+    import sys as _sys
+
+    out = tmp_path / "retry_out"
+    ckpt = tmp_path / "retry_ckpt"
+    markers = tmp_path / "retry_markers"
+    markers.mkdir()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, "-c", _TASK_RETRY_CHILD, repo, stream_dir,
+         str(out), str(ckpt), str(markers)],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    got = json.loads(proc.stdout.strip().splitlines()[-1])
+    # the injection must actually have fired (else the test is vacuous)
+    assert len(os.listdir(markers)) >= 1
+    batch = spark.read.schema(EVENTS_SCHEMA).json(stream_dir)
+    want_ids = [
+        r["event_id"]
+        for r in batch.select("event_id").distinct().collect()
+    ]
+    assert got["n"] == got["n_distinct"] == len(want_ids)
+    assert got["ids_sum"] == sum(want_ids)
