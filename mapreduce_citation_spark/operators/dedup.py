@@ -739,6 +739,42 @@ def _char_grams(d: DataFrame, k: int = _ESK) -> DataFrame:
     )
 
 
+def _doc_distinct_grams(d: DataFrame, k: int = _ESK) -> DataFrame:
+    """(doc_id, dg): per-document DISTINCT gram digests (same 60-bit
+    digest as :func:`_char_grams`), deduplicated inside each row by an
+    ``array_distinct`` higher-order expression instead of a global
+    ``distinct()``.
+
+    Scale rationale (found by measurement at 500k docs, r6): distinct
+    over the exploded gram stream plans a partial hash aggregate
+    whose keys — (doc_id, dg) — are ~all unique, so the map-side
+    hash map buffers the entire ~100M-row stream for zero reduction
+    and dies with AGGREGATE_OUT_OF_MEMORY under 32-way task
+    concurrency. But gram uniqueness is PER-DOCUMENT by definition
+    (doc_id is in the key), so the dedup needs no aggregate at all:
+    array_distinct inside the row costs memory bounded by one
+    document's gram count, the explode emits already-unique pairs,
+    and both the partial aggregate and the distinct's shuffle
+    disappear. 9× wall-time win at 500k docs, identical output."""
+    digest = (
+        f"CAST(conv(substr(md5(CAST(substring(text, i, {k}) AS BINARY)), "
+        "1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        d.where(F.length("text") >= k)
+        .repartition(F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence(1, length(text) - {k} + 1), i -> {digest}))"
+                )
+            ).alias("dg"),
+        )
+    )
+
+
 def _es_pairs_oracle(maxdf: int = _ES_MAXDF, k: int = _ESK) -> str:
     """DuckDB mirror of :func:`exact_substring_pairs`, parameterized on
     the boilerplate df cap so the pytest boundary cases (df == cap vs
@@ -789,16 +825,31 @@ def exact_substring_pairs(
     """Core of ``dedup_exact_substring_pairs`` on an explicit
     (doc_id, text) DataFrame — unit tests plant known spans here.
 
-    The distinct (doc_id, digest) table is materialized once
-    (localCheckpoint, the minhash signature-table pattern): it feeds
-    the df-count AND both sides of the pair join, which would
-    otherwise re-run the gram explode + re-scan documents three more
-    times. At 100 TB swap for ``persist(DISK_ONLY)`` — the table is
-    ~corpus-sized, and the trade is one materialization vs four
-    corpus-wide explode passes."""
-    g = _char_grams(d, k).select("doc_id", "dg").distinct().localCheckpoint()
+    The distinct (doc_id, digest) table is cached once: it feeds the
+    df-count AND both sides of the pair join, which would otherwise
+    re-run the gram explode + re-scan documents three more times.
+    The cache is ``persist(MEMORY_AND_DISK)``, NOT localCheckpoint —
+    the gram table is ~corpus-sized, and localCheckpoint pins it as
+    deserialized on-heap row objects that cannot spill (measured at
+    500k docs: GC-locker thrash kills the materialization job itself).
+    The columnar cache is compressed and disk-evictable, so the same
+    plan survives corpus growth. Per-doc dedup happens inside each
+    row (:func:`_doc_distinct_grams`) — no global distinct
+    aggregate."""
+    from pyspark import StorageLevel
+
+    g = _doc_distinct_grams(d, k).persist(StorageLevel.MEMORY_AND_DISK)
+    # df-count with NO partial aggregate: digests are near-unique
+    # within any map partition (reduction factor ~1), so the partial
+    # hash map buffers the whole gram stream for nothing — measured
+    # AGGREGATE_OUT_OF_MEMORY at 500k docs under 32-way concurrency.
+    # Pre-partitioning on dg satisfies the aggregation's required
+    # distribution, so Catalyst plans a single complete-mode
+    # HashAggregate whose per-task map holds only that partition's
+    # keys (and spills via the sort fallback under pressure).
     eligible = (
-        g.groupBy("dg")
+        g.repartition(F.col("dg"))
+        .groupBy("dg")
         .agg(F.count(F.lit(1)).alias("df"))
         .where((F.col("df") >= 2) & (F.col("df") <= maxdf))
         .select("dg")
@@ -969,10 +1020,14 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlaps and on how many distinct shared grams (i.e. (t.dg, b)
     match rows — each shared digest counts once per benchmark doc
     carrying it)."""
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir)
-    # one materialization feeds both the benchmark and training sides
-    # (same trade as exact_substring_pairs)
-    g = _char_grams(d).select("doc_id", "dg").distinct().localCheckpoint()
+    # one cached materialization feeds both the benchmark and training
+    # sides (same disk-evictable columnar cache rationale as
+    # exact_substring_pairs); per-doc gram dedup is the aggregate-free
+    # array_distinct path (_doc_distinct_grams)
+    g = _doc_distinct_grams(d).persist(StorageLevel.MEMORY_AND_DISK)
     bench = g.where(F.col("doc_id") % 10 == 0)
     train = g.where(F.col("doc_id") % 10 != 0)
     hits = train.alias("t").join(

@@ -428,7 +428,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     end."""
     from pyspark.sql import Window
 
-    from .dedup import _char_grams, dedup_clusters
+    from .dedup import _doc_distinct_grams, dedup_clusters
     from .text import QG_KEEP_SPARK
 
     d = _docs(spark, sf_dir)
@@ -458,7 +458,9 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "n_chars")
         .localCheckpoint()
     )
-    g = _char_grams(d).select("doc_id", "dg").distinct()
+    from pyspark import StorageLevel
+
+    g = _doc_distinct_grams(d).persist(StorageLevel.MEMORY_AND_DISK)
     bench_g = g.where(F.col("doc_id") % 10 == 0).select("dg").distinct()
     contaminated = (
         g.where(F.col("doc_id") % 10 != 0)

@@ -815,3 +815,31 @@ def test_curation_funnel_consistent_with_primitives(spark, sf_dir):
         <= n_dropped_max
     )
     assert rows["4_decontaminated"]["n_docs"] > 0
+
+
+def test_synthetic_corpus_expansion_preserves_structure(spark, sf_dir, tmp_path):
+    """tools/gen_corpus.py contract: each replica is a char-bijection
+    image of the base corpus, so dedup/decontamination output must be
+    EXACTLY K x the base output — the property that makes runtime
+    curves on the expanded corpus engine evidence rather than a
+    construction artifact (a leaky mutation scheme would manufacture
+    cross-replica pairs)."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from tools.gen_corpus import generate
+
+    from mapreduce_citation_spark.operators.dedup import (
+        decontaminate_eval_overlap,
+        dedup_exact_substring_pairs,
+    )
+
+    k = 3
+    out_dir = str(tmp_path / "corpus_x3")
+    generate(out_dir, k, sf_dir)
+    for fn in (dedup_exact_substring_pairs, decontaminate_eval_overlap):
+        base = fn(spark, sf_dir).count()
+        grown = fn(spark, out_dir).count()
+        assert grown == k * base, (fn.__name__, base, grown)
+        spark.catalog.clearCache()

@@ -1,0 +1,96 @@
+"""Deterministic synthetic corpus expansion — scaling evidence past
+the driver fixtures' 5,000-document cap.
+
+Expands ``sf0.1/documents.parquet`` by an integer replica factor K:
+replica r contributes every base document under
+``doc_id + r * 10000``, with text passed through a per-replica char
+bijection over printable ASCII 33..126 (SPACE FIXED): the affine map
+``idx -> (a_r * idx + b_r) mod 94`` with ``b_r = r mod 94`` and
+``a_r`` stepping through units mod 94 every 94 replicas — replica 0
+is the identity, and all replicas get pairwise-DISTINCT bijections
+(a pure rotation has period 94, so K > 94 would silently duplicate
+replicas 0..K-95 and manufacture cross-replica pairs). Properties:
+
+- **Within-replica structure is preserved EXACTLY.** A per-char
+  bijection with space fixed preserves string equality, lengths,
+  word boundaries, and token identity — so word-shingle Jaccard,
+  exact-duplicate groups, and 40-char-gram document-frequency
+  profiles inside each replica match the base corpus bit-for-bit
+  (n_chars is unchanged, text stays non-empty ASCII).
+- **Replicas share NO grams.** Cross-replica 40-gram equality would
+  require two base windows related by a fixed char rotation with
+  aligned spaces — which natural text does not produce. (A first-cut
+  word-SUFFIX mutation failed this: grams interior to ≥40-char words
+  were replica-invariant, and their document frequency grew ∝ K,
+  manufacturing ~K² cross-replica pairs — a construction artifact
+  that would masquerade as engine super-linearity.) Near-dup and
+  contamination mass therefore grows LINEARLY in K.
+- **Id-derived semantics survive.** The stride 10000 is divisible by
+  2, 8, and 10, so doc_id % 2 (image/audio), % 8 (BMP dims), and
+  % 10 (decontamination benchmark tenth) keep their base meaning.
+
+Output is a ``documents.parquet`` DIRECTORY (per-thread parquet
+parts) so Spark's scan parallelizes across files; content is
+deterministic (file layout may vary, content never does).
+
+Usage: python tools/gen_corpus.py OUT_DIR K [SRC_DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+STRIDE = 10000
+
+
+def _replica_map(k: int) -> pd.DataFrame:
+    """(r, from_str, to_str) rows: pairwise-distinct affine char
+    bijections; replica 0 is the identity."""
+    lo, n = 33, 94  # printable ASCII minus space
+    units = [a for a in range(1, n) if a % 2 == 1 and a % 47 != 0]
+    assert k <= n * len(units)
+    from_str = "".join(chr(lo + c) for c in range(n))
+    rows = [
+        (
+            r,
+            from_str,
+            "".join(
+                chr(lo + ((units[r // n] * c + r % n) % n)) for c in range(n)
+            ),
+        )
+        for r in range(k)
+    ]
+    return pd.DataFrame(rows, columns=["r", "from_str", "to_str"])
+
+
+def generate(out_dir: str, k: int, src_dir: str = "/root/testdata/sf0.1") -> str:
+    src = os.path.join(src_dir, "documents.parquet")
+    out = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.register("repmap", _replica_map(k))
+    con.execute(f"""
+COPY (
+  SELECT d.doc_id + m.r * {STRIDE} AS doc_id,
+         CASE WHEN m.r = 0 THEN d.text
+              ELSE translate(d.text, m.from_str, m.to_str) END AS text,
+         d.lang, d.source,
+         CAST(length(d.text) AS BIGINT) AS n_chars
+  FROM '{src}' d CROSS JOIN repmap m
+) TO '{out}' (FORMAT PARQUET, PER_THREAD_OUTPUT)
+""")
+    n = con.execute(f"SELECT COUNT(*) FROM '{out}/*.parquet'").fetchone()[0]
+    print(f"wrote {n} docs to {out}", file=sys.stderr)
+    return out
+
+
+if __name__ == "__main__":
+    out_dir, k = sys.argv[1], int(sys.argv[2])
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    generate(out_dir, k, src)

@@ -1,0 +1,135 @@
+"""LLM-family scaling curves past the fixture cap: 5k → 50k → 500k
+documents (1× / 10× / 100× input) on the deterministic synthetic
+corpus from ``tools/gen_corpus.py``.
+
+The driver fixtures cap documents at 5,000 rows, so SCALE.md's
+documents-family curves prove sub-linearity over one decade only;
+this tool adds two more. Methodology matches bench.py / CLAUDE.md:
+1 warmup + 3 timed runs per point, median reported, one committed
+run per table, plus the cal_* CPU probe for window context. The
+query cache is cleared between points (the gram/signature caches
+would otherwise let a later point free-ride on an earlier one).
+
+The construction's linearity is itself validated: each replica is a
+char-bijection image of the base corpus, so every family's OUTPUT
+row count must be exactly K × its base count — checked here, and
+any violation aborts the run (a super-linear OUTPUT would make the
+runtime curve a construction artifact, not engine evidence).
+
+Usage: python tools/scaling_corpus.py [--json PATH] [family ...]
+(driver memory: exports SPARK_GRAFT_DRIVER_MEM=24g default before
+the JVM starts — 32-way local concurrency over the 500k-doc point
+needs more than the 8g test default; a real cluster would have
+32 executors × several GB instead of one shared heap.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+BASE = "/root/testdata/sf0.1"
+FAMILIES = (
+    "dedup_minhash_lsh",
+    "dedup_exact_substring_pairs",
+    "decontaminate_eval_overlap",
+    "corpus_curation_funnel",
+)
+#: families whose output is an exact per-replica property (rows scale
+#: exactly ×K). dedup_minhash_lsh is only NEAR-linear: its banded
+#: LSH recall depends on the hash space, and each replica's shingle
+#: strings hash differently, so per-replica recall of the (replica-
+#: invariant) true-pair set fluctuates ~±1% — checked with tolerance.
+#: The funnel emits fixed 5 accounting rows, not a pair stream.
+EXACT_LINEAR = {"dedup_exact_substring_pairs", "decontaminate_eval_overlap"}
+NEAR_LINEAR = {"dedup_minhash_lsh"}
+
+
+def main(args: list[str]) -> int:
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    from bench import _calibrate
+    from tools.gen_corpus import generate
+
+    from mapreduce_citation_spark.registry import all_specs
+    from mapreduce_citation_spark.session import get_spark
+
+    points = [(BASE, 1)]
+    for k in (10, 100):
+        out_dir = f"benchdata/docs_x{k}"
+        generate(out_dir, k, BASE)
+        points.append((out_dir, k))
+
+    spark = get_spark("scaling-corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    use = args or list(FAMILIES)
+
+    report: dict[str, dict] = {"cal": _calibrate()}
+    for name in use:
+        fam = {"points": []}
+        base_rows = None
+        for sf_dir, k in points:
+            spark.catalog.clearCache()
+            rows = specs[name].fn(spark, sf_dir).count()  # warmup
+            runs = []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+            if k == 1:
+                base_rows = rows
+            elif name in EXACT_LINEAR:
+                assert rows == base_rows * k, (
+                    f"{name}: output {rows} at {k}x != {k} * {base_rows} — "
+                    "construction artifact, curve would be invalid"
+                )
+            elif name in NEAR_LINEAR:
+                assert abs(rows - base_rows * k) <= 0.05 * base_rows * k, (
+                    f"{name}: output {rows} at {k}x vs {k} * {base_rows} — "
+                    "beyond LSH recall fluctuation, construction artifact"
+                )
+            fam["points"].append(
+                {"input_x": k, "input_rows": 5000 * k,
+                 "sec": round(sorted(runs)[1], 3), "out_rows": rows}
+            )
+            print(f"  {name} @ {k}x: {fam['points'][-1]['sec']}s "
+                  f"({rows} out rows)", file=sys.stderr)
+        fam["ratios"] = [
+            {"input_x": round(hi["input_x"] / lo["input_x"], 1),
+             "time_x": round(hi["sec"] / lo["sec"], 1)}
+            for lo, hi in zip(fam["points"], fam["points"][1:])
+        ]
+        report[name] = fam
+
+    print(json.dumps(report, indent=1))
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(report, fh, indent=1)
+    print("\n| family | sec 1×/10×/100× (5k/50k/500k docs) | "
+          "time× step 1 | time× step 2 | out rows 1×→100× |", file=sys.stderr)
+    print("| --- | --- | --- | --- | --- |", file=sys.stderr)
+    for name in use:
+        p = report[name]["points"]
+        r = report[name]["ratios"]
+        print(
+            f"| `{name}` | "
+            + "/".join(f"{x['sec']:.2f}" for x in p)
+            + f" | {r[0]['time_x']}× | {r[1]['time_x']}× | "
+            + f"{p[0]['out_rows']}→{p[-1]['out_rows']} |",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
