@@ -931,11 +931,14 @@ def substring_span_stats(d: DataFrame, k: int = _ESK) -> DataFrame:
     """Core of ``dedup_substring_spans`` on an explicit
     (doc_id, text) DataFrame — unit tests plant known spans here.
 
-    Positioned grams are materialized once (see
-    ``exact_substring_pairs`` for the at-scale persist trade); the
-    only remaining documents re-scan is the final per-doc length
+    Positioned grams are cached once as a disk-evictable columnar
+    persist (see ``exact_substring_pairs`` for why localCheckpoint's
+    pinned deserialized rows are the wrong cache at corpus scale);
+    the only remaining documents re-scan is the final per-doc length
     join, which reads just (doc_id, length)."""
-    g = _char_grams(d, k).localCheckpoint()
+    from pyspark import StorageLevel
+
+    g = _char_grams(d, k).persist(StorageLevel.MEMORY_AND_DISK)
     spans = _merged_dup_spans(g, k)
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
@@ -957,11 +960,18 @@ def _merged_dup_spans(g: DataFrame, k: int) -> DataFrame:
     """(doc_id, span_id, s, e): maximal merged duplicated spans from a
     positioned-gram table — s/e are the first/last duplicated gram
     START offsets, so the covered char interval is [s, e + k - 1].
-    Shared by the span-stats and span-strip operators."""
+    Shared by the span-stats and span-strip operators.
+
+    The digest df-count pre-partitions on dg so Catalyst plans a
+    single complete-mode aggregate — the map-side partial agg over
+    near-unique digest keys buys no reduction and is the measured
+    500k-doc OOM (see exact_substring_pairs)."""
     from pyspark.sql import Window
 
     dup_dg = (
-        g.groupBy("dg")
+        g.select("dg")
+        .repartition(F.col("dg"))
+        .groupBy("dg")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 2)
         .select("dg")
@@ -1110,8 +1120,10 @@ def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     road instead: per-character anti-join against covered positions
     (150k rows at oracle scale) — two INDEPENDENT constructions of the
     same string, which is the point of the check."""
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir)
-    g = _char_grams(d).localCheckpoint()
+    g = _char_grams(d).persist(StorageLevel.MEMORY_AND_DISK)
     spans = _merged_dup_spans(g, _ESK)
     spans_arr = spans.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sp")
