@@ -69,22 +69,30 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- scan sizing: default 128m splits; fine for local + cluster ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # --- broadcast threshold: dims up to 64 MB broadcast free ---
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # a 64 MB COMPRESSED shuffle side can serialize to >1 GB when
-        # collected for broadcast; the default 1g maxResultSize then
-        # kills legitimate AQE broadcasts the threshold above invites
-        # (measured: 500k-doc substring dedup, eligible-digest side).
-        # The two limits must be raised together.
+        # --- broadcast threshold (STATIC planner): 16 MB. Static
+        #     decisions run on Catalyst's size ESTIMATES, which are
+        #     crude through explode/filter chains — measured at 500k
+        #     docs: a filtered gram cache estimated under the old
+        #     64 MB threshold statically planned a broadcast that hit
+        #     Spark's 8 GiB broadcast hard cap. With AQE on, genuinely
+        #     broadcastable sides are (re)planned at runtime from
+        #     MEASURED shuffle sizes, so the static threshold only
+        #     needs to catch obvious dims; 16 MB covers every fixture
+        #     dim (nation/region/supplier/customer/part) with the
+        #     explicit F.broadcast hints unaffected. ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        # a 16 MB COMPRESSED shuffle side can still serialize to
+        # >1 GB when collected for broadcast; raise maxResultSize with
+        # the thresholds it serves (measured: 500k-doc substring
+        # dedup, eligible-digest side, killed at the 1g default).
         .config("spark.driver.maxResultSize", "4g")
         # AQE's runtime broadcast decisions use MEASURED COMPRESSED
         # shuffle sizes, where 64 MB can be several hundred MB of
         # hashed relation — at 500k docs that build raced the gram
-        # checkpoint blocks for unified memory and aborted the stage.
-        # 16 MB compressed keeps runtime broadcasts executor-memory
-        # bounded; bigger data-dependent sides degrade gracefully to
-        # shuffle joins (the scan-stat static threshold stays 64 MB
-        # for genuine dimension tables).
+        # cache for unified memory and aborted the stage. 16 MB
+        # compressed keeps runtime broadcasts executor-memory bounded;
+        # bigger data-dependent sides degrade gracefully to shuffle
+        # joins.
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -843,3 +843,45 @@ def test_synthetic_corpus_expansion_preserves_structure(spark, sf_dir, tmp_path)
         grown = fn(spark, out_dir).count()
         assert grown == k * base, (fn.__name__, base, grown)
         spark.catalog.clearCache()
+
+
+def test_embedding_expansion_is_orthogonal(tmp_path):
+    """tools/gen_corpus.generate_embeddings contract: each replica is
+    a signed coordinate permutation (orthogonal) of the base set —
+    norms and within-replica pairwise dot products preserved exactly
+    bar float32 re-rounding (0 here: permutation/sign-flip touch no
+    mantissa) — and replica 0 is the identity."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    import duckdb
+    import numpy as np
+
+    from tools.gen_corpus import STRIDE, generate_embeddings
+
+    out_dir = str(tmp_path / "emb_x3")
+    generate_embeddings(out_dir, 3, "/root/testdata/sf0.001")
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{out_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchnumpy()
+    base_src = con.execute(
+        "SELECT vec_id, embedding FROM '/root/testdata/sf0.001/embeddings.parquet' ORDER BY vec_id"
+    ).fetchnumpy()
+    n = len(base_src["vec_id"])
+    emb = np.stack(rows["embedding"])
+    base = np.stack(base_src["embedding"])
+    assert len(rows["vec_id"]) == 3 * n
+    # replica 0 is the identity
+    np.testing.assert_array_equal(emb[:n], base)
+    # each replica: same gram matrix (orthogonal transform) on a sample
+    s = base[:50].astype(np.float64)
+    gram = s @ s.T
+    for r in (1, 2):
+        rep = emb[r * n : r * n + 50].astype(np.float64)
+        np.testing.assert_allclose(rep @ rep.T, gram, rtol=0, atol=1e-12)
+        assert not np.array_equal(emb[r * n : (r + 1) * n], base)
+    # ids are strided
+    assert rows["vec_id"][n] == STRIDE

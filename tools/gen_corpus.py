@@ -90,6 +90,70 @@ COPY (
     return out
 
 
+
+def _coord_map(k: int, dim: int = 64):
+    """Per-replica signed coordinate permutations (orthogonal maps):
+    replica r sends coordinate i to (a_r·i + b_r) mod dim (a_r odd →
+    bijection) with sign flip where popcount((i+1)·r) is odd.
+    Replica 0 is the identity with all +1 signs; all maps are
+    pairwise distinct orthogonal transforms, so within-replica
+    norms/dot-products (hence cosines and cluster geometry) are
+    preserved exactly while replicas fill the space like rotated
+    copies — realistic corpus growth for ANN/k-means curves."""
+    maps = []
+    for r in range(k):
+        a = 2 * (r // dim) + 1
+        b = r % dim
+        perm = [(a * i + b) % dim for i in range(dim)]
+        sign = [-1.0 if bin((i + 1) * r).count("1") % 2 else 1.0
+                for i in range(dim)]
+        maps.append((perm, sign))
+    return maps
+
+
+def generate_embeddings(
+    out_dir: str, k: int, src_dir: str = "/root/testdata/sf0.1"
+) -> str:
+    """Expand embeddings.parquet ×K under vec_id + r·10000 (stride
+    preserves the fixed `vec_id < 10` query side: queries stay the 10
+    base vectors while the searched corpus grows — the real ANN
+    serving scenario). Labels are preserved, so the 8 coarse
+    IVF/k-means structures span the whole expanded corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(src_dir, "embeddings.parquet")
+    out = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(out_dir, exist_ok=True)
+    base = duckdb.connect().execute(
+        f"SELECT vec_id, embedding, label FROM '{src}' ORDER BY vec_id"
+    ).fetchnumpy()
+    emb = np.stack(base["embedding"]).astype(np.float32)  # (n, dim)
+    n, dim = emb.shape
+    ids, labels = base["vec_id"], base["label"]
+    out_ids, out_vecs, out_labels = [], [], []
+    for r, (perm, sign) in enumerate(_coord_map(k, dim)):
+        v = np.empty_like(emb)
+        v[:, perm] = emb * np.asarray(sign, dtype=np.float32)
+        out_ids.append(ids + r * STRIDE)
+        out_vecs.append(v)
+        out_labels.append(labels)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "embedding": pa.array(
+                list(np.concatenate(out_vecs)), pa.list_(pa.float32())
+            ),
+            "label": pa.array(np.concatenate(out_labels), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, out, row_group_size=50000)
+    print(f"wrote {tbl.num_rows} vectors to {out}", file=sys.stderr)
+    return out
+
 if __name__ == "__main__":
     out_dir, k = sys.argv[1], int(sys.argv[2])
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"

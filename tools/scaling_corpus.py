@@ -40,6 +40,13 @@ FAMILIES = (
     "decontaminate_eval_overlap",
     "corpus_curation_funnel",
 )
+#: embeddings families run over the signed-permutation expansion
+#: (2k → 20k → 200k vectors; queries stay the 10 base vectors, the
+#: searched corpus grows — the ANN serving scenario). Fixed-size
+#: outputs (top-5 × 10 queries / k=8 cluster summaries) are checked
+#: as such.
+EMB_FAMILIES = ("knn_ivf_ann", "embedding_kmeans")
+EMB_ROWS = {"knn_ivf_ann": 50, "embedding_kmeans": 8}
 #: families whose output is an exact per-replica property (rows scale
 #: exactly ×K). dedup_minhash_lsh is only NEAR-linear: its banded
 #: LSH recall depends on the hash space, and each replica's shingle
@@ -57,27 +64,31 @@ def main(args: list[str]) -> int:
         json_path = args[i + 1]
         args = args[:i] + args[i + 2:]
     from bench import _calibrate
-    from tools.gen_corpus import generate
+    from tools.gen_corpus import generate, generate_embeddings
 
     from mapreduce_citation_spark.registry import all_specs
     from mapreduce_citation_spark.session import get_spark
 
     points = [(BASE, 1)]
+    emb_points = [(BASE, 1)]
     for k in (10, 100):
         out_dir = f"benchdata/docs_x{k}"
         generate(out_dir, k, BASE)
         points.append((out_dir, k))
+        emb_dir = f"benchdata/emb_x{k}"
+        generate_embeddings(emb_dir, k, BASE)
+        emb_points.append((emb_dir, k))
 
     spark = get_spark("scaling-corpus")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
-    use = args or list(FAMILIES)
+    use = args or list(FAMILIES) + list(EMB_FAMILIES)
 
     report: dict[str, dict] = {"cal": _calibrate()}
     for name in use:
         fam = {"points": []}
         base_rows = None
-        for sf_dir, k in points:
+        for sf_dir, k in (emb_points if name in EMB_FAMILIES else points):
             spark.catalog.clearCache()
             rows = specs[name].fn(spark, sf_dir).count()  # warmup
             runs = []
@@ -86,6 +97,10 @@ def main(args: list[str]) -> int:
                 t0 = time.perf_counter()
                 specs[name].fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
+            if name in EMB_ROWS:
+                assert rows == EMB_ROWS[name], (
+                    f"{name}: expected fixed {EMB_ROWS[name]}-row output, got {rows}"
+                )
             if k == 1:
                 base_rows = rows
             elif name in EXACT_LINEAR:
@@ -98,8 +113,9 @@ def main(args: list[str]) -> int:
                     f"{name}: output {rows} at {k}x vs {k} * {base_rows} — "
                     "beyond LSH recall fluctuation, construction artifact"
                 )
+            base_n = 2000 if name in EMB_FAMILIES else 5000
             fam["points"].append(
-                {"input_x": k, "input_rows": 5000 * k,
+                {"input_x": k, "input_rows": base_n * k,
                  "sec": round(sorted(runs)[1], 3), "out_rows": rows}
             )
             print(f"  {name} @ {k}x: {fam['points'][-1]['sec']}s "
@@ -115,14 +131,16 @@ def main(args: list[str]) -> int:
     if json_path:
         with open(json_path, "w") as fh:
             json.dump(report, fh, indent=1)
-    print("\n| family | sec 1×/10×/100× (5k/50k/500k docs) | "
+    print("\n| family | input rows 1×/10×/100× | sec 1×/10×/100× | "
           "time× step 1 | time× step 2 | out rows 1×→100× |", file=sys.stderr)
-    print("| --- | --- | --- | --- | --- |", file=sys.stderr)
+    print("| --- | --- | --- | --- | --- | --- |", file=sys.stderr)
     for name in use:
         p = report[name]["points"]
         r = report[name]["ratios"]
         print(
             f"| `{name}` | "
+            + "/".join(str(x["input_rows"]) for x in p)
+            + " | "
             + "/".join(f"{x['sec']:.2f}" for x in p)
             + f" | {r[0]['time_x']}× | {r[1]['time_x']}× | "
             + f"{p[0]['out_rows']}→{p[-1]['out_rows']} |",
