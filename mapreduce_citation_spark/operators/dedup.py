@@ -477,11 +477,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
-WITH RECURSIVE {_MINHASH_PAIRS_CTES},
-und AS (
+#: Transitive-closure components over the verified MinHash pair CTEs
+#: (``pairs`` from ``_MINHASH_PAIRS_CTES``): comp maps every clustered
+#: doc to its cluster's min-doc_id label. Shared by the cluster/keeper
+#: oracles AND pipeline.py's curation-funnel oracle — one definition,
+#: so a closure-logic change cannot silently diverge them. Requires
+#: WITH RECURSIVE at the statement head.
+_COMPONENTS_CTES = """und AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
   SELECT doc_b, doc_a FROM pairs
@@ -490,12 +492,19 @@ reach AS (
   SELECT a AS src, b AS dst FROM und
   UNION
   SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a
-)
-SELECT src AS doc_id,
-       LEAST(src, MIN(dst)) AS cluster_id,
-       src = LEAST(src, MIN(dst)) AS keep
-FROM reach
-GROUP BY src
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+{_COMPONENTS_CTES}
+SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM comp
 """,
     tags=("dedup", "clusters", "components"),
 )
@@ -533,20 +542,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_canonical",
     oracle=f"""
 WITH RECURSIVE {_MINHASH_PAIRS_CTES},
-und AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach AS (
-  SELECT a AS src, b AS dst FROM und
-  UNION
-  SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a
-),
-comp AS (
-  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-  FROM reach GROUP BY src
-)
+{_COMPONENTS_CTES}
 SELECT d.doc_id,
        CAST(length(d.text) AS BIGINT) AS n_chars,
        (c.doc_id IS NOT NULL) AS was_clustered

@@ -540,14 +540,21 @@ def _warehouse_table(
         )
 
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {_BUCKET_DB}")
-    # one-time prune of pre-r5b naming ({name}_bk_{8-hex path tag},
+    # one-time prune of pre-r5b naming ({table}_bk_{8-hex path tag},
     # no basename segment): those tables are orphaned under the
-    # current realpath|spec token scheme and would accumulate on disk
+    # current realpath|spec token scheme and would accumulate on disk.
+    # Anchored on the literal fixture table names so a current-scheme
+    # dir can never match (that would need an EMPTY sanitized
+    # basename segment, which the token format cannot produce).
+    _FIXTURES = (
+        "region|nation|customer|supplier|part|orders|lineitem|"
+        "events|documents|embeddings"
+    )
     wh_dir = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     db_dir = os.path.join(wh_dir, f"{_BUCKET_DB}.db")
     if os.path.isdir(db_dir):
         for entry in os.listdir(db_dir):
-            if re.fullmatch(r"[a-z_]+_(bk|pt)_[0-9a-f]{8}", entry):
+            if re.fullmatch(rf"({_FIXTURES})_(bk|pt)_[0-9a-f]{{8}}", entry):
                 shutil.rmtree(os.path.join(db_dir, entry), ignore_errors=True)
     real = os.path.realpath(sf_dir.rstrip("/"))
     tag = hashlib.md5(f"{real}|{spec_tag}".encode()).hexdigest()[:8]

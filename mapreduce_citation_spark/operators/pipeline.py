@@ -326,12 +326,13 @@ def _curation_funnel_oracle() -> str:
     """Stage-chained DuckDB mirror of :func:`corpus_curation_funnel`,
     built from the SAME shared predicates the primitive operators
     use: ``QG_KEEP_DUCK`` (quality gate), the ``dedup_exact``
-    min-doc_id-per-md5 keeper, the ``dedup_keep_canonical``
-    cluster-keeper criterion (MinHash-LSH pairs → transitive
-    components → keep the min-doc_id member), and the
-    ``decontaminate_eval_overlap`` 40-char-gram criterion (60-bit
-    integer digests, benchmark = ``doc_id % 10 = 0``)."""
-    from .dedup import _ESK, _MINHASH_PAIRS_CTES
+    min-doc_id-per-md5 keeper, the shared MinHash-pair + transitive-
+    component CTEs (``_MINHASH_PAIRS_CTES`` + ``_COMPONENTS_CTES``,
+    with the funnel's min-SURVIVING-member keeper rule — see the
+    operator docstring), and the ``decontaminate_eval_overlap``
+    40-char-gram criterion (60-bit integer digests, benchmark =
+    ``doc_id % 10 = 0``)."""
+    from .dedup import _COMPONENTS_CTES, _ESK, _MINHASH_PAIRS_CTES
     from .text import QG_KEEP_DUCK
 
     return f"""
@@ -344,23 +345,17 @@ s2 AS MATERIALIZED (
   )
 ),
 {_MINHASH_PAIRS_CTES},
-und AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach AS (
-  SELECT a AS src, b AS dst FROM und
-  UNION
-  SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a
-),
-comp AS (
-  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-  FROM reach GROUP BY src
+{_COMPONENTS_CTES},
+surviving_keeper AS (
+  SELECT c.cluster_id, MIN(s2.doc_id) AS keeper
+  FROM s2 JOIN comp c ON s2.doc_id = c.doc_id
+  GROUP BY c.cluster_id
 ),
 s3 AS MATERIALIZED (
-  SELECT s2.* FROM s2 LEFT JOIN comp c ON s2.doc_id = c.doc_id
-  WHERE c.doc_id IS NULL OR s2.doc_id = c.cluster_id
+  SELECT s2.* FROM s2
+  LEFT JOIN comp c ON s2.doc_id = c.doc_id
+  LEFT JOIN surviving_keeper k ON c.cluster_id = k.cluster_id
+  WHERE c.doc_id IS NULL OR s2.doc_id = k.keeper
 ),
 pos AS (
   SELECT doc_id, text,
@@ -406,9 +401,13 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. quality gate (the shared Gopher-rule predicates),
     2. exact dedup (min-doc_id keeper per md5, applied to survivors),
-    3. near dedup (the ``dedup_keep_canonical`` criterion: MinHash-LSH
-       verified pairs → transitive components → drop every clustered
-       survivor except the min-doc_id canonical),
+    3. near dedup: MinHash-LSH verified pairs → transitive components
+       (``dedup_clusters``' exact output) → keep the min-doc_id
+       SURVIVING member of each cluster. Deliberately "min surviving",
+       not ``dedup_keep_canonical``'s corpus-global canonical: a
+       cluster whose canonical was already dropped by stage 1 or 2
+       must still retain ONE representative — otherwise the funnel
+       silently discards unique content no duplicate of which ships,
     4. eval-set decontamination (drop the held-out tenth and any
        survivor sharing a ≥40-char exact span with it).
 
@@ -448,13 +447,22 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     # stage 3: near dedup — reuse the registered cluster operator's
-    # exact output (corpus-level clusters, as dedup_keep_canonical
-    # applies them); survivors not in any cluster pass, clustered
-    # survivors pass only as their cluster's canonical member
-    clusters = dedup_clusters(spark, sf_dir)
+    # exact output (corpus-level cluster membership); survivors not in
+    # any cluster pass, clustered survivors pass only as the MIN
+    # SURVIVING member of their cluster (see docstring: the global
+    # canonical may already be gone). The keeper table is bounded by
+    # cluster count, so both joins are AQE-broadcast-side — no window
+    # over the mostly-NULL cluster_id column.
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    s2c = s2.join(clusters, "doc_id", "left")
+    keepers = (
+        s2c.filter(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("_keeper"))
+    )
     s3 = (
-        s2.join(clusters, "doc_id", "left")
-        .filter(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
+        s2c.join(keepers, "cluster_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("_keeper")))
         .select("doc_id", "text", "n_chars")
         .localCheckpoint()
     )

@@ -845,7 +845,7 @@ def test_synthetic_corpus_expansion_preserves_structure(spark, sf_dir, tmp_path)
         spark.catalog.clearCache()
 
 
-def test_embedding_expansion_is_orthogonal(tmp_path):
+def test_embedding_expansion_is_orthogonal(sf_dir, tmp_path):
     """tools/gen_corpus.generate_embeddings contract: each replica is
     a signed coordinate permutation (orthogonal) of the base set —
     norms and within-replica pairwise dot products preserved exactly
@@ -861,14 +861,14 @@ def test_embedding_expansion_is_orthogonal(tmp_path):
     from tools.gen_corpus import STRIDE, generate_embeddings
 
     out_dir = str(tmp_path / "emb_x3")
-    generate_embeddings(out_dir, 3, "/root/testdata/sf0.001")
+    generate_embeddings(out_dir, 3, sf_dir)
 
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT vec_id, embedding FROM '{out_dir}/embeddings.parquet' ORDER BY vec_id"
     ).fetchnumpy()
     base_src = con.execute(
-        "SELECT vec_id, embedding FROM '/root/testdata/sf0.001/embeddings.parquet' ORDER BY vec_id"
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
     ).fetchnumpy()
     n = len(base_src["vec_id"])
     emb = np.stack(rows["embedding"])

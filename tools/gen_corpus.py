@@ -73,6 +73,14 @@ def generate(out_dir: str, k: int, src_dir: str = "/root/testdata/sf0.1") -> str
     if os.path.exists(out):
         return out
     os.makedirs(out_dir, exist_ok=True)
+    # write to a temp path, rename only on success: an interrupted
+    # COPY must not leave a truncated corpus that later scaling runs
+    # would silently reuse as the full one
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     con = duckdb.connect()
     con.register("repmap", _replica_map(k))
     con.execute(f"""
@@ -83,9 +91,12 @@ COPY (
          d.lang, d.source,
          CAST(length(d.text) AS BIGINT) AS n_chars
   FROM '{src}' d CROSS JOIN repmap m
-) TO '{out}' (FORMAT PARQUET, PER_THREAD_OUTPUT)
+) TO '{tmp}' (FORMAT PARQUET, PER_THREAD_OUTPUT)
 """)
-    n = con.execute(f"SELECT COUNT(*) FROM '{out}/*.parquet'").fetchone()[0]
+    n = con.execute(f"SELECT COUNT(*) FROM '{tmp}/*.parquet'").fetchone()[0]
+    n_src = con.execute(f"SELECT COUNT(*) FROM '{src}'").fetchone()[0]
+    assert n == k * n_src, f"expansion wrote {n} rows, expected {k * n_src}"
+    os.rename(tmp, out)
     print(f"wrote {n} docs to {out}", file=sys.stderr)
     return out
 
@@ -150,7 +161,11 @@ def generate_embeddings(
             "label": pa.array(np.concatenate(out_labels), pa.int32()),
         }
     )
-    pq.write_table(tbl, out, row_group_size=50000)
+    assert tbl.num_rows == k * n
+    # temp-then-rename: no truncated file survives an interruption
+    tmp = out + ".tmp"
+    pq.write_table(tbl, tmp, row_group_size=50000)
+    os.rename(tmp, out)
     print(f"wrote {tbl.num_rows} vectors to {out}", file=sys.stderr)
     return out
 

@@ -55,6 +55,12 @@ EMB_ROWS = {"knn_ivf_ann": 50, "embedding_kmeans": 8}
 #: The funnel emits fixed 5 accounting rows, not a pair stream.
 EXACT_LINEAR = {"dedup_exact_substring_pairs", "decontaminate_eval_overlap"}
 NEAR_LINEAR = {"dedup_minhash_lsh"}
+#: the funnel emits 5 accounting rows whose per-stage doc counts are
+#: themselves the linearity check: stages 0-2 (total, quality, exact
+#: dedup) are char-bijection-invariant per replica → exactly ×K;
+#: stages 3-4 include the MinHash near-dedup → ×K within LSH recall
+#: fluctuation (checked at 5%).
+FUNNEL = "corpus_curation_funnel"
 
 
 def main(args: list[str]) -> int:
@@ -88,9 +94,28 @@ def main(args: list[str]) -> int:
     for name in use:
         fam = {"points": []}
         base_rows = None
+        base_stages = None
         for sf_dir, k in (emb_points if name in EMB_FAMILIES else points):
             spark.catalog.clearCache()
-            rows = specs[name].fn(spark, sf_dir).count()  # warmup
+            if name == FUNNEL:
+                stage_rows = {
+                    r["stage"]: r["n_docs"]
+                    for r in specs[name].fn(spark, sf_dir).collect()  # warmup
+                }
+                rows = len(stage_rows)
+                assert rows == 5, f"{name}: expected 5 stages, got {rows}"
+                if k == 1:
+                    base_stages = stage_rows
+                else:
+                    for st, n in stage_rows.items():
+                        want = base_stages[st] * k
+                        tol = 0 if st[0] in "012" else 0.05 * want
+                        assert abs(n - want) <= tol, (
+                            f"{name}: stage {st} = {n} at {k}x vs {want} — "
+                            "construction artifact, curve would be invalid"
+                        )
+            else:
+                rows = specs[name].fn(spark, sf_dir).count()  # warmup
             runs = []
             for _ in range(3):
                 spark.catalog.clearCache()
