@@ -10,11 +10,13 @@ run per table, plus the cal_* CPU probe for window context. The
 query cache is cleared between points (the gram/signature caches
 would otherwise let a later point free-ride on an earlier one).
 
-The construction's linearity is itself validated: each replica is a
-char-bijection image of the base corpus, so every family's OUTPUT
-row count must be exactly K × its base count — checked here, and
-any violation aborts the run (a super-linear OUTPUT would make the
-runtime curve a construction artifact, not engine evidence).
+The construction's linearity is itself validated per family (a
+super-linear OUTPUT would make the runtime curve a construction
+artifact, not engine evidence; any violation aborts the run):
+substring/decontamination outputs must be exactly K × base, MinHash
+within LSH-recall tolerance, the funnel's stage-0 accounting exactly
+K × base with monotone stages, and the ANN/k-means outputs fixed-size
+by design.
 
 Usage: python tools/scaling_corpus.py [--json PATH] [family ...]
 (driver memory: exports SPARK_GRAFT_DRIVER_MEM=24g default before
