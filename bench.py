@@ -69,6 +69,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = bench_queries()
 
+    def drain(df) -> None:
+        # noop sink: computes EVERY output column and discards rows on
+        # the executors. count() is NOT a valid drain — Catalyst prunes
+        # projections and can eliminate whole joins under it (found in
+        # r6: the substring spans/strip left join against a unique-key
+        # aggregate was being optimized away, so their bench entries
+        # timed only the eager cache fill — and in r5, ONLY that fill).
+        df.write.format("noop").mode("overwrite").save()
+
     # Warmup: run every query once so timings measure steady-state
     # execution (JIT + whole-stage-codegen compile amortized), then
     # time five full executions of each and keep the MEDIAN — the
@@ -76,18 +85,19 @@ def main() -> None:
     # headline and their per-run variance on this drifting VM would
     # otherwise swamp the other entries' signal (r5 verdict #6).
     for spec in specs.values():
-        spec.fn(spark, sf_dir).count()
+        drain(spec.fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():
         runs: list[float] = []
         counts: set[int] = set()
-        for _ in range(5):
+        for i in range(5):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
-            n = df.count()  # full execution; result not materialized to driver
+            drain(df)
             runs.append(time.perf_counter() - t0)
-            counts.add(n)
+            if i < 2:  # untimed determinism spot-check (first two runs)
+                counts.add(df.count())
         # real sanity gate: a deterministic query over static parquet
         # must return the same row count on every run
         assert len(counts) == 1, f"{name}: unstable row count {counts}"

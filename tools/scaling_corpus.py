@@ -39,6 +39,8 @@ BASE = "/root/testdata/sf0.1"
 FAMILIES = (
     "dedup_minhash_lsh",
     "dedup_exact_substring_pairs",
+    "dedup_substring_spans",
+    "dedup_substring_strip",
     "decontaminate_eval_overlap",
     "corpus_curation_funnel",
 )
@@ -55,7 +57,13 @@ EMB_ROWS = {"knn_ivf_ann": 50, "embedding_kmeans": 8}
 #: strings hash differently, so per-replica recall of the (replica-
 #: invariant) true-pair set fluctuates ~±1% — checked with tolerance.
 #: The funnel emits fixed 5 accounting rows, not a pair stream.
-EXACT_LINEAR = {"dedup_exact_substring_pairs", "decontaminate_eval_overlap"}
+EXACT_LINEAR = {
+    "dedup_exact_substring_pairs",
+    "decontaminate_eval_overlap",
+    # spans/strip emit one row per input doc
+    "dedup_substring_spans",
+    "dedup_substring_strip",
+}
 NEAR_LINEAR = {"dedup_minhash_lsh"}
 #: the funnel emits 5 accounting rows; only stage 0 (total docs) is
 #: checked ×K. The Gopher QUALITY gate is NOT char-bijection-
@@ -68,6 +76,14 @@ NEAR_LINEAR = {"dedup_minhash_lsh"}
 #: what the wall-time curve measures. Discovered by this check's
 #: first stricter version; stage-wise monotonicity is still asserted.
 FUNNEL = "corpus_curation_funnel"
+
+
+def _drain(df) -> None:
+    """noop sink: computes every output column on the executors.
+    count() is NOT a valid drain — Catalyst prunes projections and can
+    eliminate whole joins under it (r6 find: the spans/strip left join
+    against a unique-key aggregate optimized away entirely)."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main(args: list[str]) -> int:
@@ -118,12 +134,14 @@ def main(args: list[str]) -> int:
                     f"{name}: stage 0_total = {stage_rows['0_total']} at {k}x"
                 )
             else:
-                rows = specs[name].fn(spark, sf_dir).count()  # warmup
+                df = specs[name].fn(spark, sf_dir)
+                _drain(df)  # warmup
+                rows = df.count()
             runs = []
             for _ in range(3):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                specs[name].fn(spark, sf_dir).count()
+                _drain(specs[name].fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
             if name in EMB_ROWS:
                 assert rows == EMB_ROWS[name], (

@@ -47,6 +47,13 @@ FAMILIES = {
 }
 
 
+def _drain(df) -> None:
+    """noop sink: computes every output column on the executors —
+    count() lets Catalyst prune projections/joins (r6 find), which
+    under-measured the spans/strip rows of the r5 table."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main(names: list[str]) -> int:
     from mapreduce_citation_spark.registry import all_specs
     from mapreduce_citation_spark.session import get_spark
@@ -69,11 +76,11 @@ def main(names: list[str]) -> int:
         spec = specs[name]
         points = []
         for sf_dir in SF_DIRS:
-            spec.fn(spark, sf_dir).count()  # warmup
+            _drain(spec.fn(spark, sf_dir))  # warmup
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                spec.fn(spark, sf_dir).count()
+                _drain(spec.fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
             points.append(
                 {
