@@ -494,6 +494,52 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_clusters_oracle() -> str:
+    """Recursive transitive closure over the phash pairs — the full
+    dHash pipeline nests as a CTE body (DuckDB allows WITH inside a
+    CTE), then the SHARED component CTEs from dedup.py run on it, so
+    the closure logic cannot diverge from the text-side cluster
+    operators."""
+    from .dedup import _COMPONENTS_CTES
+
+    return f"""
+WITH RECURSIVE phash AS ({_phash_oracle()}),
+pairs AS (SELECT img_a AS doc_a, img_b AS doc_b FROM phash),
+{_COMPONENTS_CTES}
+SELECT doc_id AS img_id, cluster_id, doc_id = cluster_id AS keep
+FROM comp
+"""
+
+
+@register(
+    "multimodal_phash_clusters",
+    oracle=_phash_clusters_oracle(),
+    tags=("multimodal", "dedup", "phash", "clusters", "components"),
+)
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup CLUSTERS — the multimodal twin of
+    ``dedup_clusters``: treat Hamming≤2 dHash pairs as edges, take
+    connected components (iterative min-label propagation,
+    operators/graph.py:connected_components), and flag one canonical
+    image (min img_id) per cluster — the keeper step a multimodal
+    curation pipeline applies after pair detection, catching images
+    only TRANSITIVELY near-identical to a kept one. Every planted
+    (base, variant) pair lands in one cluster with the base as
+    keeper, which the hash gate therefore verifies end-to-end."""
+    from .graph import connected_components
+
+    pairs = multimodal_phash_pairs(spark, sf_dir).select("img_a", "img_b")
+    edges = pairs.select(
+        F.col("img_a").alias("from_paper"), F.col("img_b").alias("to_paper")
+    )
+    labels = connected_components(edges)
+    return labels.select(
+        F.col("node").alias("img_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("keep"),
+    )
+
+
 @register(
     "multimodal_ingest_stats",
     oracle="""

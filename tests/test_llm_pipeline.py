@@ -885,3 +885,35 @@ def test_embedding_expansion_is_orthogonal(sf_dir, tmp_path):
         assert not np.array_equal(emb[r * n : (r + 1) * n], base)
     # ids are strided
     assert rows["vec_id"][n] == STRIDE
+
+
+def test_phash_clusters_canonicalize_planted_variants(spark, sf_dir):
+    """Every planted (base, variant) image pair must form one cluster
+    with the base (min img_id) as keeper; cluster invariants mirror
+    the text-side dedup_clusters tests."""
+    from mapreduce_citation_spark.operators.multimodal import (
+        multimodal_phash_clusters,
+        multimodal_phash_pairs,
+    )
+
+    labels = {
+        r["img_id"]: (r["cluster_id"], r["keep"])
+        for r in multimodal_phash_clusters(spark, sf_dir).collect()
+    }
+    pairs = multimodal_phash_pairs(spark, sf_dir).collect()
+    assert pairs and labels
+    for r in pairs:  # both endpoints clustered together
+        assert labels[r["img_a"]][0] == labels[r["img_b"]][0]
+    # cluster_id is the min member; exactly one keeper per cluster
+    by_cluster: dict[int, list[int]] = {}
+    for img, (cid, _keep) in labels.items():
+        by_cluster.setdefault(cid, []).append(img)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        assert sum(1 for m in members if labels[m][1]) == 1
+    # planted variants: base is the keeper of its own cluster
+    for img, (cid, keep) in labels.items():
+        if img % 2 == 1:  # variant ids are odd (2*doc_id+1)
+            base = img - 1
+            if base in labels:
+                assert labels[base][0] == cid
