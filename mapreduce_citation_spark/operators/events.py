@@ -449,3 +449,63 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_scd2_history",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+ch AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM o WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS version,
+       event_type AS state,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM ch
+""",
+    tags=("events", "scd2", "cdc", "warehouse", "window"),
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension TYPE 2 history build from a change
+    log — the companion to ``events_cdc_compaction`` (latest-wins =
+    SCD1): treat each user's event_type as a tracked attribute,
+    collapse consecutive repeats (LAG change detection), and emit one
+    validity interval per distinct run — [valid_from, valid_to) with
+    a version number and an is_current flag on the open interval.
+    This is the standard dimension-history merge every warehouse
+    ingesting CDC runs.
+
+    Scale shape: every window partitions on the entity key — ONE
+    shuffle total, then per-key sorted passes (change detection,
+    versioning, interval close) ride the same sort. Deterministic
+    (ts, event_id) tie-break; no floats anywhere."""
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.withColumn("prev_type", F.lag("event_type").over(wk))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    valid_to = F.lead("ts").over(wk)
+    return ch.select(
+        "user_id",
+        F.row_number().over(wk).alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -662,3 +662,110 @@ def citation_pagerank_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def triangle_counts(proj: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list
+    ``(u, v)`` (canonicalized u < v, no duplicates), via DEGREE-BASED
+    EDGE ORIENTATION — the standard at-scale plan:
+
+    - orient every edge from its lower-(degree, id) endpoint to its
+      higher one, so each node's OUT-degree is O(sqrt(m)) regardless
+      of its real degree (a heavy hub becomes everyone's dst and
+      never pivots a wedge);
+    - wedges = self-join of oriented edges on src, keeping only
+      neighbor pairs ordered by the same (degree, id) key, so each
+      wedge can close against exactly one oriented edge;
+    - triangles = wedge ⋈ oriented-edge on (d1, d2).
+
+    Total wedge work is bounded by Σ out-deg² = O(m^1.5) — the
+    textbook bound — vs Σ deg², which a skewed graph makes quadratic.
+    The triangle SET is orientation-invariant, so the id-oriented SQL
+    oracle must produce identical per-node counts."""
+    proj = proj.localCheckpoint()
+    deg = (
+        proj.select(F.col("u").alias("node"))
+        .unionAll(proj.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    e = proj.join(du, "u").join(dv, "v")
+    fwd = F.struct(F.col("deg_u"), F.col("u")) < F.struct(F.col("deg_v"), F.col("v"))
+    oriented = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("deg_v")).otherwise(F.col("deg_u")).alias("ddeg"),
+    ).localCheckpoint()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            F.struct(F.col("e1.ddeg"), F.col("e1.dst"))
+            < F.struct(F.col("e2.ddeg"), F.col("e2.dst"))
+        ),
+    ).select(
+        F.col("e1.src").alias("s"),
+        F.col("e1.dst").alias("d1"),
+        F.col("e2.dst").alias("d2"),
+    )
+    closing = oriented.select(F.col("src").alias("d1"), F.col("dst").alias("d2"))
+    tri = wedges.join(closing, ["d1", "d2"])
+    corners = (
+        tri.select(F.col("s").alias("paper"))
+        .unionAll(tri.select(F.col("d1").alias("paper")))
+        .unionAll(tri.select(F.col("d2").alias("paper")))
+    )
+    return corners.groupBy("paper").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register(
+    "citation_triangles",
+    oracle=_EDGES_CTE
+    + """
+, proj AS (
+  SELECT a.to_paper AS u, b.to_paper AS v
+  FROM edges a JOIN edges b
+    ON a.from_paper = b.from_paper AND a.to_paper < b.to_paper
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM proj e1
+  JOIN proj e2 ON e2.u = e1.v
+  JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS paper FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT paper, COUNT(*) AS n_triangles
+FROM corners GROUP BY paper
+""",
+    tags=("graph", "triangles", "orientation", "skew"),
+)
+def citation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-citation PROJECTION (papers joined
+    when ≥2 citers cite both — the community-structure graph; the raw
+    citation graph is bipartite and triangle-free by construction).
+    Spark runs the degree-oriented plan (``triangle_counts``); the
+    oracle closes wedges on the simple id-orientation — the triangle
+    set is orientation-invariant, so the per-node counts must agree
+    exactly."""
+    e = _edges(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    proj = (
+        a.join(
+            b,
+            (F.col("a.from_paper") == F.col("b.from_paper"))
+            & (F.col("a.to_paper") < F.col("b.to_paper")),
+        )
+        .groupBy(F.col("a.to_paper").alias("u"), F.col("b.to_paper").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    return triangle_counts(proj)

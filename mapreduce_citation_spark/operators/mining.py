@@ -1,0 +1,110 @@
+"""Pattern-mining analytics: market-basket co-occurrence.
+
+The classic retail question over the TPC-H shape: which part brands
+co-occur in the same order more often than chance? This is frequent-
+itemset mining at the pair level (support + lift), the building block
+of recommendation candidate generation — and a canonical MapReduce
+workload (the reference engine's domain is exactly this count/join
+shape, generalized: SURVEY.md §2 ops 6-11).
+
+Scale shape: the corpus never self-joins — the pair explosion happens
+per ORDER over that order's distinct-brand set (bounded by the brand
+domain, ≤25 in TPC-H, and by basket size in general), and the
+aggregation domain is brand × brand, which is tiny however large the
+fact table grows. One shuffle to build the (order, brand) incidence
+table, one equi-join on the order key to form pairs, bounded-domain
+aggregates after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+
+
+def order_brand_incidence(li: DataFrame, part: DataFrame) -> DataFrame:
+    """Distinct (order, brand) incidence table — the "basket" view.
+
+    The join is fact→dim on l_partkey (AQE broadcasts the measured
+    part side when it is small; no manual hint so the same plan holds
+    when part outgrows a broadcast at larger SFs)."""
+    return (
+        li.select("l_orderkey", "l_partkey")
+        .join(part.select("p_partkey", "p_brand"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+
+
+@register(
+    "basket_brand_pairs",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM e),
+c AS (SELECT b, COUNT(*) AS n_b FROM e GROUP BY b),
+p AS (
+  SELECT x.b AS brand_a, y.b AS brand_b, COUNT(*) AS n_both
+  FROM e x JOIN e y ON x.o = y.o AND x.b < y.b
+  GROUP BY x.b, y.b
+)
+SELECT p.brand_a, p.brand_b, p.n_both,
+       CAST(p.n_both AS DOUBLE) / CAST(tot.n_orders AS DOUBLE) AS support,
+       CAST(p.n_both * tot.n_orders AS DOUBLE)
+         / CAST(ca.n_b * cb.n_b AS DOUBLE) AS lift
+FROM p, tot
+JOIN c ca ON ca.b = p.brand_a
+JOIN c cb ON cb.b = p.brand_b
+ORDER BY n_both DESC, brand_a ASC, brand_b ASC
+LIMIT 20
+""",
+    tags=("mining", "market-basket", "itemsets", "lift"),
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: top-20 brand pairs by co-occurrence
+    support, with lift against the independence baseline.
+
+    All counting is integer-exact; support and lift are each ONE
+    division of exact BIGINT products, so the doubles are bit-equal
+    across engines (no accumulation-order sensitivity). The incidence
+    table is materialized once (three consumers: pair join both sides
+    + marginals; the 1-row order total is the vetted scalar-fold
+    pattern). At 100 TB the pair join shuffles on the order key only,
+    and every aggregate lands on the bounded brand×brand domain."""
+    e = order_brand_incidence(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    ).localCheckpoint()
+    tot = e.select(F.count_distinct("o").alias("n_orders"))
+    c = e.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    x, y = e.alias("x"), e.alias("y")
+    p = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.b") < F.col("y.b")))
+        .groupBy(F.col("x.b").alias("brand_a"), F.col("y.b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = c.select(F.col("b").alias("ba"), F.col("n_b").alias("n_a_orders"))
+    cb = c.select(F.col("b").alias("bb"), F.col("n_b").alias("n_b_orders"))
+    return (
+        p.crossJoin(tot)
+        .join(ca, F.col("brand_a") == F.col("ba"))
+        .join(cb, F.col("brand_b") == F.col("bb"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("n_orders").cast("double"))
+            .alias("support"),
+            (
+                (F.col("n_both") * F.col("n_orders")).cast("double")
+                / (F.col("n_a_orders") * F.col("n_b_orders")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_both").desc(), F.col("brand_a").asc(), F.col("brand_b").asc())
+        .limit(20)
+    )

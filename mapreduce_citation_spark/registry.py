@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "mapreduce_citation_spark.operators.streaming_queries",
     "mapreduce_citation_spark.operators.tpch_extra",
     "mapreduce_citation_spark.operators.pipeline",
+    "mapreduce_citation_spark.operators.mining",
 )
 
 #: Explicit ordering of the registry's public view. External checkers

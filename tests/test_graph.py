@@ -162,3 +162,26 @@ def test_pagerank_fixed_point_agrees_and_is_integer_exact(spark):
         for r in pagerank_fixed_point(df, iterations=6).collect()
     }
     assert fp1 == fp2
+
+
+def test_triangle_counts_on_planted_graph(spark):
+    """Degree-oriented triangle counting on a hand-built graph whose
+    truth is known: K4 (4 triangles, every node in 3), a 5-leaf star
+    and a 3-path (triangle-free — their nodes must not appear), and a
+    bowtie sharing one vertex (center in 2 triangles, wings in 1)."""
+    from mapreduce_citation_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a, b in [("k1", "k2"), ("k1", "k3"), ("k1", "k4"),
+                              ("k2", "k3"), ("k2", "k4"), ("k3", "k4")]]
+    star = [("h0", f"l{i}") for i in range(1, 6)]
+    path = [("p1", "p2"), ("p2", "p3")]
+    bowtie = [("c", "w1"), ("c", "w2"), ("w1", "w2"),
+              ("c", "x1"), ("c", "x2"), ("x1", "x2")]
+    edges = [(min(u, v), max(u, v)) for u, v in k4 + star + path + bowtie]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["paper"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    expected = {"k1": 3, "k2": 3, "k3": 3, "k4": 3,
+                "c": 2, "w1": 1, "w2": 1, "x1": 1, "x2": 1}
+    assert got == expected
+    # handshake invariant: corner-count total = 3 x triangle count (4+2)
+    assert sum(got.values()) == 3 * 6

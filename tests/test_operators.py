@@ -391,3 +391,47 @@ def test_interorder_gaps_accounting(spark, sf_dir):
     assert sum(r["n_gaps"] for r in rows) == n_orders - n_customers
     for r in rows:
         assert r["avg_gap_days"] >= 0 and r["median_gap_days"] >= 0
+
+
+def test_scd2_history_reconstructs_event_stream(spark, sf_dir):
+    """SCD2 invariants per user — versions contiguous from 1, exactly
+    one open (is_current) interval, consecutive states differ,
+    intervals chain (valid_to = next valid_from) — and the strong
+    round-trip property: EVERY raw event's type equals the state of
+    the interval containing its timestamp."""
+    import bisect
+
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.events import events_scd2_history
+
+    hist = pd.DataFrame(
+        r.asDict() for r in events_scd2_history(spark, sf_dir).collect()
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    for uid, h in hist.groupby("user_id"):
+        h = h.sort_values("version").reset_index(drop=True)
+        assert list(h["version"]) == list(range(1, len(h) + 1))
+        assert h["is_current"].sum() == 1 and bool(h["is_current"].iloc[-1])
+        states = list(h["state"])
+        assert all(a != b for a, b in zip(states, states[1:]))
+        # intervals chain with no gaps or overlaps
+        assert list(h["valid_to"][:-1]) == list(h["valid_from"][1:])
+        assert pd.isna(h["valid_to"].iloc[-1])
+        # round trip: each event falls in exactly the interval whose
+        # state matches it (ties on ts resolved by event_id order,
+        # which the interval build also uses)
+        u = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+        starts = list(h["valid_from"])
+        for _, e in u.iterrows():
+            i = bisect.bisect_right(starts, e["ts"]) - 1
+            candidates = {h["state"].iloc[i]}
+            # events at the exact boundary ts of the next interval may
+            # belong to either side of an equal-ts run; accept the
+            # state of any interval starting at this ts too
+            j = i + 1
+            while j < len(h) and h["valid_from"].iloc[j] == e["ts"]:
+                candidates.add(h["state"].iloc[j])
+                j += 1
+            assert e["event_type"] in candidates
