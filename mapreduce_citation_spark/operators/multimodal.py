@@ -455,8 +455,24 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     than probabilistic."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     sigs = image_dhash_signatures(build_media_assets(d))
+    return hamming_band_pairs(sigs, "img_id", "img_a", "img_b")
+
+
+def hamming_band_pairs(
+    sigs: DataFrame, id_col: str, out_a: str, out_b: str
+) -> DataFrame:
+    """Pairs of 64-bit signatures within Hamming distance ≤ 2 via the
+    SimHash pigeonhole strategy (dedup.py:314): 3 blocks of 22/21/21
+    bits — any pair within Hamming ≤ 2 agrees exactly on ≥ 1 block —
+    so candidates come from a block equi-join, never all-pairs; the
+    exact distance is codegen'd bit_count(xor) over the two 32-bit
+    signature halves. Shared by the image-dHash and audio-fingerprint
+    near-dup operators.
+
+    ``sigs``: (id_col, dh) with dh a 64-char '0'/'1' string. Output:
+    (out_a, out_b, hamming) with out_a < out_b, hamming ≤ 2."""
     # materialize: the block self-join below would otherwise run the
-    # whole encode+dhash pandas pipeline once per side
+    # whole encode+fingerprint pandas pipeline once per side
     sigs = sigs.localCheckpoint()
     blocks = [(0, 1, 22), (1, 23, 21), (2, 44, 21)]  # (id, start, len), 1-based
     block_cols = [
@@ -464,7 +480,7 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, st, ln in blocks
     ]
     bands = sigs.select(
-        "img_id",
+        F.col(id_col),
         F.conv(F.substring("dh", 1, 32), 2, 10).cast("long").alias("hi"),
         F.conv(F.substring("dh", 33, 32), 2, 10).cast("long").alias("lo"),
         F.explode(F.array(*block_cols)).alias("block_key"),
@@ -478,18 +494,18 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             bands.alias("y"),
             (F.col("x.block_key") == F.col("y.block_key"))
-            & (F.col("x.img_id") < F.col("y.img_id")),
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(
-            F.col("x.img_id").alias("img_a"),
-            F.col("y.img_id").alias("img_b"),
+            F.col(f"x.{id_col}").alias(out_a),
+            F.col(f"y.{id_col}").alias(out_b),
             F.col("x.hi").alias("hi_a"),
             F.col("x.lo").alias("lo_a"),
             F.col("y.hi").alias("hi_b"),
             F.col("y.lo").alias("lo_b"),
         )
         .distinct()
-        .select("img_a", "img_b", ham)
+        .select(out_a, out_b, ham)
         .filter(F.col("hamming") <= 2)
     )
 
@@ -614,3 +630,166 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     in IEEE double on both engines, no order sensitivity."""
     assets = build_media_assets(load_table(spark, sf_dir, "documents"))
     return extract_media_features(assets)
+
+
+def make_audio_fingerprint():
+    """Pure-python audio-fingerprint kit: returns ``(perturb, fp)``.
+
+    - ``perturb(payload) -> bytes`` flips the low bit of the FIRST
+      sample byte of the WAV's data chunk (located by a real RIFF
+      chunk walk) — a planted near-identical recording whose
+      fingerprint differs from the base's in at most ONE bit (only
+      segment 0's energy moves, by exactly ±1).
+    - ``fp(payload) -> str | None`` is the 1-D analogue of dHash over
+      the decoded PCM: chunk-walk to the data bytes, split them into
+      65 segments (byte j → segment (j·65)//nd — the same
+      nearest-boundary partition the image grid uses), integer energy
+      = Σ|x − 128| per segment, bit i = energy(i+1) > energy(i) —
+      64 bits as a '0'/'1' string. Pure integer arithmetic
+      end-to-end, so the DuckDB oracle replays it exactly from the
+      codec's construction definition. Returns None for an empty
+      data chunk (no samples to fingerprint).
+
+    Factory-nested for cloudpickle capture (see make_media_codec)."""
+    import struct
+
+    def _data_span(payload: bytes) -> tuple[int, int]:
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            sz = struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"data":
+                return pos + 8, sz
+            pos += 8 + sz + (sz % 2)
+        raise ValueError("RIFF/WAVE missing data chunk")
+
+    def perturb(payload: bytes) -> bytes:
+        off, sz = _data_span(payload)
+        v = bytearray(payload)
+        if sz > 0:
+            v[off] ^= 1
+        return bytes(v)
+
+    def fp(payload: bytes) -> str | None:
+        off, sz = _data_span(payload)
+        data = payload[off : off + sz]
+        nd = len(data)
+        if nd == 0:
+            return None
+        energy = [0] * 65
+        for j, x in enumerate(data):
+            energy[(j * 65) // nd] += abs(x - 128)
+        return "".join(
+            "1" if energy[i + 1] > energy[i] else "0" for i in range(64)
+        )
+
+    return perturb, fp
+
+
+#: Per-recording fingerprint signature (planted variants included).
+AUDIO_FP_SCHEMA = StructType(
+    [StructField("aud_id", LongType()), StructField("dh", StringType())]
+)
+
+
+def audio_fingerprint_signatures(assets: DataFrame) -> DataFrame:
+    """WAV assets → (aud_id, 64-bit fingerprint) rows: every recording
+    under aud_id = 2·doc_id, plus — for each doc_id % 10 == 5 — a
+    planted low-bit-perturbed variant under aud_id = 2·doc_id + 1.
+    One Arrow-batched pass; payload bytes are fingerprinted in place
+    and never shuffle — only the 64-char signatures move."""
+    perturb, fp = make_audio_fingerprint()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                s = fp(p)
+                if s is None:
+                    continue
+                rows.append((int(doc_id) * 2, s))
+                if doc_id % 10 == 5:
+                    rows.append((int(doc_id) * 2 + 1, fp(perturb(p))))
+            yield pd.DataFrame(rows, columns=["aud_id", "dh"])
+
+    return assets.select("doc_id", "payload").mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+def _audio_fp_sigs_sql() -> str:
+    """CTE body reconstructing every audio fingerprint from the
+    construction definition: sample byte j of doc_id's WAV is text
+    byte j (j < nd = L − L%channels; low bit xor'd for the planted
+    variant's first sample), segment s covers j ∈ [⌈s·nd/65⌉,
+    ⌈(s+1)·nd/65⌉), energy = Σ|code − 128|, bit i compares segments
+    i+1 vs i. Ends with a ``sigs(aud_id, dh)`` CTE."""
+    return """
+auds AS (
+  SELECT doc_id, text, length(text) AS L,
+         CAST(1 + (doc_id // 2) % 2 AS INT) AS c
+  FROM documents WHERE doc_id % 2 = 1
+),
+units AS (
+  SELECT doc_id * 2 AS aud_id, text, L - L % c AS nd, FALSE AS pert
+  FROM auds WHERE L - L % c > 0
+  UNION ALL
+  SELECT doc_id * 2 + 1, text, L - L % c, TRUE
+  FROM auds WHERE doc_id % 10 = 5 AND L - L % c > 0
+),
+grid AS (SELECT u.aud_id, u.text, u.nd, u.pert, s FROM units u, range(0, 65) t(s)),
+seg AS (
+  SELECT g.aud_id, g.s AS seg,
+         COALESCE((
+           SELECT SUM(CASE WHEN g.pert AND j = 0
+                      THEN ABS(xor(ascii(substr(g.text, CAST(j AS INT) + 1, 1)), 1) - 128)
+                      ELSE ABS(ascii(substr(g.text, CAST(j AS INT) + 1, 1)) - 128) END)
+           FROM unnest(range((g.s * g.nd + 64) // 65, ((g.s + 1) * g.nd + 64) // 65)) AS t(j)
+         ), 0) AS energy
+  FROM grid g
+),
+cmp AS (
+  SELECT aud_id, seg, energy,
+         LEAD(energy) OVER (PARTITION BY aud_id ORDER BY seg) AS energy_next
+  FROM seg
+),
+sigs AS (
+  SELECT aud_id,
+         string_agg(CASE WHEN energy_next > energy THEN '1' ELSE '0' END,
+                    '' ORDER BY seg) AS dh
+  FROM cmp WHERE seg < 64
+  GROUP BY aud_id
+)
+"""
+
+
+@register(
+    "multimodal_audio_fp_pairs",
+    oracle="WITH "
+    + _audio_fp_sigs_sql()
+    + """
+SELECT a.aud_id AS aud_a, b.aud_id AS aud_b,
+       CAST(bit_count(xor(a.dh::BIT, b.dh::BIT)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.aud_id < b.aud_id
+WHERE bit_count(xor(a.dh::BIT, b.dh::BIT)) <= 2
+""",
+    tags=("multimodal", "dedup", "audio", "fingerprint", "pandas-udf"),
+)
+def multimodal_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint near-dup pairs — the AUDIO half of the
+    multimodal dedup story (image twin: ``multimodal_phash_pairs``):
+    encode the audio docs as real WAVs, fingerprint the decoded PCM
+    (``make_audio_fingerprint`` — 65-segment energy contour, the 1-D
+    dHash), and pair recordings within Hamming ≤ 2, including
+    deterministically PLANTED low-bit-perturbed variants (each
+    differs from its base in ≤ 1 fingerprint bit, so total recall of
+    the planted set is part of the hash gate).
+
+    Pairing is the shared pigeonhole block join
+    (``hamming_band_pairs``) — candidates from a 3-block equi-join,
+    never all-pairs; the oracle's all-pairs scan is exact ground
+    truth at fixture scale. At 100 TB: 64-bit signatures per
+    recording, payload bytes never shuffle, recall guaranteed by
+    construction."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    sigs = audio_fingerprint_signatures(build_media_assets(d))
+    return hamming_band_pairs(sigs, "aud_id", "aud_a", "aud_b")

@@ -917,3 +917,51 @@ def test_phash_clusters_canonicalize_planted_variants(spark, sf_dir):
             base = img - 1
             if base in labels:
                 assert labels[base][0] == cid
+
+
+def test_audio_fingerprint_locality_on_planted_wav():
+    """Direct fingerprint properties on a hand-built WAV: 64 bits;
+    deterministic; the planted low-bit perturbation of the first
+    sample moves the fingerprint by at most 1 bit (only segment 0's
+    energy moves); genuinely different audio moves it by many bits."""
+    from mapreduce_citation_spark.operators.multimodal import (
+        make_audio_fingerprint,
+        make_media_codec,
+    )
+
+    build, _decode = make_media_codec()
+    perturb, fp = make_audio_fingerprint()
+    _, p = build(13, "The quick brown fox jumps over the lazy dog. " * 4)
+    h = fp(p)
+    assert h is not None and len(h) == 64 and set(h) <= {"0", "1"}
+    assert fp(p) == h  # deterministic
+    hv = fp(perturb(p))
+    assert sum(a != b for a, b in zip(h, hv)) <= 1
+    _, q = build(13, "zyxw vutsr qponm lkjih gfedc ba098 76543 210ZY XWVU" * 3)
+    hq = fp(q)
+    assert sum(a != b for a, b in zip(h, hq)) > 4
+
+
+def test_audio_fp_pairs_recover_all_planted_variants(spark, sf_dir):
+    """Every planted (base, variant) audio pair must be recovered by
+    the shared pigeonhole plan with hamming ≤ 1; pair ids are
+    well-formed (ordered, within-threshold)."""
+    from mapreduce_citation_spark.operators.multimodal import (
+        multimodal_audio_fp_pairs,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    planted = {
+        2 * r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 5)
+        .select("doc_id")
+        .collect()
+    }
+    pairs = multimodal_audio_fp_pairs(spark, sf_dir).collect()
+    found = {(r["aud_a"], r["aud_b"]): r["hamming"] for r in pairs}
+    for base in planted:
+        assert (base, base + 1) in found, f"planted pair {base} missing"
+        assert found[(base, base + 1)] <= 1
+    for (a, b), ham in found.items():
+        assert a < b and 0 <= ham <= 2
