@@ -841,3 +841,161 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (merge learning)
+# ---------------------------------------------------------------------------
+
+#: Symbol-wrapping sentinels for the merge-as-string-replace encoding:
+#: every symbol is stored as SEP1+sym+SEP2, so a merge of (x, y) is
+#: replace(SEP1 x SEP2 SEP1 y SEP2 → SEP1 xy SEP2) — leftmost
+#: non-overlapping, which is exactly classic BPE's greedy merge scan
+#: (each occurrence is wrapped individually, so consecutive matches
+#: never share boundary bytes). Control chars: ASCII fixture text
+#: cannot contain them.
+_BPE_SEP1, _BPE_SEP2 = chr(31), chr(30)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB replay of ``text_bpe_merges`` — the same
+    iteration-unrolling strategy as the pagerank/k-means oracles.
+    Validated against a classic python BPE implementation (tuple
+    symbols, greedy left-to-right merge) before registration."""
+    s1, s2 = "chr(31)", "chr(30)"
+
+    def pairs(src: str, p: str, t: str) -> str:
+        return f"""
+{p} AS (
+  SELECT z.pr[1] AS l, z.pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_zip(ls[1:len(ls)-1], ls[2:len(ls)])) AS pr, freq
+    FROM (SELECT string_split(trim(s, {s1}||{s2}), {s2}||{s1}) AS ls, freq
+          FROM {src})
+  ) z
+  GROUP BY 1, 2
+),
+{t} AS (SELECT l, r, cnt FROM {p} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+
+    def merge(src: str, t: str, dst: str) -> str:
+        return f"""
+{dst} AS (
+  SELECT replace(s, {s1}||t.l||{s2}||{s1}||t.r||{s2},
+                 {s1}||t.l||t.r||{s2}) AS s, freq
+  FROM {src}, {t} t
+)"""
+
+    ctes = [
+        f"""words AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+it0 AS (
+  SELECT regexp_replace(word, '(.)', {s1}||'\\1'||{s2}, 'g') AS s, freq
+  FROM words
+)"""
+    ]
+    outs = []
+    for i in range(1, n_merges + 1):
+        ctes.append(pairs(f"it{i - 1}", f"p{i}", f"t{i}"))
+        if i < n_merges:
+            ctes.append(merge(f"it{i - 1}", f"t{i}", f"it{i}"))
+        outs.append(
+            f"SELECT {i} AS it, l AS left_sym, r AS right_sym, "
+            f"cnt AS pair_count, l || r AS new_token FROM t{i}"
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(outs)
+
+
+def bpe_merge_table(docs: DataFrame, n_merges: int) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus — the TRAINING
+    loop of a byte-pair-encoding tokenizer, as a declarative
+    fixed-iteration plan:
+
+    1. corpus → word-frequency dict (the classic compression: every
+       subsequent pass touches the VOCABULARY, not the corpus — at
+       100 TB this is the only corpus-wide shuffle);
+    2. per iteration: adjacent-symbol pair counts weighted by word
+       freq → global argmax (count desc, pair asc — deterministic
+       tie-break) → merge applied to the dict via sentinel-wrapped
+       ``F.replace`` (leftmost non-overlapping = classic BPE's greedy
+       scan), with the 1-row winner cross-joined on (the vetted
+       scalar-fold pattern — no driver round-trip, no collect).
+
+    Output: one row per learned merge (it, left_sym, right_sym,
+    pair_count, new_token). Integer counts only — no floats."""
+    sep1, sep2 = F.lit(_BPE_SEP1), F.lit(_BPE_SEP2)
+    words = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # wrap every char as SEP1+c+SEP2 ($1 = regex group in Spark's
+    # replacement syntax; the oracle's RE2 spelling is \1)
+    wrapped = words.select(
+        F.regexp_replace(
+            "word", "(.)", _BPE_SEP1 + "$1" + _BPE_SEP2
+        ).alias("s"),
+        "freq",
+    ).localCheckpoint()
+
+    out = None
+    cur = wrapped
+    for i in range(1, n_merges + 1):
+        ls = F.split(F.expr(f"trim(BOTH '{_BPE_SEP1}{_BPE_SEP2}' FROM s)"),
+                     _BPE_SEP2 + _BPE_SEP1)
+        toks = cur.select(ls.alias("ls"), "freq")
+        pairs = (
+            toks.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("ls"), 1, F.size("ls") - 1).alias("l"),
+                        F.slice(F.col("ls"), 2, F.size("ls") - 1).alias("r"),
+                    )
+                ).alias("pr"),
+                "freq",
+            )
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1)
+        row = top.select(
+            F.lit(i).alias("it"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+            F.concat("l", "r").alias("new_token"),
+        )
+        out = row if out is None else out.unionAll(row)
+        if i < n_merges:
+            t = top.select(F.col("l").alias("_ml"), F.col("r").alias("_mr"))
+            cur = (
+                cur.crossJoin(t)
+                .select(
+                    F.replace(
+                        F.col("s"),
+                        F.concat(sep1, F.col("_ml"), sep2, sep1, F.col("_mr"), sep2),
+                        F.concat(sep1, F.col("_ml"), F.col("_mr"), sep2),
+                    ).alias("s"),
+                    "freq",
+                )
+                .localCheckpoint()
+            )
+    return out
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_bpe_oracle(3),
+    tags=("text", "bpe", "tokenizer", "iterative", "llm"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three BPE merges learned from the documents corpus (see
+    ``bpe_merge_table``); the oracle unrolls the same three
+    iterations in SQL, so the pair counting, the argmax tie-break,
+    AND the greedy merge application are all hash-gated."""
+    return bpe_merge_table(load_table(spark, sf_dir, "documents"), 3)

@@ -965,3 +965,65 @@ def test_audio_fp_pairs_recover_all_planted_variants(spark, sf_dir):
         assert found[(base, base + 1)] <= 1
     for (a, b), ham in found.items():
         assert a < b and 0 <= ham <= 2
+
+
+def test_bpe_merges_match_classic_python_bpe(spark):
+    """BPE merge learning on a planted corpus chosen to stress the
+    greedy-merge semantics: runs of the same symbol ("aaaa" must
+    become (aa)(aa), not (aa)a(a-straddle)), alternations ("abab"),
+    and merged-token adjacency in later iterations. Compared against
+    a classic tuple-symbol BPE implementation."""
+    from collections import Counter
+
+    from mapreduce_citation_spark.operators.text import bpe_merge_table
+
+    corpus = [
+        "aaaa aaaa aa baba",
+        "abab abab aaab",
+        "aaaa abab cddc",
+        "xy xy xy xyxy aaaa",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                                 ["doc_id", "text"])
+
+    words = Counter(w for t in corpus for w in t.split() if w)
+    vocab = {tuple(w): c for w, c in words.items()}
+
+    def top_pair(v):
+        pc = Counter()
+        for syms, c in v.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        return sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+
+    def merge(v, pair):
+        a, b = pair
+        out: dict[tuple, int] = {}
+        for syms, c in v.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            k = tuple(ns)
+            out[k] = out.get(k, 0) + c
+        return out
+
+    expected = []
+    for it in range(1, 5):
+        (l, r), cnt = top_pair(vocab)
+        expected.append((it, l, r, cnt, l + r))
+        vocab = merge(vocab, (l, r))
+
+    got = [
+        (r["it"], r["left_sym"], r["right_sym"], r["pair_count"], r["new_token"])
+        for r in bpe_merge_table(docs, 4).orderBy("it").collect()
+    ]
+    assert got == expected
+    # the run case: iteration 1 must count "aa" non-overlapping
+    # (4 per "aaaa" word would be overlap-counting; classic BPE counts
+    # adjacent pairs in the symbol list, i.e. 3 per "aaaa")
+    assert got[0][1:3] == ("a", "a")
