@@ -829,3 +829,139 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("channel")
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-filtered shuffle join (runtime row-level pruning)
+# ---------------------------------------------------------------------------
+
+def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
+    """Sparse ``(word, bits)`` bitmap of a 2-hash bloom filter over
+    ``keys[key_col]``: positions xxhash64(key, seed)·mod·m for seeds
+    1 and 2, packed 64 bits per word. AT MOST ``m_bits/64`` rows by
+    construction — a fixed-size summary however many keys go in
+    (that's the bloom trade: more keys → higher false-positive rate,
+    never more bytes)."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(1)), F.lit(m_bits)),
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(2)), F.lit(m_bits)),
+            )
+        ).alias("p")
+    )
+    return (
+        pos.groupBy(F.shiftright("p", 6).alias("word"))
+        .agg(F.expr("bit_or(shiftleft(1L, int(p % 64)))").alias("bits"))
+    )
+
+
+def bloom_prefilter(fact: DataFrame, fact_key: str, bitmap: DataFrame,
+                    m_bits: int) -> DataFrame:
+    """Row-level runtime pruning: drop fact rows whose key CANNOT be
+    on the build side (both bloom bits must be set; a missing word is
+    a definite miss). No false negatives — the surviving superset
+    still flows into the real join, which removes false positives —
+    so the composed result is IDENTICAL to the plain join. The probe
+    is two broadcast hash-joins against the ≤``m_bits/64``-row bitmap
+    + codegen'd bit arithmetic: the fact side is pruned BEFORE the
+    shuffle, which at 100 TB is the whole point (exchange bytes drop
+    by the filter's selectivity, at the cost of a ~16 KB broadcast).
+    This is the same strategy Spark's runtime
+    ``InjectRuntimeFilter`` applies when the application-side scan
+    crosses its 10 GB threshold; built from first principles here so
+    the operator (and its payoff) is testable at ANY scale."""
+    f = fact.withColumn(
+        "_p1", F.pmod(F.xxhash64(F.col(fact_key), F.lit(1)), F.lit(m_bits))
+    ).withColumn(
+        "_p2", F.pmod(F.xxhash64(F.col(fact_key), F.lit(2)), F.lit(m_bits))
+    )
+    b1 = bitmap.select(F.col("word").alias("_w1"), F.col("bits").alias("_b1"))
+    b2 = bitmap.select(F.col("word").alias("_w2"), F.col("bits").alias("_b2"))
+    return (
+        f.join(F.broadcast(b1), F.shiftright("_p1", 6) == F.col("_w1"), "left")
+        .join(F.broadcast(b2), F.shiftright("_p2", 6) == F.col("_w2"), "left")
+        .filter(
+            F.expr("_b1 IS NOT NULL AND (_b1 & shiftleft(1L, int(_p1 % 64))) != 0")
+            & F.expr("_b2 IS NOT NULL AND (_b2 & shiftleft(1L, int(_p2 % 64))) != 0")
+        )
+        .drop("_p1", "_p2", "_w1", "_b1", "_w2", "_b2")
+    )
+
+
+_BLOOM_SQL = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       COUNT(*) AS n_lines,
+       CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= DATE '1997-01-01'
+GROUP BY 1
+"""
+
+
+def _urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+    )
+
+
+def _bloom_rollup(joined: DataFrame) -> DataFrame:
+    return joined.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr(f"CAST(SUM({PRICE} * (1 - {DISC})) AS DOUBLE)").alias("revenue"),
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=_BLOOM_SQL,
+    bench=True,
+    tags=("join", "bloom", "runtime-filter", "prefilter"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dim fact join WITH the bloom pre-filter: the ~6% of
+    orders surviving the (priority, date) predicate summarize into a
+    fixed ≤2048-row bitmap; the lineitem side probes it BEFORE the
+    shuffle (merge hint pins the at-scale shuffle-join shape — on a
+    real cluster the filtered orders side of a 100 TB join does not
+    broadcast), so ~94% of the fact rows never enter the exchange.
+    The oracle is the PLAIN join — bloom pruning must be invisible in
+    the result (no false negatives; the join removes false
+    positives). ``join_bloom_plain`` is the benched flat twin."""
+    o = _urgent_orders(spark, sf_dir).localCheckpoint()
+    bitmap = bloom_bitmap(o, "o_orderkey", 1 << 17).localCheckpoint()
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pruned = bloom_prefilter(li, "l_orderkey", bitmap, 1 << 17)
+    joined = pruned.hint("merge").join(
+        o.select("o_orderkey", "o_orderdate"),
+        pruned.l_orderkey == F.col("o_orderkey"),
+    )
+    return _bloom_rollup(joined)
+
+
+@register(
+    "join_bloom_plain",
+    oracle=_BLOOM_SQL,
+    bench=True,
+    tags=("join", "bloom", "flat-twin"),
+)
+def join_bloom_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat twin of ``join_bloom_prefilter``: the identical logical
+    join with no pre-filter — every lineitem row enters the exchange
+    and non-matches die only inside the join. The bench delta between
+    the pair is the runtime-filter payoff at the fixture's
+    selectivity."""
+    o = _urgent_orders(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = li.hint("merge").join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return _bloom_rollup(joined)
