@@ -1228,3 +1228,135 @@ def knn_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report(knn_ivf_ann(spark, sf_dir), "ivf").unionByName(
         report(knn_pq_ann(spark, sf_dir), "pq")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (farthest-point traversal)
+# ---------------------------------------------------------------------------
+
+def _kcenter_dist(a: str, b: str) -> str:
+    """Squared L2 between two BIGINT vectors (Spark SQL HOF) — same
+    magnitude bound as k-means: ≤ 2^48, safely BIGINT."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0L, (s, v) -> s + v)"
+
+
+def kcenter_select(e: DataFrame, n_select: int, scale: int = _KM_SCALE) -> DataFrame:
+    """Greedy k-center / farthest-point traversal — the classic
+    2-approximation coreset selector a curation pipeline uses to pick
+    a DIVERSE subsample (maximize coverage, the complement of
+    near-dup removal). Fixed-point integer arithmetic end to end
+    (the ``kmeans_fixed_point`` strategy), so the selection sequence
+    is bit-deterministic and fully SQL-oracled.
+
+    Start from the min vec_id; each round, the point FARTHEST from
+    every already-selected center joins the coreset (tie-break min
+    vec_id). Output: one row per selection (it, center_id,
+    radius_sq) — radius_sq is the chosen point's distance to the
+    prior centers, i.e. the coverage radius of the prefix before it,
+    a non-increasing sequence.
+
+    Scale shape: the running min-distance table is the only
+    corpus-sized state (one BIGINT + vector per point); each round is
+    a pure map against the broadcast 1-row newest center plus a
+    TakeOrdered(1) argmax — the corpus never shuffles. The round
+    boundary materializes via ``localCheckpoint`` (the
+    ``kmeans_fixed_point`` convention — bounded per-row state; a
+    corpus that stresses one shared heap would swap to
+    ``persist(MEMORY_AND_DISK)`` per the gram-cache lesson, at the
+    cost of lineage-replay display scans in the audit)."""
+    q = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0D) AS BIGINT))"
+        ).alias("xq"),
+    )
+    c0 = q.orderBy("vec_id").limit(1).select(F.col("xq").alias("cvec"))
+    mind = (
+        q.crossJoin(F.broadcast(c0))
+        .select("vec_id", "xq", F.expr(_kcenter_dist("xq", "cvec")).alias("mind"))
+        .localCheckpoint()
+    )
+    out = None
+    for i in range(1, n_select + 1):
+        nxt = (
+            mind.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("_cid"),
+                F.col("xq").alias("cvec"),
+                F.col("mind").alias("_rad"),
+            )
+        )
+        row = nxt.select(
+            F.lit(i).alias("it"),
+            F.col("_cid").alias("center_id"),
+            F.col("_rad").alias("radius_sq"),
+        )
+        out = row if out is None else out.unionAll(row)
+        if i < n_select:
+            mind = (
+                mind.crossJoin(F.broadcast(nxt))
+                .select(
+                    "vec_id",
+                    "xq",
+                    F.least(
+                        F.col("mind"), F.expr(_kcenter_dist("xq", "cvec"))
+                    ).alias("mind"),
+                )
+                .localCheckpoint()
+            )
+    return out
+
+
+def _kcenter_oracle(n_select: int) -> str:
+    """Unrolled DuckDB replay of the farthest-point traversal."""
+    dist = (
+        "list_reduce(list_transform(generate_series(1, 64), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    ctes = [
+        f"""q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}.0) AS BIGINT)) AS xq
+  FROM embeddings
+),
+c0 AS (SELECT xq AS cvec FROM q ORDER BY vec_id LIMIT 1),
+m0 AS (
+  SELECT q.vec_id, q.xq, {dist.format(a="q.xq", b="c.cvec")} AS mind
+  FROM q, c0 c
+)"""
+    ]
+    outs = []
+    for i in range(1, n_select + 1):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT vec_id, xq, mind FROM m{i - 1}
+  ORDER BY mind DESC, vec_id ASC LIMIT 1
+)"""
+        )
+        if i < n_select:
+            ctes.append(
+                f"""m{i} AS (
+  SELECT m.vec_id, m.xq,
+         LEAST(m.mind, {dist.format(a="m.xq", b="s.xq")}) AS mind
+  FROM m{i - 1} m, s{i} s
+)"""
+            )
+        outs.append(
+            f"SELECT {i} AS it, vec_id AS center_id, mind AS radius_sq FROM s{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(outs)
+
+
+@register(
+    "embedding_kcenter_coreset",
+    oracle=_kcenter_oracle(5),
+    tags=("similarity", "coreset", "k-center", "diversity", "iterative"),
+)
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five greedy k-center selections over the embeddings corpus
+    (see ``kcenter_select``); the oracle unrolls the same traversal,
+    so the argmax sequence, tie-breaks, and radii are all
+    hash-gated."""
+    return kcenter_select(_emb(spark, sf_dir), 5)

@@ -67,3 +67,48 @@ def test_kmeans_matches_numpy_replay(spark, sf_dir):
     assert got == want
     assert sum(n for n, _, _ in got.values()) == len(ids)
     assert sum(i for _, i, _ in got.values()) <= init_inertia
+
+
+def test_kcenter_matches_numpy_replay_and_invariants(spark, sf_dir):
+    """Farthest-point traversal vs a numpy replay on the fixture:
+    identical selection sequence and radii; radii non-increasing;
+    2-approximation sanity (every point within the final coverage
+    radius of some selected center)."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.similarity import (
+        _KM_SCALE,
+        kcenter_select,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = [
+        (r["it"], r["center_id"], r["radius_sq"])
+        for r in kcenter_select(e, 5).orderBy("it").collect()
+    ]
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    X = np.floor(
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _KM_SCALE
+    ).astype(np.int64)
+
+    def d2(a, b):
+        diff = a - b
+        return (diff * diff).sum(axis=-1)
+
+    mind = d2(X, X[0])  # init: min vec_id center
+    expected = []
+    for it in range(1, 6):
+        best = np.lexsort((ids, -mind))[0]
+        expected.append((it, int(ids[best]), int(mind[best])))
+        mind = np.minimum(mind, d2(X, X[best]))
+    assert got == expected
+    radii = [r for _, _, r in got]
+    assert radii == sorted(radii, reverse=True)
+    # coverage: after selecting the 5 (plus init), max remaining
+    # distance is <= the last selection radius
+    assert mind.max() <= radii[-1]
