@@ -67,13 +67,27 @@ _PRIORITY = (
     "top_cited",
     "citing_papers",
     # SURVEY §2.2 scalar functions.
-    # (r5 rotation: scalar_datetime_funcs → beyond-window; the scalar
-    # family stays represented by string + math.)
+    # (r5 rotation: scalar_datetime_funcs → beyond-window; r6b:
+    # scalar_math_funcs follows — the scalar family stays represented
+    # by scalar_string_funcs.)
     "scalar_string_funcs",
-    "scalar_math_funcs",
-    # Core relational representatives (agg / join+topk).
+    # Core relational representatives (r6b rotation:
+    # q3_shipping_priority → beyond-window, still benched +
+    # full-sweep-gated; the agg family stays via q1, and the join+topk
+    # shape is covered by the join block below).
     "q1_pricing_summary",
-    "q3_shipping_priority",
+    # r6b NEW capabilities joining the window (all-or-nothing swap —
+    # out: scalar_math_funcs, q3_shipping_priority, dedup_simhash_pairs,
+    # knn_pq_ann, text_unigram_rarity, multimodal_decode_features,
+    # corpus_mixture_weights; every displaced family keeps an in-window
+    # representative, see each block's comment):
+    "basket_brand_pairs",
+    "text_bpe_merges",
+    "multimodal_audio_fp_pairs",
+    "embedding_kcenter_coreset",
+    "join_bloom_prefilter",
+    "citation_triangles",
+    "events_scd2_history",
     # LLM-pipeline: deduplication — every family in-window, including
     # the full suffix-array-style substring trio and decontamination.
     # (r5 rotation: dedup_ngram_jaccard — minhash's ground-truth twin
@@ -81,8 +95,10 @@ _PRIORITY = (
     "dedup_exact",
     "dedup_minhash_lsh",
     # (dedup_simhash / knn_brute_cosine_pandas: beyond-window — their
-    # stronger siblings dedup_simhash_pairs / knn_brute_cosine stay.)
-    "dedup_simhash_pairs",
+    # stronger siblings stay. r6b: dedup_simhash_pairs also rotates
+    # beyond-window — the pigeonhole Hamming-pairing strategy stays
+    # in-window via multimodal_phash_pairs/audio_fp_pairs, which share
+    # its block-join machinery.)
     "dedup_embedding_cosine",
     "dedup_clusters",
     # (r6 rotation: dedup_substring_strip → beyond-window — the
@@ -98,29 +114,32 @@ _PRIORITY = (
     # exchange stats_correlation rotates beyond-window, the stats
     # family staying represented by percentiles + approx).
     # (r5 rotation: embedding_label_stats → beyond-window.)
+    # (r6b: knn_pq_ann → beyond-window — ANN stays represented by
+    # brute + LSH + IVF; PQ remains benched + full-sweep-gated.)
     "knn_brute_cosine",
     "knn_lsh_ann",
     "knn_ivf_ann",
-    "knn_pq_ann",
     "embedding_kmeans",
     # LLM-pipeline: text analysis.
     # (r5 rotation: doc_fingerprint / token_count_regex →
     # beyond-window — winnowing and token_stats cover those families;
     # unigram rarity joins the window.)
+    # (r6b: text_unigram_rarity → beyond-window; the text family
+    # stays represented by the four below + text_bpe_merges above.)
     "text_token_stats",
     "text_quality_scores",
     "text_lang_id",
     "text_tfidf_top_terms",
     "doc_winnowing_fingerprints",
-    "text_unigram_rarity",
-    # LLM-pipeline: end-to-end compositions.
+    # LLM-pipeline: end-to-end compositions (r6b:
+    # corpus_mixture_weights → beyond-window; the pipeline family
+    # stays via pipeline_filter_funnel).
     "pipeline_filter_funnel",
-    "corpus_mixture_weights",
     # LLM-pipeline: multimodal plumbing + image near-dup (r6:
-    # multimodal_phash_pairs — dHash over real decoded BMPs with
-    # planted variants — joins the window).
+    # multimodal_phash_pairs joins the window; r6b:
+    # multimodal_decode_features → beyond-window — the codec loop
+    # stays represented by ingest + phash + the new audio pairs).
     "multimodal_ingest_stats",
-    "multimodal_decode_features",
     "multimodal_phash_pairs",
     # Event analytics (batch twins of the streaming surface).
     # (r5 rotation: events_json_struct → beyond-window with its
