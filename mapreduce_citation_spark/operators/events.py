@@ -509,3 +509,54 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "events_incremental_agg_merge",
+    oracle=f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM({VALUE_DEC}) AS DOUBLE) AS total_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+""",
+    tags=("events", "incremental", "partial-agg", "materialized-view"),
+)
+def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view
+    pattern: a BASE aggregate (events before the cutoff) is merged
+    with a DELTA aggregate (events at/after it) through a second
+    aggregation over the partial states, and the result must equal a
+    full recompute (the oracle — which never sees the cutoff).
+
+    Works because every measure is a commutative monoid under a
+    known merge: count→sum, decimal-sum→sum, min→min, max→max. At
+    100 TB this is how a daily pipeline folds one day's delta into a
+    standing per-user state instead of re-scanning history; the
+    decimal sums keep the merge order-insensitive and the final
+    DOUBLE cast bit-stable."""
+    ev = _ev(spark, sf_dir)
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.expr(f"SUM({VALUE_DEC})").alias("_sv"),
+            F.min("ts").alias("_f"),
+            F.max("ts").alias("_l"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionAll(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_n").cast("long").alias("n_events"),
+            F.expr("CAST(SUM(_sv) AS DOUBLE)").alias("total_value"),
+            F.min("_f").alias("first_ts"),
+            F.max("_l").alias("last_ts"),
+        )
+    )

