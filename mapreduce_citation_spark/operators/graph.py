@@ -769,3 +769,94 @@ def citation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return triangle_counts(proj)
+
+
+def kcore_peel(proj: DataFrame, k: int, rounds: int) -> DataFrame:
+    """``rounds`` rounds of k-core PEELING over an undirected edge
+    list ``(u, v)``: each round drops every node with degree < k and
+    all its edges, simultaneously (the textbook distributed/parallel
+    peel — NOT sequential vertex removal, which has no bounded-round
+    distributed form). Returns the surviving ``(paper, degree)``
+    table after the last round.
+
+    Fixed-iteration framing, like the pagerank gate: the true k-core
+    is this loop's fixpoint, and at scale you iterate this exact
+    per-round plan (degree aggregate + two semi-joins, all shuffling
+    on the node key) until no node falls; the fixture's projection
+    keeps shrinking slowly past round 8, so the registered operator
+    pins 4 rounds to stay deterministic per SF rather than
+    fixture-convergence-dependent."""
+    und = proj.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        proj.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint()
+    e = und
+    for _ in range(rounds):
+        alive = (
+            e.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("a")
+        )
+        e = (
+            e.join(alive, "a", "semi")
+            .join(alive.select(F.col("a").alias("b")), "b", "semi")
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("a").alias("paper")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+@register(
+    "citation_kcore",
+    oracle=_EDGES_CTE.replace("WITH edges AS", "WITH edges AS MATERIALIZED")
+    + """
+, proj AS MATERIALIZED (
+  SELECT a.to_paper AS u, b.to_paper AS v
+  FROM edges a JOIN edges b
+    ON a.from_paper = b.from_paper AND a.to_paper < b.to_paper
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+e0 AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM proj UNION ALL SELECT v, u FROM proj
+),
+al1 AS (SELECT a FROM e0 GROUP BY a HAVING COUNT(*) >= 3),
+e1 AS MATERIALIZED (
+  SELECT e.a, e.b FROM e0 e JOIN al1 x ON e.a = x.a JOIN al1 y ON e.b = y.a
+),
+al2 AS (SELECT a FROM e1 GROUP BY a HAVING COUNT(*) >= 3),
+e2 AS MATERIALIZED (
+  SELECT e.a, e.b FROM e1 e JOIN al2 x ON e.a = x.a JOIN al2 y ON e.b = y.a
+),
+al3 AS (SELECT a FROM e2 GROUP BY a HAVING COUNT(*) >= 3),
+e3 AS MATERIALIZED (
+  SELECT e.a, e.b FROM e2 e JOIN al3 x ON e.a = x.a JOIN al3 y ON e.b = y.a
+),
+al4 AS (SELECT a FROM e3 GROUP BY a HAVING COUNT(*) >= 3),
+e4 AS MATERIALIZED (
+  SELECT e.a, e.b FROM e3 e JOIN al4 x ON e.a = x.a JOIN al4 y ON e.b = y.a
+)
+SELECT a AS paper, COUNT(*) AS degree FROM e4 GROUP BY a
+""",
+    tags=("graph", "kcore", "iterative", "peeling"),
+)
+def citation_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four k=3 peeling rounds over the co-citation projection (the
+    same ≥2-co-citer graph as ``citation_triangles``): surviving
+    papers with their residual degrees — the density-core extraction
+    a community-mining pipeline runs after projection. The oracle
+    unrolls the identical four rounds (materialized CTEs)."""
+    e = _edges(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    proj = (
+        a.join(
+            b,
+            (F.col("a.from_paper") == F.col("b.from_paper"))
+            & (F.col("a.to_paper") < F.col("b.to_paper")),
+        )
+        .groupBy(F.col("a.to_paper").alias("u"), F.col("b.to_paper").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    return kcore_peel(proj, k=3, rounds=4)

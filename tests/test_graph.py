@@ -185,3 +185,27 @@ def test_triangle_counts_on_planted_graph(spark):
     assert got == expected
     # handshake invariant: corner-count total = 3 x triangle count (4+2)
     assert sum(got.values()) == 3 * 6
+
+
+def test_kcore_peel_on_planted_graph(spark):
+    """Peeling truth on a hand-built graph: K4 survives k=3 peeling
+    intact (each node keeps degree 3); a pendant chain hung off K4
+    and a free-standing triangle (degree ≤ 2 everywhere) all vanish
+    in the FIRST round — simultaneous removal drops every sub-k node
+    and its edges together, including K4's tail link."""
+    from mapreduce_citation_spark.operators.graph import kcore_peel
+
+    k4 = [("k1", "k2"), ("k1", "k3"), ("k1", "k4"),
+          ("k2", "k3"), ("k2", "k4"), ("k3", "k4")]
+    tail = [("k1", "t1"), ("t1", "t2"), ("t2", "t3")]
+    tri = [("x1", "x2"), ("x1", "x3"), ("x2", "x3")]
+    edges = [(min(u, v), max(u, v)) for u, v in k4 + tail + tri]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["paper"]: r["degree"] for r in kcore_peel(df, 3, 4).collect()}
+    assert got == {"k1": 3, "k2": 3, "k3": 3, "k4": 3}
+    # one round only: every chain node has degree <= 2, so the whole
+    # tail AND the triangle vanish simultaneously in round 1 — k1's
+    # tail edge goes with them (its endpoint died this round), leaving
+    # exactly the K4
+    got1 = {r["paper"]: r["degree"] for r in kcore_peel(df, 3, 1).collect()}
+    assert got1 == {"k1": 3, "k2": 3, "k3": 3, "k4": 3}
