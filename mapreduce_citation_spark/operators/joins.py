@@ -856,36 +856,45 @@ def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
     )
 
 
-def bloom_prefilter(fact: DataFrame, fact_key: str, bitmap: DataFrame,
+def bloom_bitmap_map(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
+    """The sparse bitmap folded into ONE row holding a word→bits map
+    (≤ ``m_bits/64`` entries): the whole filter broadcasts as a
+    single scalar-fold relation, so the probe is one cross-join plus
+    codegen'd map lookups — no per-position join at all."""
+    return bloom_bitmap(keys, key_col, m_bits).agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
+    )
+
+
+def bloom_prefilter(fact: DataFrame, fact_key: str, bm: DataFrame,
                     m_bits: int) -> DataFrame:
     """Row-level runtime pruning: drop fact rows whose key CANNOT be
     on the build side (both bloom bits must be set; a missing word is
     a definite miss). No false negatives — the surviving superset
     still flows into the real join, which removes false positives —
     so the composed result is IDENTICAL to the plain join. The probe
-    is two broadcast hash-joins against the ≤``m_bits/64``-row bitmap
-    + codegen'd bit arithmetic: the fact side is pruned BEFORE the
-    shuffle, which at 100 TB is the whole point (exchange bytes drop
-    by the filter's selectivity, at the cost of a ~16 KB broadcast).
-    This is the same strategy Spark's runtime
-    ``InjectRuntimeFilter`` applies when the application-side scan
-    crosses its 10 GB threshold; built from first principles here so
-    the operator (and its payoff) is testable at ANY scale."""
+    cross-joins the broadcast 1-row bitmap map (``bloom_bitmap_map``)
+    and tests both positions with map-lookup + bit arithmetic inside
+    codegen: the fact side is pruned BEFORE the shuffle, which at
+    100 TB is the whole point (exchange bytes drop by the filter's
+    selectivity, at the cost of a ~16 KB broadcast). This is the same
+    strategy Spark's runtime ``InjectRuntimeFilter`` applies when the
+    application-side scan crosses its 10 GB threshold; built from
+    first principles here so the operator (and its payoff) is
+    testable at ANY scale."""
     f = fact.withColumn(
         "_p1", F.pmod(F.xxhash64(F.col(fact_key), F.lit(1)), F.lit(m_bits))
     ).withColumn(
         "_p2", F.pmod(F.xxhash64(F.col(fact_key), F.lit(2)), F.lit(m_bits))
     )
-    b1 = bitmap.select(F.col("word").alias("_w1"), F.col("bits").alias("_b1"))
-    b2 = bitmap.select(F.col("word").alias("_w2"), F.col("bits").alias("_b2"))
+    hit = (
+        "(coalesce(element_at(bm, shiftright({p}, 6)), 0L)"
+        " & shiftleft(1L, int({p} % 64))) != 0"
+    )
     return (
-        f.join(F.broadcast(b1), F.shiftright("_p1", 6) == F.col("_w1"), "left")
-        .join(F.broadcast(b2), F.shiftright("_p2", 6) == F.col("_w2"), "left")
-        .filter(
-            F.expr("_b1 IS NOT NULL AND (_b1 & shiftleft(1L, int(_p1 % 64))) != 0")
-            & F.expr("_b2 IS NOT NULL AND (_b2 & shiftleft(1L, int(_p2 % 64))) != 0")
-        )
-        .drop("_p1", "_p2", "_w1", "_b1", "_w2", "_b2")
+        f.crossJoin(F.broadcast(bm))
+        .filter(F.expr(hit.format(p="_p1")) & F.expr(hit.format(p="_p2")))
+        .drop("_p1", "_p2", "bm")
     )
 
 
@@ -931,12 +940,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the PLAIN join — bloom pruning must be invisible in
     the result (no false negatives; the join removes false
     positives). ``join_bloom_plain`` is the benched flat twin."""
-    o = _urgent_orders(spark, sf_dir).localCheckpoint()
-    bitmap = bloom_bitmap(o, "o_orderkey", 1 << 17).localCheckpoint()
+    o = _urgent_orders(spark, sf_dir)
+    bm = bloom_bitmap_map(o, "o_orderkey", 1 << 17)
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    pruned = bloom_prefilter(li, "l_orderkey", bitmap, 1 << 17)
+    pruned = bloom_prefilter(li, "l_orderkey", bm, 1 << 17)
     joined = pruned.hint("merge").join(
         o.select("o_orderkey", "o_orderdate"),
         pruned.l_orderkey == F.col("o_orderkey"),

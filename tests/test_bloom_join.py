@@ -21,6 +21,7 @@ def test_bloom_prefilter_is_exact_and_selective(spark, sf_dir):
         _t,
         _urgent_orders,
         bloom_bitmap,
+        bloom_bitmap_map,
         bloom_prefilter,
         join_bloom_plain,
         join_bloom_prefilter,
@@ -33,8 +34,9 @@ def test_bloom_prefilter_is_exact_and_selective(spark, sf_dir):
     o = _urgent_orders(spark, sf_dir)
     bitmap = bloom_bitmap(o, "o_orderkey", 1 << 17)
     assert bitmap.count() <= (1 << 17) // 64  # fixed-size summary
+    bm = bloom_bitmap_map(o, "o_orderkey", 1 << 17)
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
-    survivors = bloom_prefilter(li, "l_orderkey", bitmap, 1 << 17)
+    survivors = bloom_prefilter(li, "l_orderkey", bm, 1 << 17)
     n_total = li.count()
     n_surv = survivors.count()
     n_true = li.join(o.select("o_orderkey"),

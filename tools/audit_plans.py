@@ -38,8 +38,7 @@ BROADCAST_ALLOWLIST = {
     ("joins.py", "salts"): "n_salts-row salt table (constant fan-out)",
     ("joins.py", "hot"): "1-row aggregate (hot-key scalar fold)",
     ("joins.py", "dim"): "month dim: 84 rows max (constant calendar table)",
-    ("joins.py", "b1"): "bloom bitmap word table: <= m/64 = 2048 rows by construction",
-    ("joins.py", "b2"): "bloom bitmap word table: <= m/64 = 2048 rows by construction",
+    ("joins.py", "bm"): "1-row bloom bitmap map: <= m/64 = 2048 entries by construction",
     ("relational.py", "s"): "supplier dim (TPC-H dim-side convention)",
     ("relational.py", "c"): "customer dim (TPC-H dim-side convention)",
     ("relational.py", "n"): "nation dim: 25 rows",

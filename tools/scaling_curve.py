@@ -44,6 +44,14 @@ FAMILIES = {
     "join_hot_key_salted": "lineitem",
     "embedding_kmeans": "embeddings",
     "corpus_curation_funnel": "documents",
+    # r6b additions
+    "citation_triangles": "lineitem",
+    "citation_kcore": "lineitem",
+    "basket_brand_pairs": "lineitem",
+    "join_bloom_prefilter": "lineitem",
+    "text_bpe_merges": "documents",
+    "embedding_kcenter_coreset": "embeddings",
+    "multimodal_audio_fp_pairs": "documents",
 }
 
 
