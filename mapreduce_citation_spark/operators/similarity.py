@@ -1360,3 +1360,129 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the argmax sequence, tie-breaks, and radii are all
     hash-gated."""
     return kcenter_select(_emb(spark, sf_dir), 5)
+
+
+# ---------------------------------------------------------------------------
+# Distributed covariance / Gram matrix (Arrow-batched BLAS partials)
+# ---------------------------------------------------------------------------
+
+def embedding_gram_partials(e: DataFrame, scale: int = _KM_SCALE) -> DataFrame:
+    """Per-batch partial sums for the corpus Gram matrix over
+    QUANTIZED embeddings — the canonical distributed linear-algebra
+    plan: each Arrow batch computes its own X^T X with one BLAS call
+    (numpy int64 — vectorized, no per-row python), emitting 2080
+    upper-triangle product sums + 64 linear sums + a count, and the
+    driver-side plan reduces the tiny partials with an ordinary
+    integer aggregate. The corpus never shuffles — only ~2 k-row
+    partial matrices move, whatever the row count.
+
+    Encoding: (i, j, s) with 1-based dims; j = -1 → linear sum of
+    dim i; i = -1 → row count. Quantization (floor(x · 2^20), the
+    k-means convention) makes every partial an exact BIGINT, so the
+    merged sums are order-insensitive and hash-exact. Magnitudes:
+    products ≤ 2^42 · n — BIGINT-safe far past fixture scale; a
+    10^12-row corpus would move the product sums to DECIMAL."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType as _I
+    from pyspark.sql.types import LongType as _L
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    out_schema = _ST([_SF("i", _I()), _SF("j", _I()), _SF("s", _L())])
+
+    def partials(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            G = X.T @ X
+            sx = X.sum(axis=0)
+            d = X.shape[1]
+            rows = [(-1, -1, int(X.shape[0]))]
+            rows += [(i + 1, -1, int(sx[i])) for i in range(d)]
+            rows += [
+                (i + 1, j + 1, int(G[i, j]))
+                for i in range(d)
+                for j in range(i, d)
+            ]
+            yield pd.DataFrame(rows, columns=["i", "j", "s"])
+
+    return (
+        e.select("embedding")
+        .mapInPandas(partials, out_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+
+
+@register(
+    "embedding_covariance",
+    oracle=f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}.0) AS BIGINT)) AS xq
+  FROM embeddings
+),
+pairs AS (
+  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j
+  FROM range(1, 65) t(i), range(1, 65) u(j) WHERE i <= j
+),
+sums AS (
+  SELECT p.i, p.j, CAST(SUM(q.xq[p.i] * q.xq[p.j]) AS BIGINT) AS sxy
+  FROM q, pairs p GROUP BY p.i, p.j
+),
+lin AS (
+  SELECT CAST(i AS INT) AS i, CAST(SUM(q.xq[i]) AS BIGINT) AS sx
+  FROM q, range(1, 65) t(i) GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS c FROM q)
+SELECT s.i, s.j, s.sxy,
+       (CAST(s.sxy AS DOUBLE)
+         - CAST(li.sx AS DOUBLE) * CAST(lj.sx AS DOUBLE) / c) / c AS cov
+FROM sums s
+JOIN lin li ON li.i = s.i
+JOIN lin lj ON lj.i = s.j, n
+""",
+    tags=("similarity", "covariance", "gram", "linear-algebra", "pandas-udf"),
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 64×64 covariance matrix of the embedding corpus (upper
+    triangle, 2080 rows) from the BLAS partial-sum plan
+    (``embedding_gram_partials``) — the statistics a whitening /
+    PCA-projection stage consumes. Covariance assembles from exact
+    integer moments with the ``stats_variance`` closed form (every
+    double input bit-identical across engines); the oracle recomputes
+    the same quantized sums in SQL."""
+    part = embedding_gram_partials(_emb(spark, sf_dir)).localCheckpoint()
+    prod = part.filter((F.col("i") > 0) & (F.col("j") > 0)).select(
+        "i", "j", F.col("s").alias("sxy")
+    )
+    lin = part.filter((F.col("i") > 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("li"), F.col("s").alias("sx")
+    )
+    n = part.filter(F.col("i") == -1).select(F.col("s").alias("c"))
+    li = lin.select(F.col("li").alias("i"), F.col("sx").alias("sx_i"))
+    lj = lin.select(F.col("li").alias("j"), F.col("sx").alias("sx_j"))
+    return (
+        prod.join(li, "i")
+        .join(lj, "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            "sxy",
+            (
+                (
+                    F.col("sxy").cast("double")
+                    - F.col("sx_i").cast("double")
+                    * F.col("sx_j").cast("double")
+                    / F.col("c")
+                )
+                / F.col("c")
+            ).alias("cov"),
+        )
+    )

@@ -112,3 +112,33 @@ def test_kcenter_matches_numpy_replay_and_invariants(spark, sf_dir):
     # coverage: after selecting the 5 (plus init), max remaining
     # distance is <= the last selection radius
     assert mind.max() <= radii[-1]
+
+
+def test_covariance_matches_numpy(spark, sf_dir):
+    """The distributed BLAS-partial covariance equals numpy's full
+    X^T X computed in one shot on the quantized matrix — exact
+    integer sums, and the assembled cov matches np.cov (population,
+    quantized) to double identity."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.similarity import (
+        _KM_SCALE,
+        embedding_covariance,
+    )
+
+    rows = embedding_covariance(spark, sf_dir).collect()
+    assert len(rows) == 64 * 65 // 2
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = np.floor(
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _KM_SCALE
+    ).astype(np.int64)
+    G = X.T @ X
+    sx = X.sum(axis=0)
+    n = len(X)
+    for r in rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        assert i <= j
+        assert r["sxy"] == G[i, j]
+        expect = (float(G[i, j]) - float(sx[i]) * float(sx[j]) / n) / n
+        assert r["cov"] == expect

@@ -49,6 +49,7 @@ BROADCAST_ALLOWLIST = {
     ("relational.py", "avg_bal"): "1-row aggregate (scalar fold)",
     ("similarity.py", "q"): "fixed 10-row query side",
     ("similarity.py", "c0"): "1-row init center (k-center fold)",
+    ("similarity.py", "n"): "1-row aggregate (corpus row-count scalar fold)",
     ("similarity.py", "nxt"): "1-row argmax (farthest-point fold)",
     ("similarity.py", "cent"): "per-label centroids: ≤|labels| rows",
     ("similarity.py", "centroids"): "k-means centroid table: exactly k=8 rows",
