@@ -59,3 +59,99 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     # filters push into the ORC scan just like parquet
     plan = back.filter(back.s_suppkey == 1)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(s_suppkey), EqualTo(s_suppkey,1)]" in plan
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet batches — the lakehouse
+    reality at 100 TB (new columns appear mid-history): batch 1 has
+    (id, a), batch 2 adds c; a mergeSchema read unions the schemas
+    and nulls the missing column in old files, while a plain read
+    with an explicit schema also resolves by NAME, not position."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolve")
+    spark.range(3).select("id", F.lit("x").alias("a")).write.parquet(f"{p}/b1")
+    spark.range(3, 5).select(
+        "id", F.lit("y").alias("a"), F.lit(7).alias("c")
+    ).write.parquet(f"{p}/b2")
+    merged = (
+        spark.read.option("mergeSchema", "true").parquet(f"{p}/b1", f"{p}/b2")
+    )
+    assert set(merged.columns) == {"id", "a", "c"}
+    rows = {r["id"]: (r["a"], r["c"]) for r in merged.collect()}
+    assert rows[0] == ("x", None) and rows[4] == ("y", 7)
+    assert merged.filter(F.col("c").isNull()).count() == 3
+
+
+def test_csv_corrupt_record_policies(spark, tmp_path):
+    """CSV malformed-row handling — the reference's drop/fail/keep
+    policy surface (sources/readers.py edge scan) generalized to the
+    CSV reader: PERMISSIVE keeps rows and surfaces the raw text in
+    the corrupt-record column, DROPMALFORMED silently drops,
+    FAILFAST raises on read."""
+    import pytest
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "bad.csv"
+    p.write_text("1,alpha\n2,beta\nnot_an_int,gamma\n3\n")
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("v", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    perm = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(str(p))
+    rows = perm.collect()
+    assert len(rows) == 4
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    # both the type mismatch AND the short row are malformed (a row
+    # with fewer tokens than the schema is corrupt in Spark CSV)
+    assert {r["_corrupt_record"] for r in bad} == {"not_an_int,gamma", "3"}
+
+    dropped = (
+        spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(str(p))
+    )
+    ks = sorted(r["k"] for r in dropped.collect() if r["k"] is not None)
+    assert ks == [1, 2]
+
+    with pytest.raises(Exception) as ei:
+        spark.read.schema(schema).option("mode", "FAILFAST").csv(str(p)).collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+
+
+def test_json_corrupt_record_policies(spark, tmp_path):
+    """JSON-lines corrupt-record handling: PERMISSIVE surfaces the
+    broken line, DROPMALFORMED drops it, FAILFAST raises — with a
+    typed schema so a type mismatch is also malformed."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"k": 1, "v": "a"}\n{oops}\n{"k": 2, "v": "b"}\n')
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    perm = spark.read.schema(schema).option("mode", "PERMISSIVE").json(str(p))
+    bad = [r for r in perm.collect() if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "{oops}"
+
+    dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED").json(str(p))
+    assert sorted(r["k"] for r in dropped.collect()) == [1, 2]
+
+    with pytest.raises(Exception):
+        spark.read.schema(schema).option("mode", "FAILFAST").json(str(p)).collect()
