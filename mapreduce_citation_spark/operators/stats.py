@@ -258,3 +258,108 @@ def stats_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_users") * 5
         ).alias("merged_est_within_5pct"),
     )
+
+
+@register(
+    "stats_theta_audience_overlap",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+  FROM events WHERE event_type = 'purchase'
+),
+n AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY day),
+i AS (
+  SELECT a.day AS da, b.day AS db, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.day < b.day
+  GROUP BY 1, 2
+)
+SELECT na.day AS day_a, nb.day AS day_b,
+       na.n AS exact_a, nb.n AS exact_b,
+       COALESCE(i.ni, 0) AS exact_intersect,
+       na.n + nb.n - COALESCE(i.ni, 0) AS exact_union,
+       na.n - COALESCE(i.ni, 0) AS exact_only_a,
+       TRUE AS union_within_5pct,
+       TRUE AS intersect_within_5pct,
+       TRUE AS diff_within_5pct
+FROM n na JOIN n nb ON na.day < nb.day
+LEFT JOIN i ON i.da = na.day AND i.db = nb.day
+""",
+    tags=("stats", "sketch", "theta", "set-algebra", "claims"),
+)
+def stats_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap SET ALGEBRA on mergeable Theta sketches — the
+    capability HLL cannot provide: one DataSketches theta sketch per
+    day's purchaser set, then UNION / INTERSECTION / A-NOT-B between
+    any two days computed sketch-to-sketch (``theta_union`` /
+    ``theta_intersection`` / ``theta_difference``), never re-touching
+    raw rows. At 100 TB this is how audience/overlap analytics runs:
+    store one tiny sketch per (segment, day), answer arbitrary set
+    expressions by combining sketches.
+
+    Claims-gated like ``stats_approx``: the exact per-day sizes,
+    pairwise intersections, and derived union/difference sizes come
+    from an exact (day, user) self-join in the same query, and each
+    sketch estimate asserts a 5% bound against its exact counterpart
+    (default lgK=12 theta sketches are exact below 4096 entries, so
+    at fixture cardinality the estimates are exactly integral — the
+    bound is the engine-independent contract, not the reason it
+    passes). The oracle replays the exact columns and asserts the
+    claims as literal TRUE."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    sk = (
+        d.groupBy("day")
+        .agg(
+            F.theta_sketch_agg("user_id").alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint()
+    )
+    a = sk.select(F.col("day").alias("day_a"), F.col("sk").alias("sk_a"),
+                  F.col("n").alias("exact_a"))
+    b = sk.select(F.col("day").alias("day_b"), F.col("sk").alias("sk_b"),
+                  F.col("n").alias("exact_b"))
+    ex = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.day") < F.col("y.day")),
+        )
+        .groupBy(F.col("x.day").alias("day_a"), F.col("y.day").alias("day_b"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    pairs = (
+        a.join(b, F.col("day_a") < F.col("day_b"))
+        .join(ex, ["day_a", "day_b"], "left")
+        .withColumn("exact_intersect", F.coalesce(F.col("ni"), F.lit(0)))
+    )
+
+    def claim(est, exact):
+        return (F.abs(est - exact) * 100 <= exact * 5)
+
+    eu = F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))
+    ei = F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+    ed = F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b"))
+    return pairs.select(
+        "day_a",
+        "day_b",
+        "exact_a",
+        "exact_b",
+        "exact_intersect",
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_intersect")).alias(
+            "exact_union"
+        ),
+        (F.col("exact_a") - F.col("exact_intersect")).alias("exact_only_a"),
+        claim(eu, F.col("exact_a") + F.col("exact_b") - F.col("exact_intersect"))
+        .alias("union_within_5pct"),
+        claim(ei, F.col("exact_intersect")).alias("intersect_within_5pct"),
+        claim(ed, F.col("exact_a") - F.col("exact_intersect")).alias(
+            "diff_within_5pct"
+        ),
+    )

@@ -195,3 +195,30 @@ def test_incremental_agg_merge_equals_full_recompute(spark, sf_dir):
         )
     )
     assert got == full
+
+
+def test_theta_overlap_identities_and_python_replay(spark, sf_dir):
+    """Set-algebra sanity for the theta-sketch overlap: every claim
+    boolean holds; inclusion-exclusion identities hold; and a python
+    set replay over the raw parquet reproduces the exact columns."""
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.stats import (
+        stats_theta_audience_overlap,
+    )
+
+    rows = stats_theta_audience_overlap(spark, sf_dir).collect()
+    assert len(rows) > 0
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_type"])
+    ev = ev[ev["event_type"] == "purchase"]
+    ev["day"] = ev["ts"].dt.floor("D")
+    sets = {d: set(g["user_id"]) for d, g in ev.groupby("day")}
+    for r in rows:
+        A, B = sets[pd.Timestamp(r["day_a"])], sets[pd.Timestamp(r["day_b"])]
+        assert r["exact_a"] == len(A) and r["exact_b"] == len(B)
+        assert r["exact_intersect"] == len(A & B)
+        assert r["exact_union"] == len(A | B)
+        assert r["exact_only_a"] == len(A - B)
+        assert r["union_within_5pct"] and r["intersect_within_5pct"]
+        assert r["diff_within_5pct"]
