@@ -222,3 +222,21 @@ def test_theta_overlap_identities_and_python_replay(spark, sf_dir):
         assert r["exact_only_a"] == len(A - B)
         assert r["union_within_5pct"] and r["intersect_within_5pct"]
         assert r["diff_within_5pct"]
+
+
+def test_kll_merge_median_claims_stable_across_runs(spark, sf_dir):
+    """KLL compaction is randomized, so the gate must emit only
+    stable facts: run the query three times — the exact columns are
+    identical and every claim holds each time (the ±10% rank window
+    is ~6σ for k=200)."""
+    from mapreduce_citation_spark.operators.stats import stats_kll_merge_median
+
+    runs = [
+        sorted(map(tuple, stats_kll_merge_median(spark, sf_dir).collect()))
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    for r in runs[0]:
+        event_type, n_rows, n_days, sketch_n_ok, rank_ok = r
+        assert n_rows > 0 and n_days >= 1
+        assert sketch_n_ok is True and rank_ok is True
