@@ -560,3 +560,102 @@ def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_l").alias("last_ts"),
         )
     )
+
+
+def mg_summaries(keyed: DataFrame, k: int) -> DataFrame:
+    """Per-batch Misra-Gries summaries over ``keyed.k`` — the
+    deterministic heavy-hitter sketch: each Arrow batch keeps at most
+    ``k`` counters (decrement-all on overflow) and emits its surviving
+    candidate keys. The union of summaries is a GUARANTEED superset
+    of every key with global frequency > N/k: a key absent from a
+    batch's summary lost ≤ n_batch/k decrements there, so a key
+    absent from ALL summaries has frequency ≤ Σ n_b/k = N/k —
+    total recall by the deficit bound, no randomness anywhere.
+
+    Each batch also emits one ``(k=-1, n=batch_rows)`` bookkeeping
+    row so the stream total rides the same single pass (construction
+    keys are ≥ 0). Returns raw summary rows (k, n); callers split
+    candidates (k ≥ 0) from the total (k = -1)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType as _L
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    def batches(it):
+        for pdf in it:
+            counters: dict[int, int] = {}
+            for v in pdf["k"]:
+                v = int(v)
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+            yield pd.DataFrame(
+                {"k": list(counters) + [-1],
+                 "n": [0] * len(counters) + [len(pdf)]}
+            )
+
+    return keyed.mapInPandas(batches, _ST([_SF("k", _L()), _SF("n", _L())]))
+
+
+_MG_KEY = (
+    "CASE WHEN event_id % 2 = 0 THEN user_id % 5 "
+    "ELSE user_id + 10000 END"
+)
+
+
+@register(
+    "events_heavy_hitters_mg",
+    oracle=f"""
+WITH keyed AS (SELECT {_MG_KEY} AS k FROM events),
+tot AS (SELECT COUNT(*) AS n FROM keyed),
+c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt FROM keyed GROUP BY k)
+SELECT c.k AS key, c.cnt,
+       CAST(c.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share
+FROM c, tot WHERE c.cnt * 50 > tot.n
+""",
+    tags=("events", "heavy-hitters", "misra-gries", "sketch", "skew"),
+)
+def events_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (frequency > N/50) via the MISRA-GRIES
+    candidate→verify plan: per-batch MG summaries (``mg_summaries``,
+    k=100 counters) produce a provable superset of the true heavy
+    hitters; only the candidates — bounded by k per batch however
+    large the stream — are exactly counted and thresholded. The
+    stream is deterministically SKEWED first (the hot-key torture
+    convention: half the events concentrate on 5 keys, the rest
+    spread over a cold tail) because TPC-H-style fixtures are
+    uniform and a heavy-hitter query needs hitters to find.
+
+    At 100 TB: the full stream is touched exactly twice (sketch pass
+    + candidate-count pass — inherent two-phase, the LSH-verify
+    category), the exact aggregation runs on the candidate SUBSET,
+    and recall is deterministic (the deficit bound), unlike a
+    sampling or CMS approach. Oracle = the plain exact query — the
+    sketch phase must be invisible in the result."""
+    ev = _ev(spark, sf_dir)
+    keyed = ev.select(F.expr(_MG_KEY).alias("k"))
+    summ = mg_summaries(keyed, 100).localCheckpoint()  # bounded: ≤k+1 rows/batch
+    cand = summ.filter(F.col("k") >= 0).select("k").distinct()
+    tot = summ.filter(F.col("k") == -1).agg(F.sum("n").alias("n"))
+    counts = (
+        keyed.join(cand, "k", "semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 50 > F.col("n"))
+        .select(
+            F.col("k").alias("key"),
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias(
+                "share"
+            ),
+        )
+    )

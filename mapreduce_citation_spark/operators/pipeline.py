@@ -497,3 +497,62 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s3, "3_near_dedup"))
         .unionByName(stage(s4, "4_decontaminated"))
     )
+
+
+@register(
+    "corpus_chunk_sliding",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, text, length(text) AS L,
+         CAST(greatest(ceil((length(text) - 128) / 96.0), 0) AS BIGINT) + 1
+           AS n_chunks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+         substr(text, CAST(k * 96 + 1 AS INT), 128) AS chunk
+  FROM p, unnest(range(0, p.n_chunks)) AS t(k)
+)
+SELECT doc_id, chunk_idx, chunk,
+       CAST(length(chunk) AS INT) AS chunk_len,
+       md5(chunk) AS chunk_md5
+FROM chunks
+""",
+    tags=("pipeline", "chunking", "context-window", "llm"),
+)
+def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window CHUNKING with overlap — the pre-tokenization
+    step that slices each document into windows of 128 chars with
+    stride 96 (32-char overlap so no boundary context is lost), the
+    standard prep for fixed-context training and for chunk-level
+    embedding indexes. Chunk count per doc = ceil((L−128)/96)+1
+    (one final short chunk covers the tail; docs shorter than a
+    window produce exactly one chunk).
+
+    Pure map-side 1→N explosion (``sequence`` + ``explode``) — no
+    shuffle at all: at 100 TB each task chunks its own rows and the
+    output is written straight back out. ASCII fixture text makes
+    byte and char windows identical on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.expr(
+        "CAST(greatest(ceil((length(text) - 128) / 96.0), 0) AS BIGINT) + 1"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("int").alias("chunk_idx"),
+            F.expr("substr(text, CAST(k * 96 + 1 AS INT), 128)").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk",
+            F.length("chunk").cast("int").alias("chunk_len"),
+            F.md5(F.encode("chunk", "UTF-8")).alias("chunk_md5"),
+        )
+    )

@@ -1027,3 +1027,35 @@ def test_bpe_merges_match_classic_python_bpe(spark):
     # (4 per "aaaa" word would be overlap-counting; classic BPE counts
     # adjacent pairs in the symbol list, i.e. 3 per "aaaa")
     assert got[0][1:3] == ("a", "a")
+
+
+def test_chunking_reconstructs_documents(spark, sf_dir):
+    """Chunking invariants: chunk 0 starts at position 0; successive
+    chunks overlap by exactly 32 chars; concatenating each chunk's
+    fresh tail (stride prefix) rebuilds the document exactly; every
+    char of every doc is covered."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.pipeline import corpus_chunk_sliding
+
+    rows = corpus_chunk_sliding(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    text = dict(zip(docs["doc_id"], docs["text"]))
+    by_doc = defaultdict(dict)
+    for r in rows:
+        by_doc[r["doc_id"]][r["chunk_idx"]] = r["chunk"]
+    assert set(by_doc) == set(text)
+    for doc_id, chunks in by_doc.items():
+        t = text[doc_id]
+        n = len(chunks)
+        assert sorted(chunks) == list(range(n))
+        rebuilt = chunks[0]
+        for k in range(1, n):
+            assert chunks[k][:32] == rebuilt[-32:]  # overlap preserved
+            rebuilt += chunks[k][32:]
+        assert rebuilt == t
+        if n > 1:
+            assert len(chunks[n - 2]) == 128  # only the last may be short

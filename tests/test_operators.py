@@ -435,3 +435,47 @@ def test_scd2_history_reconstructs_event_stream(spark, sf_dir):
                 candidates.add(h["state"].iloc[j])
                 j += 1
             assert e["event_type"] in candidates
+
+
+def test_mg_heavy_hitters_recall_and_exactness(spark, sf_dir):
+    """Misra-Gries guarantees: (1) on an adversarially partitioned
+    stream with tiny k, the union of batch summaries still contains
+    every key with global frequency > N/k (the deficit bound); (2)
+    the registered query's verified output equals the exact truth
+    computed in pandas."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.events import (
+        _MG_KEY,
+        events_heavy_hitters_mg,
+        mg_summaries,
+    )
+
+    # (1) one moderately-heavy key diluted across partitions so it is
+    # never locally dominant, plus per-partition-heavy noise keys
+    rows = []
+    for p in range(8):
+        rows += [(p * 1000 + i % 3,) for i in range(60)]  # local noise
+        rows += [(777,) for _ in range(12)]  # global hitter, spread thin
+    df = spark.createDataFrame(rows, ["k"]).repartition(8)
+    n = len(rows)
+    summ = mg_summaries(df, 4)
+    cand = {r["k"] for r in summ.filter(F.col("k") >= 0).collect()}
+    counts = pd.Series([k for (k,) in rows]).value_counts()
+    for key, cnt in counts.items():
+        if cnt * 4 > n:
+            assert key in cand, f"heavy key {key} missing from summaries"
+
+    # (2) registered query == pandas exact truth
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+    keyed = ev.apply(
+        lambda r: r["user_id"] % 5 if r["event_id"] % 2 == 0
+        else r["user_id"] + 10000, axis=1)
+    vc = keyed.value_counts()
+    total = len(keyed)
+    want = {int(k): int(c) for k, c in vc.items() if c * 50 > total}
+    got = {r["key"]: r["cnt"] for r in events_heavy_hitters_mg(spark, sf_dir).collect()}
+    assert got == want and len(got) >= 5  # the 5 hot keys always qualify
