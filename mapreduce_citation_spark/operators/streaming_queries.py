@@ -714,3 +714,124 @@ def streaming_quality_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") == 1)
         .select("source", "n_docs", "n_keep")
     )
+
+
+#: Multi-file event staging for the incremental-MV family: fixture →
+#: 4 parquet chunks so maxFilesPerTrigger=1 yields REAL multi-batch
+#: ingestion (one shared staging per source realpath per process).
+_MV_STAGE: dict[str, str] = {}
+
+
+def _staged_event_chunks(spark: SparkSession, sf_dir: str) -> str:
+    from ..sources.readers import load_table
+
+    key = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    if key not in _MV_STAGE:
+        d = tempfile.mkdtemp(prefix="mv_chunks_")
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(4, "event_id")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _MV_STAGE[key] = d
+    return _MV_STAGE[key]
+
+
+@register(
+    "streaming_incremental_mv",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming", "foreachBatch", "materialized-view", "incremental"),
+)
+def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE incremental MATERIALIZED-VIEW maintenance — the eleventh
+    streaming family, and the streaming twin of
+    ``events_incremental_agg_merge`` (same oracle): a foreachBatch
+    sink folds each micro-batch's per-user partial aggregate into a
+    VERSIONED parquet state table (read snapshot v_{i-1} → monoid
+    merge → write snapshot v_i; snapshots sidestep the
+    read-while-overwrite hazard and give time travel for free). The
+    fixture is staged as four files with ``maxFilesPerTrigger=1``, so
+    the merge really runs across multiple micro-batches, and the
+    final snapshot must equal the one-shot batch aggregate — the
+    count/decimal-sum/min/max monoid guarantees it regardless of how
+    rows split across batches.
+
+    At 100 TB this is the standing-state pattern: each day's delta
+    merges into per-key state instead of re-scanning history, with
+    state size O(keys), not O(events)."""
+    chunks = _staged_event_chunks(spark, sf_dir)
+    schema = spark.read.parquet(chunks).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    state_root = tempfile.mkdtemp(prefix="mv_state_")
+    merge, latest = make_mv_merge(state_root)
+    q = stream.writeStream.foreachBatch(merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    top = latest()
+    assert top >= 1, "expected multi-batch incremental ingestion"
+    return spark.read.parquet(os.path.join(state_root, f"v{top}")).select(
+        "user_id",
+        F.col("_n").alias("n_events"),
+        F.expr("CAST(_sv AS DOUBLE)").alias("total_value"),
+        F.col("_f").alias("first_ts"),
+        F.col("_l").alias("last_ts"),
+    )
+
+
+def make_mv_merge(state_root: str):
+    """The incremental-MV foreachBatch merge, factored for testing:
+    snapshot v_e derives ONLY from snapshot v_{e-1} plus batch e, so
+    a REPLAYED epoch (crash between state write and source-offset
+    commit) rewrites v_e deterministically instead of double-counting
+    — the same idempotence contract as the epoch-keyed parquet sink.
+    Returns ``(merge, latest)`` where latest() is the highest epoch
+    written."""
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))")
+            .alias("_sv"),
+            F.min("ts").alias("_f"),
+            F.max("ts").alias("_l"),
+        )
+
+    def merge(bdf: DataFrame, epoch_id: int) -> None:
+        s = bdf.sparkSession
+        part = partial(bdf)
+        if epoch_id > 0:
+            cur = s.read.parquet(os.path.join(state_root, f"v{epoch_id - 1}"))
+            part = (
+                cur.unionByName(part)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("_n").cast("long").alias("_n"),
+                    F.expr("CAST(SUM(_sv) AS DECIMAL(38,2))").alias("_sv"),
+                    F.min("_f").alias("_f"),
+                    F.max("_l").alias("_l"),
+                )
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{epoch_id}")
+        )
+
+    def latest() -> int:
+        vs = [int(d[1:]) for d in os.listdir(state_root) if d.startswith("v")]
+        return max(vs) if vs else -1
+
+    return merge, latest

@@ -911,3 +911,58 @@ def test_exactly_once_under_midbatch_task_retry(spark, stream_dir, tmp_path):
     ]
     assert got["n"] == got["n_distinct"] == len(want_ids)
     assert got["ids_sum"] == sum(want_ids)
+
+
+def test_incremental_mv_replay_idempotent(spark, sf_dir, tmp_path):
+    """The MV merge's crash contract: replaying an epoch (crash
+    between state write and offset commit) must rewrite its snapshot
+    deterministically, not double-count. Apply batch 0, batch 1,
+    then batch 1 AGAIN; the final snapshot must equal the one-shot
+    aggregate of both batches."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.streaming_queries import (
+        make_mv_merge,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    root = str(tmp_path / "mv")
+    import os as _os
+
+    _os.makedirs(root)
+    merge, latest = make_mv_merge(root)
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b1, 1)  # replayed epoch
+    assert latest() == 1
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{root}/v1")
+            .select(
+                "user_id", "_n",
+                F.expr("CAST(_sv AS DOUBLE)").alias("sv"), "_f", "_l",
+            )
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_n"),
+                F.expr(
+                    "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))"
+                    " AS DECIMAL(38,2)) AS DOUBLE)"
+                ).alias("sv"),
+                F.min("ts").alias("_f"),
+                F.max("ts").alias("_l"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
