@@ -440,3 +440,60 @@ def stats_kll_merge_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_le") * 10 >= F.col("n_rows") * 4)
         ).alias("median_rank_ok"),
     )
+
+
+@register(
+    "stats_winsorized_value",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p5,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+),
+w AS (
+  SELECT e.event_type,
+         CAST(e.value AS DECIMAL(18,2)) AS v,
+         CAST(LEAST(GREATEST(e.value, b.p5), b.p95) AS DECIMAL(18,2)) AS wv
+  FROM events e JOIN b ON e.event_type = b.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_raw,
+       CAST(SUM(wv) AS DOUBLE) / COUNT(*) AS mean_winsorized,
+       CAST(SUM(CASE WHEN v <> wv THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+FROM w GROUP BY event_type
+""",
+    tags=("stats", "robust", "winsorize", "outliers"),
+)
+def stats_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics via WINSORIZATION: per-type p5/p95 bounds
+    (exact interpolated percentiles — Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``), values clamped into [p5, p95], and the raw vs
+    winsorized means side by side with the clamp count — the
+    outlier-capping stage a feature pipeline runs before training
+    statistics. Two inherent passes (bounds are ABOUT pass 1's
+    distribution); the 5-row bounds table broadcasts. Means divide
+    DECIMAL-exact sums cast to double by exact counts — bit-stable.
+    The clamped value is re-quantized to DECIMAL(18,2) BEFORE summing
+    on both engines, so boundary values entering the sum are
+    identical bit patterns."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p5"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    w = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.expr("CAST(value AS DECIMAL(18,2))").alias("v"),
+        F.expr(
+            "CAST(LEAST(GREATEST(value, p5), p95) AS DECIMAL(18,2))"
+        ).alias("wv"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(v) AS DOUBLE) / COUNT(*)").alias("mean_raw"),
+        F.expr("CAST(SUM(wv) AS DOUBLE) / COUNT(*)").alias("mean_winsorized"),
+        F.expr("CAST(SUM(CASE WHEN v <> wv THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("n_clamped"),
+    )

@@ -240,3 +240,24 @@ def test_kll_merge_median_claims_stable_across_runs(spark, sf_dir):
         event_type, n_rows, n_days, sketch_n_ok, rank_ok = r
         assert n_rows > 0 and n_days >= 1
         assert sketch_n_ok is True and rank_ok is True
+
+
+def test_winsorized_means_pull_inward(spark, sf_dir):
+    """Winsorization sanity: clamp count is positive but bounded by
+    ~10% of rows (p5/p95 caps), the winsorized mean lies within the
+    clamp bounds, and a pandas replay reproduces the clamp count."""
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.stats import stats_winsorized_value
+
+    rows = stats_winsorized_value(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    for r in rows:
+        g = ev[ev["event_type"] == r["event_type"]]["value"]
+        p5, p95 = g.quantile(0.05), g.quantile(0.95)
+        n_clamped = int(((g < p5) | (g > p95)).sum())
+        assert r["n"] == len(g)
+        assert r["n_clamped"] == n_clamped
+        assert 0 < n_clamped <= len(g) * 0.11
+        assert p5 <= r["mean_winsorized"] <= p95

@@ -69,6 +69,7 @@ BROADCAST_ALLOWLIST = {
     ("pipeline.py", "tot"): "1-row aggregate (mixture normalizer fold)",
     ("stats.py", 'sketches.select("l_returnflag", "_amed")'):
         "per-group sketch table: ≤|l_returnflag| = 3 rows",
+    ("stats.py", "b"): "per-type percentile-bounds table: ≤|event_type| = 5 rows",
     ("stats.py", 'merged.select("event_type", "_med")'):
         "per-type merged-sketch table: ≤|event_type| = 5 rows",
 }
