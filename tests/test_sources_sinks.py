@@ -155,3 +155,51 @@ def test_json_corrupt_record_policies(spark, tmp_path):
 
     with pytest.raises(Exception):
         spark.read.schema(schema).option("mode", "FAILFAST").json(str(p)).collect()
+
+
+def test_edgelist_datasource_range_splits_exact(spark, tmp_path):
+    """Custom python DataSource (byte-range line splitting): on an
+    adversarial file — comments, blanks, malformed rows, line lengths
+    chosen so range boundaries cut mid-line and at line starts — the
+    connector must return exactly what the declarative text reader
+    returns, for EVERY split count, and must actually plan multiple
+    partitions."""
+    from mapreduce_citation_spark.sources.edgelist_datasource import (
+        register_edgelist_source,
+    )
+    from mapreduce_citation_spark.sources.readers import read_edges_text
+
+    register_edgelist_source(spark)
+    lines = []
+    for i in range(200):
+        if i % 13 == 0:
+            lines.append(f"# comment {i}")
+        elif i % 17 == 0:
+            lines.append("")
+        elif i % 19 == 0:
+            lines.append(f"malformed_{i}")  # one field → dropped
+        else:
+            lines.append(f"p{i}\tq{i % 23}{'x' * (i % 5)}")
+    p = tmp_path / "edges.txt"
+    p.write_text("\n".join(lines) + "\n")
+
+    want = sorted(
+        map(tuple, read_edges_text(spark, str(p), malformed="drop").collect())
+    )
+    assert len(want) > 150
+    for splits in (1, 3, 8, 64):
+        df = (
+            spark.read.format("edgelist")
+            .option("path", str(p))
+            .option("splits", str(splits))
+            .load()
+        )
+        got = sorted(map(tuple, df.collect()))
+        assert got == want, f"splits={splits} diverged"
+    many = (
+        spark.read.format("edgelist")
+        .option("path", str(p))
+        .option("splits", "8")
+        .load()
+    )
+    assert many.rdd.getNumPartitions() == 8
