@@ -149,3 +149,42 @@ def citation_counts_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("to_paper").alias("paper_id")).agg(
         F.count(F.lit(1)).alias("citations")
     )
+
+
+@register(
+    "citation_counts_roundtrip_sink",
+    oracle=_EDGES_CTE
+    + """
+SELECT to_paper AS paper_id, COUNT(*) AS citations
+FROM edges GROUP BY to_paper
+""",
+    tags=("citation", "datasource", "connector", "custom-sink"),
+)
+def citation_counts_roundtrip_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full custom-connector ROUND TRIP: edges written through the
+    ``edgelist`` WRITER (two-phase task-temp → driver-rename commit,
+    ``sources/edgelist_datasource.py:EdgeListWriter``), read back
+    through the byte-range READER, aggregated — the whole
+    source-and-sink surface of the connector must be invisible in
+    the result (same oracle as ``citation_counts``)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..citations import edges_from_orders
+    from ..sources.edgelist_datasource import register_edgelist_source
+
+    register_edgelist_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="edges_sink_"), "edges")
+    edges = edges_from_orders(load_table(spark, sf_dir, "orders"))
+    edges.write.format("edgelist").option("path", out).mode("append").save()
+    back = (
+        spark.read.format("edgelist")
+        .option("path", out)
+        .option("splits", "4")
+        .load()
+    )
+    return back.groupBy(F.col("to_paper").alias("paper_id")).agg(
+        F.count(F.lit(1)).alias("citations")
+    )

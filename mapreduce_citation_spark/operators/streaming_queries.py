@@ -835,3 +835,66 @@ def make_mv_merge(state_root: str):
         return max(vs) if vs else -1
 
     return merge, latest
+
+
+@register(
+    "streaming_edgelist_counts",
+    oracle="""
+WITH edges AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS from_paper,
+         CAST(o_custkey  AS VARCHAR) AS to_paper
+  FROM orders
+)
+SELECT to_paper AS paper_id, COUNT(*) AS citations
+FROM edges GROUP BY to_paper
+""",
+    tags=("streaming", "datasource", "custom-source", "connector"),
+)
+def streaming_edgelist_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STREAMING SOURCE (twelfth live family): the citation
+    edge list streamed through the ``edgelist`` python DataSource's
+    SimpleDataSourceStreamReader — offsets are raw line indices, so
+    micro-batch boundaries are deterministic and committed batches
+    replay bit-identically (``readBetweenOffsets``). batchLines
+    forces multiple real micro-batches over the staged file; the
+    complete-mode count after draining must equal the batch
+    aggregate — same oracle as ``citation_counts``."""
+    from ..operators.citation_queries import _staged_edge_file
+    from ..sources.edgelist_datasource import register_edgelist_source
+
+    register_edgelist_source(spark)
+    staged_dir = _staged_edge_file(spark, sf_dir)
+    # the stream reader wants one concrete file, not a directory
+    files = sorted(
+        f for f in os.listdir(staged_dir)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    # consolidate multi-part staging into one file once per process
+    single = os.path.join(staged_dir, "_single.txt")
+    if not os.path.exists(single):
+        with open(single + ".tmp", "wb") as out:
+            for f in files:
+                with open(os.path.join(staged_dir, f), "rb") as src:
+                    out.write(src.read())
+        os.rename(single + ".tmp", single)
+    stream = (
+        spark.readStream.format("edgelist")
+        .option("path", single)
+        .option("batchLines", "4000")
+        .load()
+    )
+    counts = stream.groupBy(F.col("to_paper").alias("paper_id")).agg(
+        F.count(F.lit(1)).alias("citations")
+    )
+    name = f"streaming_edgelist_counts_{next(_SINK_COUNTER)}"
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -24,7 +24,16 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
 
 
 class EdgeRangePartition(InputPartition):
@@ -100,6 +109,12 @@ class EdgeListDataSource(DataSource):
     def reader(self, schema) -> EdgeListReader:
         return EdgeListReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return EdgeListSimpleStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return EdgeListWriter(self.options, overwrite)
+
 
 def register_edgelist_source(spark) -> None:
     """Idempotently register the ``edgelist`` format on a session."""
@@ -108,3 +123,114 @@ def register_edgelist_source(spark) -> None:
     except Exception as e:  # already registered in this session
         if "already" not in str(e).lower():
             raise
+
+
+def _parse_edge_line(raw: bytes, sep: str, comment: str):
+    line = raw.decode("utf-8", errors="replace").strip()
+    if not line or line.startswith(comment):
+        return None
+    fields = line.split(sep)
+    if len(fields) != 2 or not fields[0] or not fields[1]:
+        return None
+    return (fields[0], fields[1])
+
+
+class EdgeListSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Custom STREAMING source over the same format: the offset is a
+    raw line index into the (append-only) file, so micro-batch
+    boundaries are deterministic and ``readBetweenOffsets`` replays
+    any committed batch bit-identically after a restart — the
+    exactly-once contract Spark requires of a streaming source.
+    Comments/malformed rows still count toward the offset (they are
+    positions, not rows), so filtering cannot shift replay
+    boundaries."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path or os.path.isdir(self.path):
+            raise ValueError("edgelist stream requires a single file path")
+        self.sep = options.get("sep", "\t")
+        self.comment = options.get("comment", "#")
+        self.batch_lines = int(options.get("batchLines", "4000"))
+
+    def initialOffset(self) -> dict:
+        return {"line": 0}
+
+    def _read_lines(self, start_line: int, max_lines: int):
+        rows, n = [], 0
+        with open(self.path, "rb") as f:
+            for i, raw in enumerate(f):
+                if i < start_line:
+                    continue
+                if n >= max_lines:
+                    break
+                n += 1
+                parsed = _parse_edge_line(raw, self.sep, self.comment)
+                if parsed is not None:
+                    rows.append(parsed)
+        return rows, start_line + n
+
+    def read(self, start: dict):
+        rows, end_line = self._read_lines(start["line"], self.batch_lines)
+        return iter(rows), {"line": end_line}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._read_lines(start["line"], end["line"] - start["line"])
+        return iter(rows)
+
+
+@dataclass
+class EdgeListCommitMessage(WriterCommitMessage):
+    tmp_path: str
+
+
+class EdgeListWriter(DataSourceWriter):
+    """Custom SINK with the standard two-phase commit: each task
+    writes its rows to a uniquely-named temp file (attempt-private —
+    a failed/speculative attempt leaves only garbage temp files,
+    never partial visible output), and the driver-side ``commit``
+    renames every temp file into place atomically-enough for a
+    directory listing; ``abort`` removes the temps. Overwrite clears
+    prior committed parts at commit time, after the new parts are
+    complete."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("edgelist sink requires a path")
+        self.sep = options.get("sep", "\t")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(f"{row[0]}{self.sep}{row[1]}\n")
+        return EdgeListCommitMessage(tmp_path=tmp)
+
+    def commit(self, messages):
+        import uuid
+
+        # a per-commit token keeps names unique across commits, so
+        # append never collides with earlier parts and overwrite can
+        # safely delete exactly the pre-existing ones
+        token = uuid.uuid4().hex[:8]
+        old = [
+            f for f in os.listdir(self.path)
+            if f.startswith("part-") and self.overwrite
+        ]
+        for i, m in enumerate(messages):
+            os.rename(
+                m.tmp_path,
+                os.path.join(self.path, f"part-{token}-{i:05d}.txt"),
+            )
+        for f in old:
+            os.remove(os.path.join(self.path, f))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

@@ -203,3 +203,97 @@ def test_edgelist_datasource_range_splits_exact(spark, tmp_path):
         .load()
     )
     assert many.rdd.getNumPartitions() == 8
+
+
+def test_edgelist_stream_source_multibatch_and_replay(spark, tmp_path):
+    """The custom streaming source: tiny batchLines forces many
+    micro-batches; the drained complete-mode aggregate equals the
+    batch read; and readBetweenOffsets replays an arbitrary committed
+    range bit-identically (the restart contract)."""
+    from mapreduce_citation_spark.sources.edgelist_datasource import (
+        EdgeListSimpleStreamReader,
+        register_edgelist_source,
+    )
+
+    register_edgelist_source(spark)
+    p = tmp_path / "stream_edges.txt"
+    lines = []
+    for i in range(997):
+        if i % 31 == 0:
+            lines.append(f"# c{i}")
+        else:
+            lines.append(f"s{i % 7}\td{i % 13}")
+    p.write_text("\n".join(lines) + "\n")
+
+    stream = (
+        spark.readStream.format("edgelist")
+        .option("path", str(p))
+        .option("batchLines", "100")
+        .load()
+    )
+    name = "edgelist_stream_test_sink"
+    q = (
+        stream.groupBy("from_paper", "to_paper")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = q.lastProgress["batchId"] + 1
+    finally:
+        q.stop()
+    assert n_batches >= 9  # 997 lines / 100 per batch
+    got = sorted(map(tuple, spark.table(name).collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.format("edgelist").option("path", str(p)).load()
+            .groupBy("from_paper", "to_paper").count().collect(),
+        )
+    )
+    assert got == want
+
+    r = EdgeListSimpleStreamReader(
+        {"path": str(p), "batchLines": "100"}
+    )
+    it1, end = r.read({"line": 150})
+    replay = list(r.readBetweenOffsets({"line": 150}, end))
+    assert list(it1) == replay and end == {"line": 250}
+
+
+def test_edgelist_writer_commit_overwrite_append(spark, tmp_path):
+    """Writer commit protocol: no temp files survive a commit;
+    append doubles the data; overwrite replaces it exactly even when
+    old and new part names collide."""
+    import os
+
+    from mapreduce_citation_spark.sources.edgelist_datasource import (
+        register_edgelist_source,
+    )
+
+    register_edgelist_source(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(f"a{i}", f"b{i % 3}") for i in range(100)],
+        ["from_paper", "to_paper"],
+    )
+    df.write.format("edgelist").option("path", out).mode("append").save()
+    names1 = sorted(os.listdir(out))
+    assert all(n.startswith("part-") for n in names1)
+    back1 = spark.read.format("edgelist").option("path", out).load()
+    assert back1.count() == 100
+
+    df.write.format("edgelist").option("path", out).mode("append").save()
+    assert (
+        spark.read.format("edgelist").option("path", out).load().count() == 200
+    )
+
+    df.limit(40).write.format("edgelist").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back3 = spark.read.format("edgelist").option("path", out).load()
+    assert back3.count() == 40
+    assert all(n.startswith("part-") for n in os.listdir(out))
