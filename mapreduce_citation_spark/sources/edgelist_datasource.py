@@ -30,8 +30,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -51,6 +53,36 @@ class EdgeListReader(DataSourceReader):
         self.sep = options.get("sep", "\t")
         self.comment = options.get("comment", "#")
         self.splits = int(options.get("splits", "8"))
+        self.pushed = []  # (col_idx, kind, value) applied during scan
+
+    def pushFilters(self, filters):
+        """FILTER PUSHDOWN into the connector: EqualTo and
+        StringStartsWith on either edge column evaluate inside the
+        scan loop, so pruned rows never cross the python↔JVM Arrow
+        boundary — the connector-level form of the predicate-pushdown
+        requirement the repo pins for parquet/ORC scans. Pushed
+        filters are still returned-as-handled ONLY when fully
+        evaluable per-row here (AND semantics); anything else stays
+        with Spark."""
+        cols = {("from_paper",): 0, ("to_paper",): 1}
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute in cols and isinstance(
+                f.value, str
+            ):
+                self.pushed.append((cols[f.attribute], "eq", f.value))
+            elif isinstance(f, StringStartsWith) and f.attribute in cols:
+                self.pushed.append((cols[f.attribute], "prefix", f.value))
+            else:
+                yield f
+
+    def _keep(self, row) -> bool:
+        for idx, kind, val in self.pushed:
+            v = row[idx]
+            if kind == "eq" and v != val:
+                return False
+            if kind == "prefix" and not v.startswith(val):
+                return False
+        return True
 
     def _files(self) -> list[str]:
         if os.path.isdir(self.path):
@@ -95,7 +127,9 @@ class EdgeListReader(DataSourceReader):
                 fields = line.split(sep)
                 if len(fields) != 2 or not fields[0] or not fields[1]:
                     continue  # malformed="drop" (reference mapper.py:74-80)
-                yield (fields[0], fields[1])
+                row = (fields[0], fields[1])
+                if self._keep(row):
+                    yield row
 
 
 class EdgeListDataSource(DataSource):
@@ -117,7 +151,10 @@ class EdgeListDataSource(DataSource):
 
 
 def register_edgelist_source(spark) -> None:
-    """Idempotently register the ``edgelist`` format on a session."""
+    """Idempotently register the ``edgelist`` format on a session,
+    enabling python-source filter pushdown (off by default in Spark
+    4.1; only python data sources are affected by the flag)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(EdgeListDataSource)
     except Exception as e:  # already registered in this session

@@ -297,3 +297,47 @@ def test_edgelist_writer_commit_overwrite_append(spark, tmp_path):
     back3 = spark.read.format("edgelist").option("path", out).load()
     assert back3.count() == 40
     assert all(n.startswith("part-") for n in os.listdir(out))
+
+
+def test_edgelist_reader_filter_pushdown(spark, tmp_path):
+    """Connector filter pushdown: EqualTo / StartsWith filters reach
+    the python reader (plan's PushedFilters), rows are pruned inside
+    the scan, and results equal the unpushed read + filter."""
+    from mapreduce_citation_spark.sources.edgelist_datasource import (
+        EqualTo,
+        EdgeListReader,
+        StringStartsWith,
+        register_edgelist_source,
+    )
+
+    register_edgelist_source(spark)
+    p = tmp_path / "f_edges.txt"
+    p.write_text("".join(f"k{i % 10}\tv{i % 4}\n" for i in range(400)))
+
+    # unit: reader consumes supported filters, yields back the rest
+    r = EdgeListReader({"path": str(p)})
+    leftover = list(
+        r.pushFilters(
+            [EqualTo(("from_paper",), "k3"), StringStartsWith(("to_paper",), "v")]
+        )
+    )
+    assert leftover == [] and len(r.pushed) == 2
+    rows = [row for part in r.partitions() for row in r.read(part)]
+    assert rows and all(a == "k3" and b.startswith("v") for a, b in rows)
+
+    # end to end: after pushdown the Spark-side Filter keeps only
+    # isnotnull residuals — the equality predicates moved into the
+    # python scan (python BatchScan doesn't render a PushedFilters
+    # field; their absence from the Filter node is the evidence)
+    df = spark.read.format("edgelist").option("path", str(p)).load()
+    q = df.filter((df.from_paper == "k3") & (df.to_paper == "v1"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan edgelist" in plan
+    assert "= k3" not in plan and "= v1" not in plan
+    got = sorted(map(tuple, q.collect()))
+    want = sorted(
+        (f"k{i % 10}", f"v{i % 4}")
+        for i in range(400)
+        if i % 10 == 3 and i % 4 == 1
+    )
+    assert got == want
