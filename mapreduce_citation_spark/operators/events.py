@@ -659,3 +659,76 @@ def events_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_daily_trend",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       (COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+       / (COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS slope,
+       (CAST(SUM(y) AS DOUBLE)
+         - ((COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+            / (COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+               - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)))
+           * CAST(SUM(x) AS DOUBLE)) / COUNT(*) AS intercept,
+       (COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+       * (COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+       / ((COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+           - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+          * (COUNT(*) * CAST(SUM(y * y) AS DOUBLE)
+             - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))) AS r2
+FROM d GROUP BY event_type
+""",
+    tags=("events", "trend", "regression", "timeseries"),
+)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type activity TREND: ordinary least squares over the daily
+    event counts (x = day index from the fixture epoch, y = count),
+    in closed form from integer moment sums — slope, intercept, and
+    r² per event type, the drift-detection statistic a monitoring
+    pipeline computes over rolling windows. Every double input is an
+    exact BIGINT sum (the ``stats_variance`` strategy), so the
+    arithmetic is bit-stable across engines; at 100 TB the daily
+    pre-aggregate is the only corpus-wide shuffle and the regression
+    itself runs on |types|×|days| rows."""
+    ev = _ev(spark, sf_dir)
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            ).cast("long").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    sxy = "CAST(SUM(x * y) AS DOUBLE)"
+    sx = "CAST(SUM(x) AS DOUBLE)"
+    sy = "CAST(SUM(y) AS DOUBLE)"
+    sxx = "CAST(SUM(x * x) AS DOUBLE)"
+    syy = "CAST(SUM(y * y) AS DOUBLE)"
+    num = f"(COUNT(*) * {sxy} - {sx} * {sy})"
+    den = f"(COUNT(*) * {sxx} - {sx} * {sx})"
+    slope = f"{num} / {den}"
+    return d.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_days"),
+        F.expr(slope).alias("slope"),
+        F.expr(f"({sy} - ({slope}) * {sx}) / COUNT(*)").alias("intercept"),
+        F.expr(
+            f"{num} * {num} / ({den} * (COUNT(*) * {syy} - {sy} * {sy}))"
+        ).alias("r2"),
+    )

@@ -479,3 +479,27 @@ def test_mg_heavy_hitters_recall_and_exactness(spark, sf_dir):
     want = {int(k): int(c) for k, c in vc.items() if c * 50 > total}
     got = {r["key"]: r["cnt"] for r in events_heavy_hitters_mg(spark, sf_dir).collect()}
     assert got == want and len(got) >= 5  # the 5 hot keys always qualify
+
+
+def test_daily_trend_matches_numpy_ols(spark, sf_dir):
+    """The closed-form OLS equals numpy's polyfit/corrcoef on the
+    same daily counts (to float tolerance), and r² lies in [0, 1]."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pt
+
+    from mapreduce_citation_spark.operators.events import events_daily_trend
+
+    rows = events_daily_trend(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    ev["x"] = (ev["ts"].dt.floor("D") - pd.Timestamp("2024-01-01")).dt.days
+    for r in rows:
+        g = ev[ev["event_type"] == r["event_type"]].groupby("x").size()
+        x, y = g.index.to_numpy(float), g.to_numpy(float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert r["n_days"] == len(x)
+        assert r["slope"] == _pt.approx(slope, rel=1e-9)
+        assert r["intercept"] == _pt.approx(intercept, rel=1e-9)
+        assert r["r2"] == _pt.approx(np.corrcoef(x, y)[0, 1] ** 2, rel=1e-9)
+        assert 0.0 <= r["r2"] <= 1.0
