@@ -1300,3 +1300,47 @@ def segment_interorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_gap_days"),
         F.expr("percentile(gap_days, 0.5)").alias("median_gap_days"),
     )
+
+
+#: One ANSI-SQL string that BOTH engines execute verbatim — the
+#: dialect-portable subset (CTEs, joins, windows, decimal-exact
+#: aggregation, no engine-specific functions). The Spark side runs
+#: THIS string through spark.sql; the oracle IS the same string.
+_PORTABLE_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+  FROM orders
+  GROUP BY o_custkey
+),
+seg AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(p.n_orders) AS BIGINT) AS total_orders,
+         CAST(SUM(p.spend) AS DOUBLE) AS total_spend
+  FROM per_cust p
+  JOIN customer c ON c.c_custkey = p.cust
+  GROUP BY c.c_mktsegment
+)
+SELECT segment, n_customers, total_orders, total_spend,
+       CAST(RANK() OVER (ORDER BY total_spend DESC) AS INT) AS spend_rank
+FROM seg
+"""
+
+
+@register(
+    "sql_dialect_portable",
+    oracle=_PORTABLE_SQL,
+    tags=("sql", "portability", "ansi"),
+)
+def sql_dialect_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API parity + PORTABILITY: the exact oracle string runs
+    through ``spark.sql`` over temp views — zero dialect translation,
+    so this entry pins the engine's ANSI-subset compatibility (CTEs,
+    join, window rank, decimal-exact aggregation) rather than a
+    DataFrame rewrite of it. A user bringing plain ANSI SQL to this
+    engine runs it unchanged."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_PORTABLE_SQL)

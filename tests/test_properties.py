@@ -381,3 +381,21 @@ def test_gap_fill_matches_pandas_reference(spark, events):
         for r in rows
     }
     assert got == want
+
+
+def test_sql_dialect_portable_is_verbatim(spark, sf_dir):
+    """The portability contract: the registered oracle string and the
+    SQL Spark executes are THE SAME object (no dialect divergence can
+    creep in), and the query returns ranked, fully-partitioned
+    segments."""
+    from mapreduce_citation_spark.operators.relational import (
+        _PORTABLE_SQL,
+        sql_dialect_portable,
+    )
+    from mapreduce_citation_spark.registry import all_specs
+
+    assert all_specs()["sql_dialect_portable"].oracle is _PORTABLE_SQL
+    rows = sql_dialect_portable(spark, sf_dir).collect()
+    ranks = sorted(r["spend_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    assert sum(r["n_customers"] for r in rows) > 0
