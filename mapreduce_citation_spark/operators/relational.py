@@ -1344,3 +1344,59 @@ def sql_dialect_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_PORTABLE_SQL)
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+WITH b AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS v
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(v) AS DOUBLE) AS sum_skipnull,
+       CAST(SUM(COALESCE(v, 0)) AS DOUBLE) AS sum_coalesced,
+       CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null,
+       CAST(MIN(v) AS DOUBLE) AS min_skipnull,
+       CAST(SUM(v) AS DOUBLE) / COUNT(v) AS avg_skipnull
+FROM b GROUP BY o_orderstatus
+""",
+    tags=("scalar", "null-semantics", "robustness"),
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling parity pinned end to end: aggregate null
+    skipping (COUNT(col) vs COUNT(*), SUM/MIN/AVG over a nullable
+    column), COALESCE fallbacks, and the null-safe comparison
+    ``IS NOT DISTINCT FROM`` — the semantics corner every engine
+    must get identically right for pipelines whose data has gaps
+    (the fixtures are dense, so the nulls are planted
+    deterministically by key). AVG is written as SUM/COUNT of exact
+    decimals so the double is bit-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderstatus",
+        F.expr(
+            "CASE WHEN o_orderkey % 7 = 0 THEN NULL"
+            " ELSE CAST(o_totalprice AS DECIMAL(12,2)) END"
+        ).alias("v"),
+    )
+    return b.groupBy("o_orderstatus").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+        F.expr("CAST(COUNT(v) AS BIGINT)").alias("n_nonnull"),
+        F.expr("CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("n_null"),
+        F.expr("CAST(SUM(v) AS DOUBLE)").alias("sum_skipnull"),
+        F.expr("CAST(SUM(COALESCE(v, 0)) AS DOUBLE)").alias("sum_coalesced"),
+        F.expr(
+            "CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM NULL"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_nullsafe_eq_null"),
+        F.expr("CAST(MIN(v) AS DOUBLE)").alias("min_skipnull"),
+        F.expr("CAST(SUM(v) AS DOUBLE) / COUNT(v)").alias("avg_skipnull"),
+    )

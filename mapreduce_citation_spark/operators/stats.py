@@ -497,3 +497,66 @@ def stats_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(CASE WHEN v <> wv THEN 1 ELSE 0 END) AS BIGINT)")
         .alias("n_clamped"),
     )
+
+
+@register(
+    "stats_gini_concentration",
+    oracle=f"""
+WITH pc AS (
+  SELECT o_custkey AS cust, SUM({OPRICE}) AS spend
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT c.c_mktsegment AS segment, pc.spend,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY pc.spend ASC, pc.cust ASC) AS i
+  FROM pc JOIN customer c ON c.c_custkey = pc.cust
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(spend) AS DOUBLE) AS total_spend,
+       (2 * CAST(SUM(CAST(i AS DECIMAL(18,0)) * spend) AS DOUBLE)
+         - (COUNT(*) + 1) * CAST(SUM(spend) AS DOUBLE))
+       / (COUNT(*) * CAST(SUM(spend) AS DOUBLE)) AS gini
+FROM seg GROUP BY segment
+""",
+    tags=("stats", "gini", "concentration", "inequality"),
+)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue CONCENTRATION per market segment: the Gini coefficient
+    from the rank formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over
+    ascending-sorted customer spend — the inequality metric behind
+    "what share of revenue do the top customers hold" (the ABC
+    classification's continuous cousin). Ties sort by custkey, but
+    Gini is tie-order invariant (a tied block contributes the same
+    Σi·xᵢ under any permutation), so determinism is structural. All
+    sums are DECIMAL-exact; the three doubles entering the final
+    arithmetic are bit-identical across engines. One shuffle for the
+    per-customer aggregate, one for the per-segment sort window."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    pc = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.expr(f"SUM({OPRICE})").alias("spend")
+    )
+    seg = pc.join(c, pc.cust == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "spend",
+        F.row_number()
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                F.col("spend").asc(), F.col("cust").asc()
+            )
+        )
+        .alias("i"),
+    )
+    return seg.groupBy("segment").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_customers"),
+        F.expr("CAST(SUM(spend) AS DOUBLE)").alias("total_spend"),
+        F.expr(
+            "(2 * CAST(SUM(CAST(i AS DECIMAL(18,0)) * spend) AS DOUBLE)"
+            " - (COUNT(*) + 1) * CAST(SUM(spend) AS DOUBLE))"
+            " / (COUNT(*) * CAST(SUM(spend) AS DOUBLE))"
+        ).alias("gini"),
+    )

@@ -261,3 +261,40 @@ def test_winsorized_means_pull_inward(spark, sf_dir):
         assert r["n_clamped"] == n_clamped
         assert 0 < n_clamped <= len(g) * 0.11
         assert p5 <= r["mean_winsorized"] <= p95
+
+
+def test_gini_matches_numpy_and_bounds(spark, sf_dir):
+    """Gini per segment equals the numpy rank-formula replay, lies in
+    [0, 1), and is invariant to the tie-break (permuting tied spends
+    can't change it — checked by replaying with reversed tie order)."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pt
+
+    from mapreduce_citation_spark.operators.stats import (
+        stats_gini_concentration,
+    )
+
+    rows = stats_gini_concentration(spark, sf_dir).collect()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    spend = (
+        o.assign(v=o["o_totalprice"].round(2))
+        .groupby("o_custkey")["v"].sum().reset_index()
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+    )
+
+    def gini(x):
+        x = np.sort(np.asarray(x, dtype=float))
+        n = len(x)
+        i = np.arange(1, n + 1)
+        return (2 * (i * x).sum() - (n + 1) * x.sum()) / (n * x.sum())
+
+    for r in rows:
+        g = spend[spend["c_mktsegment"] == r["segment"]]["v"]
+        assert r["n_customers"] == len(g)
+        assert r["gini"] == _pt.approx(gini(g), rel=1e-9)
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["gini"] == _pt.approx(gini(g.iloc[::-1]), rel=1e-9)
