@@ -556,3 +556,77 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.encode("chunk", "UTF-8")).alias("chunk_md5"),
         )
     )
+
+
+#: The coordinated-sampling coin: same md5 rule both engines, keyed
+#: by the JOIN key so every table sampled with it keeps exactly the
+#: same key universe (first hex digit < '2' ≈ 12.5%). Spark spells
+#: the string type STRING, DuckDB VARCHAR — same md5 text either way.
+_COORD_COIN = "substr(md5(CAST({k} AS VARCHAR)), 1, 1) < '2'"
+_COORD_COIN_SPARK = "substr(md5(CAST({k} AS STRING)), 1, 1) < '2'"
+
+
+@register(
+    "coordinated_sample_join",
+    oracle=f"""
+WITH sc AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE {_COORD_COIN.format(k="c_custkey")}
+),
+so AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS v
+  FROM orders
+  WHERE {_COORD_COIN.format(k="o_custkey")}
+)
+SELECT sc.c_mktsegment AS segment,
+       CAST(COUNT(DISTINCT sc.c_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(so.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(so.v) AS DOUBLE) AS sampled_spend,
+       CAST((SELECT COUNT(*) FROM so) AS BIGINT) AS n_orders_sampled,
+       CAST((SELECT COUNT(*) FROM so s
+             JOIN sc ON sc.c_custkey = s.o_custkey) AS BIGINT)
+         AS n_orders_joined
+FROM sc LEFT JOIN so ON so.o_custkey = sc.c_custkey
+GROUP BY sc.c_mktsegment
+""",
+    tags=("pipeline", "sampling", "coordinated", "universe"),
+)
+def coordinated_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COORDINATED (universe) sampling — the at-scale sampling rule
+    for joinable tables: both customer and orders are sampled with
+    the SAME deterministic coin on the JOIN KEY (md5(custkey), the
+    split-coin convention), so the sampled tables share one key
+    universe and the join loses NOTHING inside it: every sampled
+    order finds its sampled customer, which the output exhibits by
+    carrying ``n_orders_sampled`` and ``n_orders_joined`` — equal
+    columns the hash gate compares row by row. Independent Bernoulli
+    sampling of each table would instead keep only p² of the join.
+    At 100 TB this is how you build a consistent 1% dev slice of a
+    whole warehouse: one rule, any number of tables, joins intact."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.expr(_COORD_COIN_SPARK.format(k="c_custkey"))
+    ).select("c_custkey", "c_mktsegment").localCheckpoint()
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr(_COORD_COIN_SPARK.format(k="o_custkey"))
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.expr("CAST(o_totalprice AS DECIMAL(12,2))").alias("v"),
+    ).localCheckpoint()
+    n_sampled = o.agg(F.count(F.lit(1)).alias("n_orders_sampled"))
+    n_joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count(F.lit(1)).alias("n_orders_joined"))
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.expr("CAST(COUNT(DISTINCT c_custkey) AS BIGINT)").alias(
+                "n_customers"
+            ),
+            F.expr("CAST(COUNT(o_orderkey) AS BIGINT)").alias("n_orders"),
+            F.expr("CAST(SUM(v) AS DOUBLE)").alias("sampled_spend"),
+        )
+        .crossJoin(F.broadcast(n_sampled))
+        .crossJoin(F.broadcast(n_joined))
+    )

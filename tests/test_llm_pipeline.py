@@ -1059,3 +1059,23 @@ def test_chunking_reconstructs_documents(spark, sf_dir):
         assert rebuilt == t
         if n > 1:
             assert len(chunks[n - 2]) == 128  # only the last may be short
+
+
+def test_coordinated_sampling_preserves_joins(spark, sf_dir):
+    """The universe-sampling property: with both tables sampled by
+    the same key coin, every sampled order joins a sampled customer
+    (n_orders_joined == n_orders_sampled), while independent
+    per-table coins would lose most of the join; the sample rate is
+    near the coin's 2/16."""
+    from mapreduce_citation_spark.operators.pipeline import (
+        coordinated_sample_join,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    rows = coordinated_sample_join(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_orders_sampled"] == r["n_orders_joined"]
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    sampled_cust = sum(r["n_customers"] for r in rows)
+    assert 0.05 < sampled_cust / n_cust < 0.25  # ~12.5% coin

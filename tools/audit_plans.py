@@ -67,6 +67,8 @@ BROADCAST_ALLOWLIST = {
     ("events.py", "tot"): "1-row aggregate (stream total scalar fold)",
     ("tpch_extra.py", "mx"): "1-row aggregate (scalar fold)",
     ("pipeline.py", "tot"): "1-row aggregate (mixture normalizer fold)",
+    ("pipeline.py", "n_sampled"): "1-row aggregate (coordinated-sample scalar fold)",
+    ("pipeline.py", "n_joined"): "1-row aggregate (coordinated-sample scalar fold)",
     ("stats.py", 'sketches.select("l_returnflag", "_amed")'):
         "per-group sketch table: ≤|l_returnflag| = 3 rows",
     ("stats.py", "b"): "per-type percentile-bounds table: ≤|event_type| = 5 rows",
