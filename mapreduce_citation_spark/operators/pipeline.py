@@ -630,3 +630,60 @@ def coordinated_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_sampled))
         .crossJoin(F.broadcast(n_joined))
     )
+
+
+@register(
+    "corpus_pps_systematic_sample",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wt,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM documents
+),
+tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS W FROM documents)
+SELECT doc_id, source, wt,
+       (cum * 50) // W - ((cum - wt) * 50) // W AS multiplicity
+FROM w, tot
+WHERE (cum * 50) // W > ((cum - wt) * 50) // W
+""",
+    tags=("pipeline", "sampling", "pps", "systematic", "weighted"),
+)
+def corpus_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEMATIC PPS sampling — select k=50 documents with
+    probability proportional to size (n_chars, the token-budget
+    proxy): lay the docs end to end on the weight axis (cumulative
+    sum in deterministic doc_id order), drop k equally-spaced strides
+    on it, and keep each doc once per stride boundary it spans
+    (multiplicity ≥ 2 when a doc outweighs a stride — textbook PPS).
+    The selection rule is pure integer arithmetic
+    (floor(cum·k/W) increments — cross-multiplication, no division
+    until nothing is left to round), so both engines pick the
+    identical sample; Σ multiplicity = k exactly by telescoping.
+
+    At 100 TB: one pass for the cumsum (a global running sum — the
+    one inherently sequential step; computed here via a window, at
+    extreme scale via per-partition totals + prefix offsets), then a
+    pure map selects. This is how a token-budgeted training subset
+    gets drawn reproducibly."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("wt"),
+        F.sum("n_chars")
+        .over(Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    )
+    tot = docs.agg(F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("W"))
+    sel = w.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "wt",
+        F.expr("(cum * 50) div W - ((cum - wt) * 50) div W").alias("multiplicity"),
+    )
+    return sel.filter(F.col("multiplicity") > 0)

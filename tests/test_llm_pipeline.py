@@ -1079,3 +1079,28 @@ def test_coordinated_sampling_preserves_joins(spark, sf_dir):
     n_cust = load_table(spark, sf_dir, "customer").count()
     sampled_cust = sum(r["n_customers"] for r in rows)
     assert 0.05 < sampled_cust / n_cust < 0.25  # ~12.5% coin
+
+
+def test_pps_sample_telescopes_and_is_size_biased(spark, sf_dir):
+    """Systematic-PPS invariants: Σ multiplicity = k exactly (the
+    floor sequence telescopes 0 → k); every multiplicity ≥ 1; docs
+    heavier than one stride get multiplicity ≥ 2 iff wt > W/k; and
+    the mean weight of sampled docs exceeds the corpus mean (size
+    bias is the point)."""
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.pipeline import (
+        corpus_pps_systematic_sample,
+    )
+
+    rows = corpus_pps_systematic_sample(spark, sf_dir).collect()
+    assert sum(r["multiplicity"] for r in rows) == 50
+    assert all(r["multiplicity"] >= 1 for r in rows)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    W = int(docs["n_chars"].sum())
+    for r in rows:
+        if r["multiplicity"] >= 2:
+            assert r["wt"] * 50 > W
+    sampled_mean = sum(r["wt"] * r["multiplicity"] for r in rows) / 50
+    assert sampled_mean > docs["n_chars"].mean()

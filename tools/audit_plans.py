@@ -66,7 +66,8 @@ BROADCAST_ALLOWLIST = {
     ("tpch_extra.py", "total"): "1-row aggregate (scalar fold)",
     ("events.py", "tot"): "1-row aggregate (stream total scalar fold)",
     ("tpch_extra.py", "mx"): "1-row aggregate (scalar fold)",
-    ("pipeline.py", "tot"): "1-row aggregate (mixture normalizer fold)",
+    ("pipeline.py", "tot"):
+        "1-row aggregate (mixture normalizer / PPS total-weight scalar fold)",
     ("pipeline.py", "n_sampled"): "1-row aggregate (coordinated-sample scalar fold)",
     ("pipeline.py", "n_joined"): "1-row aggregate (coordinated-sample scalar fold)",
     ("stats.py", 'sketches.select("l_returnflag", "_amed")'):
