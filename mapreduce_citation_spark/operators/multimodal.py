@@ -793,3 +793,107 @@ def multimodal_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
     sigs = audio_fingerprint_signatures(build_media_assets(d))
     return hamming_band_pairs(sigs, "aud_id", "aud_a", "aud_b")
+
+
+#: Per-image resize output: fixed 4×4 thumbnail summarized in scalars
+#: (arrays stay out of the hash-compare per repo convention).
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("thumb_digest", StringType()),
+        StructField("mean_c0", DoubleType()),
+        StructField("mean_c1", DoubleType()),
+        StructField("mean_c2", DoubleType()),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, side: int = 4) -> DataFrame:
+    """IMAGE RESIZE — the remaining named multimodal op (decode /
+    feature-extract / RESIZE / frame-sample): nearest-neighbor
+    resample of each decoded BMP to a fixed ``side``×``side``
+    thumbnail (x_i = i·w/side, y_j = j·h/side — the dHash grid rule,
+    now emitting the pixels themselves). Arrow-batched mapInPandas;
+    payload bytes are read in place and never shuffle; the thumbnail
+    leaves as an md5 digest of the integer pixel string plus exact
+    per-channel means (integer sums / pixel count — bit-stable
+    doubles), so the full resample is hash-gated without array
+    columns."""
+    import hashlib
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                offset = struct.unpack_from("<I", p, 10)[0]
+                w = struct.unpack_from("<i", p, 18)[0]
+                h = abs(struct.unpack_from("<i", p, 22)[0])
+                ch = struct.unpack_from("<H", p, 28)[0] // 8
+                stride = ((w * ch + 3) // 4) * 4
+                pix = []
+                sums = [0, 0, 0]
+                for j in range(side):
+                    y = (j * h) // side
+                    row = offset + y * stride
+                    for i in range(side):
+                        x = (i * w) // side
+                        for c in range(3):
+                            v = p[row + x * ch + c]
+                            pix.append(v)
+                            sums[c] += v
+                digest = hashlib.md5(",".join(map(str, pix)).encode()).hexdigest()
+                n = side * side
+                rows.append(
+                    (int(doc_id), w, h, digest,
+                     sums[0] / n, sums[1] / n, sums[2] / n)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "src_w", "src_h", "thumb_digest",
+                         "mean_c0", "mean_c1", "mean_c2"],
+            )
+            rows = []
+
+    return assets.select("doc_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+@register(
+    "multimodal_resize_thumbs",
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id, text, length(text) AS L,
+         8 + CAST(doc_id % 8 AS INT) AS w,
+         8 + CAST(length(text) % 8 AS INT) AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+px AS (
+  SELECT m.doc_id, m.w, m.h, j, i, c,
+         ascii(substr(m.text,
+           CAST((((j * m.h) // 4) * m.w * 3
+                 + ((i * m.w) // 4) * 3 + c) % m.L AS INT) + 1, 1)) AS v
+  FROM imgs m, range(0, 4) tj(j), range(0, 4) ti(i), range(0, 3) tc(c)
+)
+SELECT doc_id,
+       CAST(MIN(w) AS INT) AS src_w,
+       CAST(MIN(h) AS INT) AS src_h,
+       md5(string_agg(CAST(v AS VARCHAR), ','
+                      ORDER BY j, i, c)) AS thumb_digest,
+       CAST(SUM(CASE WHEN c = 0 THEN v END) AS DOUBLE) / 16 AS mean_c0,
+       CAST(SUM(CASE WHEN c = 1 THEN v END) AS DOUBLE) / 16 AS mean_c1,
+       CAST(SUM(CASE WHEN c = 2 THEN v END) AS DOUBLE) / 16 AS mean_c2
+FROM px GROUP BY doc_id
+""",
+    tags=("multimodal", "resize", "thumbnail", "pandas-udf"),
+)
+def multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4×4 nearest-neighbor thumbnails of every image asset (see
+    ``resize_images``); the oracle replays pixel (x, y, c) from the
+    codec construction — text byte (y·w·3 + x·3 + c) mod L — and
+    rebuilds the identical digest and channel means, so a stride,
+    offset, or sampling-rule bug in the resizer breaks the hash."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return resize_images(build_media_assets(d), side=4)

@@ -1104,3 +1104,45 @@ def test_pps_sample_telescopes_and_is_size_biased(spark, sf_dir):
             assert r["wt"] * 50 > W
     sampled_mean = sum(r["wt"] * r["multiplicity"] for r in rows) / 50
     assert sampled_mean > docs["n_chars"].mean()
+
+
+def test_resize_thumbs_match_python_pixel_replay(spark, sf_dir):
+    """Resize correctness on real encoded BMPs: a pure-python replay
+    (build the BMP, decode it independently, sample the same 4×4
+    grid) reproduces every digest and channel mean."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.multimodal import (
+        make_media_codec,
+        multimodal_resize_thumbs,
+    )
+
+    rows = multimodal_resize_thumbs(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    text = dict(zip(docs["doc_id"], docs["text"]))
+    build, _ = make_media_codec()
+    for r in rows[:50]:
+        _, p = build(r["doc_id"], text[r["doc_id"]])
+        w = struct.unpack_from("<i", p, 18)[0]
+        h = abs(struct.unpack_from("<i", p, 22)[0])
+        stride = ((w * 3 + 3) // 4) * 4
+        pix, sums = [], [0, 0, 0]
+        for j in range(4):
+            row = 54 + ((j * h) // 4) * stride
+            for i in range(4):
+                x = (i * w) // 4
+                for c in range(3):
+                    v = p[row + x * 3 + c]
+                    pix.append(v)
+                    sums[c] += v
+        assert (r["src_w"], r["src_h"]) == (w, h)
+        assert r["thumb_digest"] == hashlib.md5(
+            ",".join(map(str, pix)).encode()
+        ).hexdigest()
+        assert [r["mean_c0"], r["mean_c1"], r["mean_c2"]] == [
+            s / 16 for s in sums
+        ]
