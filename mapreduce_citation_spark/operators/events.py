@@ -732,3 +732,62 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{num} * {num} / ({den} * (COUNT(*) * {syy} - {sy} * {sy}))"
         ).alias("r2"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM o WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n,
+       CAST(t.n AS DOUBLE) / CAST(m.n_from AS DOUBLE) AS p
+FROM t JOIN m ON m.from_type = t.from_type
+""",
+    tags=("events", "markov", "sequence", "transitions"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV transition matrix over per-user event
+    sequences: P(next event type | current type), the user-behavior
+    model behind next-action prediction and anomaly scoring on
+    action streams. LEAD over the deterministic (ts, event_id)
+    per-user order builds the transition pairs in one shuffle on the
+    user key; counts land on the bounded |types|² domain and each
+    probability is ONE division of exact integers (bit-stable).
+    Rows of the matrix sum to 1 by construction (pytest-pinned)."""
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+        .localCheckpoint()  # ≤|types|² rows; feeds marginals AND join
+    )
+    m = t.groupBy(F.col("from_type").alias("ft")).agg(
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("n_from")
+    )
+    return (
+        t.join(F.broadcast(m), t.from_type == m.ft)
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+        )
+    )

@@ -860,3 +860,41 @@ def citation_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return kcore_peel(proj, k=3, rounds=4)
+
+
+@register(
+    "citation_degree_histogram",
+    oracle=_EDGES_CTE
+    + """
+, deg AS (
+  SELECT to_paper, CAST(COUNT(*) AS BIGINT) AS d
+  FROM edges GROUP BY to_paper
+)
+SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_papers,
+       CAST(MIN(d) AS BIGINT) AS min_degree,
+       CAST(MAX(d) AS BIGINT) AS max_degree,
+       CAST(SUM(d) AS BIGINT) AS total_citations
+FROM deg GROUP BY 1
+""",
+    tags=("graph", "degree", "histogram", "distribution"),
+)
+def citation_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree DISTRIBUTION of the citation graph in log2 buckets —
+    the first diagnostic run on any production graph (is it
+    power-law? where is the hub tail that decides skew strategy?).
+    Integer bucket index via FLOOR(LOG2(d)): d is a positive BIGINT
+    and log2 of an exact integer is bit-identical IEEE on both
+    engines, so even the float step is hash-safe; everything else is
+    integer. Two bounded aggregations — degree (one shuffle on the
+    node key) then the ≤64-bucket rollup."""
+    e = edges_from_lineitem(load_table(spark, sf_dir, "lineitem"))
+    deg = e.groupBy("to_paper").agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("d"))
+    return deg.groupBy(
+        F.expr("CAST(FLOOR(LOG2(d)) AS BIGINT)").alias("log2_bucket")
+    ).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_papers"),
+        F.expr("CAST(MIN(d) AS BIGINT)").alias("min_degree"),
+        F.expr("CAST(MAX(d) AS BIGINT)").alias("max_degree"),
+        F.expr("CAST(SUM(d) AS BIGINT)").alias("total_citations"),
+    )

@@ -503,3 +503,53 @@ def test_daily_trend_matches_numpy_ols(spark, sf_dir):
         assert r["intercept"] == _pt.approx(intercept, rel=1e-9)
         assert r["r2"] == _pt.approx(np.corrcoef(x, y)[0, 1] ** 2, rel=1e-9)
         assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_markov_transitions_rows_sum_to_one(spark, sf_dir):
+    """Transition-matrix invariants: per-from_type probabilities sum
+    to 1 (within float addition of exact ratios); counts match a
+    pandas LEAD replay."""
+    import pandas as pd
+    import pytest as _pt
+
+    from mapreduce_citation_spark.operators.events import (
+        events_markov_transitions,
+    )
+
+    rows = events_markov_transitions(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["next_type"] = ev.groupby("user_id")["event_type"].shift(-1)
+    t = ev.dropna(subset=["next_type"]).groupby(
+        ["event_type", "next_type"]
+    ).size()
+    want = {(a, b): int(n) for (a, b), n in t.items()}
+    got = {(r["from_type"], r["to_type"]): r["n"] for r in rows}
+    assert got == want
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p"]
+    for s in by_from.values():
+        assert s == _pt.approx(1.0, abs=1e-12)
+
+
+def test_degree_histogram_partitions_the_graph(spark, sf_dir):
+    """Histogram invariants: buckets are disjoint and complete
+    (Σ n_papers = distinct cited papers; Σ total_citations = edge
+    count), and each bucket's [min, max] lies inside [2^b, 2^{b+1})."""
+    from mapreduce_citation_spark.operators.graph import (
+        citation_degree_histogram,
+        edges_from_lineitem,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    rows = citation_degree_histogram(spark, sf_dir).collect()
+    e = edges_from_lineitem(load_table(spark, sf_dir, "lineitem"))
+    n_papers = e.select("to_paper").distinct().count()
+    n_edges = e.count()
+    assert sum(r["n_papers"] for r in rows) == n_papers
+    assert sum(r["total_citations"] for r in rows) == n_edges
+    for r in rows:
+        b = r["log2_bucket"]
+        assert 2 ** b <= r["min_degree"] <= r["max_degree"] < 2 ** (b + 1)
