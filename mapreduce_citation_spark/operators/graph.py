@@ -898,3 +898,209 @@ def citation_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(MAX(d) AS BIGINT)").alias("max_degree"),
         F.expr("CAST(SUM(d) AS BIGINT)").alias("total_citations"),
     )
+
+
+def personalized_pagerank_fixed_point(
+    und: DataFrame,
+    seeds: DataFrame,
+    n_seeds: int,
+    iterations: int = 4,
+    scale: int = _FP_SCALE,
+    d_num: int = 17,
+    d_den: int = 20,
+) -> DataFrame:
+    """PERSONALIZED PageRank in the fixed-point strategy
+    (:func:`pagerank_fixed_point`'s arithmetic, different restart
+    vector): teleport mass — the (1−d) share and any dangling mass —
+    returns ONLY to the ``n_seeds`` seed nodes instead of spreading
+    uniformly, so the stationary distribution measures proximity to
+    the seed set (the "related items" query). ``und`` is a directed
+    edge list (``from_paper`` → ``to_paper``); ``seeds`` is a
+    bounded (node) table. All-BIGINT arithmetic — associative sums,
+    map-side combine, bit-identical under any partitioning."""
+    from pyspark.sql import Window
+
+    edges_w = (
+        und.repartition(F.col("from_paper"))
+        .sortWithinPartitions("from_paper")
+        .withColumn(
+            "out_deg", F.count(F.lit(1)).over(Window.partitionBy("from_paper"))
+        )
+        .persist()
+    )
+    nodes = (
+        edges_w.select(F.col("from_paper").alias("node"),
+                       F.lit(False).alias("is_dangling"))
+        .union(edges_w.select("to_paper", F.lit(True)))
+        .groupBy("node")
+        .agg(F.min("is_dangling").alias("is_dangling"))
+        .join(seeds.select(F.col("node").alias("_s")),
+              F.col("node") == F.col("_s"), "left")
+        .select("node", "is_dangling", F.col("_s").isNotNull().alias("is_seed"))
+        .localCheckpoint()
+    )
+    base_s = ((d_den - d_num) * scale // d_den) // n_seeds
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(scale // n_seeds))
+        .otherwise(F.lit(0)).cast("long").alias("rank_q"),
+        "is_dangling",
+        "is_seed",
+    )
+    for _ in range(iterations):
+        dangling = ranks.filter(F.col("is_dangling")).agg(
+            F.coalesce(F.sum("rank_q"), F.lit(0)).cast("long").alias("_dq")
+        )
+        contribs = (
+            edges_w.join(
+                ranks.filter(~F.col("is_dangling")),
+                edges_w.from_paper == F.col("node"),
+            )
+            .select(F.col("to_paper").alias("node"),
+                    F.expr("rank_q div out_deg").alias("v"))
+            .groupBy("node")
+            .agg(F.sum("v").cast("long").alias("in_q"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("is_seed"),
+                        F.lit(base_s)
+                        + F.expr(f"(({d_num} * _dq) div {d_den}) div {n_seeds}"),
+                    ).otherwise(F.lit(0))
+                    + F.expr(f"({d_num} * coalesce(in_q, 0L)) div {d_den}")
+                )
+                .cast("long")
+                .alias("rank_q"),
+                "is_dangling",
+                "is_seed",
+            )
+            .localCheckpoint()
+        )
+    edges_w.unpersist()
+    return ranks.select("node", "rank_q", "is_seed")
+
+
+_PPR_PROJ_CTES = """
+proj AS MATERIALIZED (
+  SELECT a.to_paper AS u, b.to_paper AS v
+  FROM edges a JOIN edges b
+    ON a.from_paper = b.from_paper AND a.to_paper < b.to_paper
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+und AS MATERIALIZED (
+  SELECT u AS from_paper, v AS to_paper FROM proj
+  UNION ALL SELECT v, u FROM proj
+),
+pnodes AS MATERIALIZED (
+  SELECT from_paper AS node FROM und UNION SELECT to_paper FROM und
+),
+seeds AS MATERIALIZED (
+  SELECT to_paper AS node FROM und
+  GROUP BY to_paper ORDER BY COUNT(*) DESC, to_paper ASC LIMIT 2
+),
+poutd AS MATERIALIZED (
+  SELECT from_paper AS node, COUNT(*) AS out_deg FROM und GROUP BY 1
+)
+"""
+
+
+def _ppr_oracle(iters: int = 4, scale: int = _FP_SCALE, n_seeds: int = 2) -> str:
+    """Unrolled DuckDB replay of the personalized fixed-point loop
+    over the co-citation projection (seed-restricted teleport; the
+    undirected projection has no dangling nodes, so the dangling
+    fold is identically zero and is omitted from the replay)."""
+    base_s = ((20 - 17) * scale // 20) // n_seeds
+    stages = []
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        stages.append(f"""
+pc{k} AS MATERIALIZED (
+  SELECT e.to_paper AS node,
+         CAST(SUM(r.rank_q // o.out_deg) AS BIGINT) AS in_q
+  FROM und e
+  JOIN {p} r ON e.from_paper = r.node
+  JOIN poutd o ON e.from_paper = o.node
+  GROUP BY e.to_paper
+),
+pr{k} AS MATERIALIZED (
+  SELECT nd.node,
+         CASE WHEN s.node IS NOT NULL THEN {base_s} ELSE 0 END
+         + (17 * COALESCE(c.in_q, 0)) // 20 AS rank_q
+  FROM pnodes nd
+  LEFT JOIN seeds s ON s.node = nd.node
+  LEFT JOIN pc{k} c ON c.node = nd.node
+)""")
+    return (
+        _EDGES_CTE
+        + ","
+        + _PPR_PROJ_CTES
+        + f""",
+pr0 AS MATERIALIZED (
+  SELECT nd.node,
+         CASE WHEN s.node IS NOT NULL THEN {scale // n_seeds}
+              ELSE 0 END AS rank_q
+  FROM pnodes nd LEFT JOIN seeds s ON s.node = nd.node
+),"""
+        + ",".join(stages)
+        + f"""
+SELECT node, CAST(rank_q AS BIGINT) AS rank_q,
+       CAST(rank_q AS DOUBLE) / {float(scale)!r} AS rank
+FROM pr{iters}
+ORDER BY rank_q DESC, node ASC
+LIMIT 20
+"""
+    )
+
+
+@register(
+    "citation_personalized_pagerank",
+    oracle=_ppr_oracle(4),
+    tags=("graph", "pagerank", "personalized", "iterative", "fixed-point"),
+)
+def citation_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PERSONALIZED PageRank around the two most-connected
+    papers of the co-citation projection — the "papers related to
+    THESE" query, the seed-restricted restart that powers
+    recommendation and local community detection. Same integer
+    arithmetic as ``citation_pagerank_scale``, different restart
+    vector; the projection is undirected so no node dangles and the
+    at-scale plan is pure associative sums + a bounded seed join."""
+    e = _edges(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    proj = (
+        a.join(
+            b,
+            (F.col("a.from_paper") == F.col("b.from_paper"))
+            & (F.col("a.to_paper") < F.col("b.to_paper")),
+        )
+        .groupBy(F.col("a.to_paper").alias("u"), F.col("b.to_paper").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    und = proj.select(F.col("u").alias("from_paper"), F.col("v").alias("to_paper")).unionAll(
+        proj.select(F.col("v").alias("from_paper"), F.col("u").alias("to_paper"))
+    )
+    seeds = (
+        und.groupBy(F.col("to_paper").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("node").asc())
+        .limit(2)
+        .select("node")
+    )
+    ranks = personalized_pagerank_fixed_point(und, seeds, n_seeds=2, iterations=4)
+    return (
+        ranks.orderBy(F.col("rank_q").desc(), F.col("node").asc())
+        .limit(20)
+        .select(
+            "node",
+            "rank_q",
+            (F.col("rank_q").cast("double") / F.lit(float(_FP_SCALE))).alias("rank"),
+        )
+    )

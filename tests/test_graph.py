@@ -209,3 +209,53 @@ def test_kcore_peel_on_planted_graph(spark):
     # exactly the K4
     got1 = {r["paper"]: r["degree"] for r in kcore_peel(df, 3, 1).collect()}
     assert got1 == {"k1": 3, "k2": 3, "k3": 3, "k4": 3}
+
+
+def test_personalized_pagerank_localizes_to_seed_community(spark):
+    """PPR semantics on a planted two-community graph (two triangles
+    joined by one bridge edge): with both seeds in community A, every
+    A-node outranks every B-node, mass is conserved approximately
+    (quantization truncates), and a python integer replay matches
+    bit-for-bit."""
+    from mapreduce_citation_spark.operators.graph import (
+        _FP_SCALE,
+        personalized_pagerank_fixed_point,
+    )
+
+    A = [("a1", "a2"), ("a1", "a3"), ("a2", "a3")]
+    B = [("b1", "b2"), ("b1", "b3"), ("b2", "b3")]
+    bridge = [("a3", "b1")]
+    edges = A + B + bridge
+    und_rows = edges + [(v, u) for u, v in edges]
+    und = spark.createDataFrame(und_rows, ["from_paper", "to_paper"])
+    seeds = spark.createDataFrame([("a1",), ("a2",)], ["node"])
+    got = {
+        r["node"]: r["rank_q"]
+        for r in personalized_pagerank_fixed_point(
+            und, seeds, n_seeds=2, iterations=4
+        ).collect()
+    }
+
+    # python integer replay
+    out_deg: dict[str, int] = {}
+    for u, _v in und_rows:
+        out_deg[u] = out_deg.get(u, 0) + 1
+    nodes = sorted(out_deg)
+    seed_set = {"a1", "a2"}
+    scale, d_num, d_den, k = _FP_SCALE, 17, 20, 2
+    base_s = ((d_den - d_num) * scale // d_den) // k
+    rank = {n: (scale // k if n in seed_set else 0) for n in nodes}
+    for _ in range(4):
+        contrib: dict[str, int] = {n: 0 for n in nodes}
+        for u, v in und_rows:
+            contrib[v] += rank[u] // out_deg[u]
+        rank = {
+            n: (base_s if n in seed_set else 0)
+            + (d_num * contrib[n]) // d_den
+            for n in nodes
+        }
+    assert got == rank
+    assert min(got[n] for n in ("a1", "a2", "a3")) > max(
+        got[n] for n in ("b1", "b2", "b3")
+    )
+    assert 0.9 * _FP_SCALE < sum(got.values()) <= _FP_SCALE
