@@ -149,7 +149,11 @@ _PRIORITY = (
     # family gets its first in-window representative,
     # orders_retention_cohorts.)
     "orders_retention_cohorts",
-    "events_session_window",
+    # (r6b second micro-swap: events_session_window → beyond-window —
+    # the session family stays via sessionize_events +
+    # streaming_session_counts; the custom python DataSource connector
+    # joins the window so the new connector capability is driver-gated.)
+    "citation_counts_datasource",
     # (r5b rotation: events_funnel_join → beyond-window — the funnel
     # family stays represented by streaming_stream_stream_funnel;
     # join_partition_pruned joins the window so the DPP capability is
