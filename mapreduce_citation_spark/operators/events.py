@@ -692,6 +692,7 @@ SELECT event_type,
           * (COUNT(*) * CAST(SUM(y * y) AS DOUBLE)
              - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))) AS r2
 FROM d GROUP BY event_type
+HAVING COUNT(*) >= 2 AND MIN(x) <> MAX(x)
 """,
     tags=("events", "trend", "regression", "timeseries"),
 )
@@ -724,13 +725,23 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = f"(COUNT(*) * {sxy} - {sx} * {sy})"
     den = f"(COUNT(*) * {sxx} - {sx} * {sx})"
     slope = f"{num} / {den}"
-    return d.groupBy("event_type").agg(
-        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_days"),
-        F.expr(slope).alias("slope"),
-        F.expr(f"({sy} - ({slope}) * {sx}) / COUNT(*)").alias("intercept"),
-        F.expr(
-            f"{num} * {num} / ({den} * (COUNT(*) * {syy} - {sy} * {sy}))"
-        ).alias("r2"),
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_days"),
+            F.expr(slope).alias("slope"),
+            F.expr(f"({sy} - ({slope}) * {sx}) / COUNT(*)").alias("intercept"),
+            F.expr(
+                f"{num} * {num} / ({den} * (COUNT(*) * {syy} - {sy} * {sy}))"
+            ).alias("r2"),
+            # x-variance guard rides the aggregate: a type active on
+            # <2 distinct days has no defined slope, and 0-denominator
+            # division diverges across engines (Spark NULL, DuckDB
+            # inf/NaN) — drop it identically on both sides
+            F.expr("MIN(x) <> MAX(x) AND COUNT(*) >= 2").alias("_ok"),
+        )
+        .filter(F.col("_ok"))
+        .drop("_ok")
     )
 
 
