@@ -155,3 +155,66 @@ def parts_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_distance") <= 2)
     )
+
+
+@register(
+    "basket_brand_triples",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM e),
+t AS (
+  SELECT x.b AS brand_a, y.b AS brand_b, z.b AS brand_c,
+         COUNT(*) AS n_all3
+  FROM e x
+  JOIN e y ON x.o = y.o AND x.b < y.b
+  JOIN e z ON y.o = z.o AND y.b < z.b
+  GROUP BY 1, 2, 3
+)
+SELECT t.brand_a, t.brand_b, t.brand_c, t.n_all3,
+       CAST(t.n_all3 AS DOUBLE) / CAST(tot.n_orders AS DOUBLE) AS support
+FROM t, tot
+ORDER BY n_all3 DESC, brand_a ASC, brand_b ASC, brand_c ASC
+LIMIT 20
+""",
+    tags=("mining", "market-basket", "itemsets", "triples"),
+)
+def basket_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-itemset mining — the pair miner's next lattice level: top-20
+    brand TRIPLES by co-occurrence support. The explosion stays
+    per-basket (C(k,3) over each order's distinct-brand set — the
+    chained ordered self-joins materialize combinations, never
+    permutations) and the aggregation domain is brand³, still tiny.
+    At 100 TB a full Apriori/FP-growth run prunes candidates by
+    support between levels; the per-level plan is exactly this
+    shape."""
+    e = order_brand_incidence(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    ).localCheckpoint()
+    tot = e.select(F.count_distinct("o").alias("n_orders"))
+    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+    t = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.b") < F.col("y.b")))
+        .join(z, (F.col("y.o") == F.col("z.o")) & (F.col("y.b") < F.col("z.b")))
+        .groupBy(
+            F.col("x.b").alias("brand_a"),
+            F.col("y.b").alias("brand_b"),
+            F.col("z.b").alias("brand_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_all3"))
+    )
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a", "brand_b", "brand_c", "n_all3",
+            (F.col("n_all3").cast("double") / F.col("n_orders").cast("double"))
+            .alias("support"),
+        )
+        .orderBy(
+            F.col("n_all3").desc(), F.col("brand_a").asc(),
+            F.col("brand_b").asc(), F.col("brand_c").asc(),
+        )
+        .limit(20)
+    )

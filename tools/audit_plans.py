@@ -67,6 +67,7 @@ BROADCAST_ALLOWLIST = {
     ("events.py", "tot"): "1-row aggregate (stream total scalar fold)",
     ("events.py", "m"): "per-type transition marginals: ≤|event_type| = 5 rows",
     ("tpch_extra.py", "mx"): "1-row aggregate (scalar fold)",
+    ("mining.py", "tot"): "1-row aggregate (basket total scalar fold)",
     ("pipeline.py", "tot"):
         "1-row aggregate (mixture normalizer / PPS total-weight scalar fold)",
     ("pipeline.py", "n_sampled"): "1-row aggregate (coordinated-sample scalar fold)",
