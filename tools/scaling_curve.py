@@ -52,6 +52,8 @@ FAMILIES = {
     "text_bpe_merges": "documents",
     "embedding_kcenter_coreset": "embeddings",
     "multimodal_audio_fp_pairs": "documents",
+    "citation_personalized_pagerank": "lineitem",
+    "basket_brand_triples": "lineitem",
 }
 
 
