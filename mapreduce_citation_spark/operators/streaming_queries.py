@@ -898,3 +898,80 @@ def streaming_edgelist_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "streaming_heavy_hitters_mg",
+    oracle="""
+WITH keyed AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN user_id % 5
+         ELSE user_id + 10000 END AS k
+  FROM events
+),
+tot AS (SELECT COUNT(*) AS n FROM keyed),
+c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt FROM keyed GROUP BY k)
+SELECT c.k AS key, c.cnt,
+       CAST(c.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share
+FROM c, tot WHERE c.cnt * 50 > tot.n
+""",
+    tags=("streaming", "heavy-hitters", "misra-gries", "stateful",
+          "applyInPandasWithState"),
+)
+def streaming_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE heavy hitters (thirteenth streaming family): the
+    Misra-Gries sketch maintained INCREMENTALLY in GroupState
+    (``streaming/events.py:streaming_mg_candidates`` — O(k) state
+    per bucket however long the stream runs), then the drained final
+    candidate snapshots verified EXACTLY batch-side. Candidate sets
+    vary with micro-batch boundaries, but the deficit bound
+    guarantees every key with frequency > N/100 survives its
+    bucket's final summary, so after exact verification at the N/50
+    threshold the output is the true heavy-hitter set regardless —
+    same oracle as the batch twin ``events_heavy_hitters_mg``. The
+    skewed key construction is shared with the batch twin."""
+    from pyspark.sql import Window
+
+    from ..operators.events import _MG_KEY, _ev
+    from ..streaming.events import streaming_mg_candidates
+
+    ev = read_events_parquet_stream(spark, sf_dir)
+    keyed = ev.select(F.expr(_MG_KEY).alias("k")).select(
+        "k", F.pmod("k", F.lit(8)).alias("bucket")
+    )
+    snapshots = streaming_mg_candidates(keyed, k=100)
+    name = f"streaming_heavy_hitters_mg_{next(_SINK_COUNTER)}"
+    q = (
+        snapshots.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sunk = spark.table(name)
+    cand = (
+        sunk.withColumn(
+            "_mx", F.max("seq").over(Window.partitionBy("bucket"))
+        )
+        .filter(F.col("seq") == F.col("_mx"))
+        .select(F.col("cand").alias("k"))
+        .distinct()
+    )
+    batch_keyed = _ev(spark, sf_dir).select(F.expr(_MG_KEY).alias("k"))
+    tot = batch_keyed.agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        batch_keyed.join(cand, "k", "semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 50 > F.col("n"))
+        .select(
+            F.col("k").alias("key"),
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("share"),
+        )
+    )

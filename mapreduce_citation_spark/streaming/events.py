@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -338,6 +339,78 @@ def latest_event_state(events: DataFrame) -> DataFrame:
         update,
         outputStructType=_CDC_SCHEMA,
         stateStructType=_CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: Streaming Misra-Gries: per-bucket candidate snapshots.
+_MG_OUT_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("seq", LongType()),
+        StructField("cand", LongType()),
+    ]
+)
+_MG_STATE_SCHEMA = StructType(
+    [
+        StructField("ks", ArrayType(LongType())),
+        StructField("vs", ArrayType(LongType())),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def streaming_mg_candidates(keyed: DataFrame, k: int = 100) -> DataFrame:
+    """STREAMING Misra-Gries heavy-hitter sketch as a custom stateful
+    operator: the stream is bucketed (any partition of the key space)
+    and each bucket's GroupState holds one MG summary (≤ ``k``
+    counters) over the bucket's ENTIRE substream so far — so when the
+    stream drains, a key absent from its bucket's final summary has
+    frequency ≤ n_bucket/k ≤ N/k: the classic deficit bound, now
+    maintained incrementally with O(k) state per bucket forever.
+    Each micro-batch emits the bucket's refreshed candidate snapshot
+    tagged with a sequence number; the LAST snapshot per bucket is
+    the final summary."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        if state.exists:
+            ks, vs, seq = state.get
+            counters = dict(zip(ks, vs))
+        else:
+            counters, seq = {}, 0
+        for pdf in pdfs:
+            for v in pdf["k"]:
+                v = int(v)
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    for c in list(counters):
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            del counters[c]
+        seq += 1
+        state.update(
+            (list(counters.keys()), list(counters.values()), int(seq))
+        )
+        yield _pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(counters),
+                "seq": [seq] * len(counters),
+                "cand": list(counters.keys()),
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=_MG_OUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -43,6 +43,13 @@ FAMILIES = (
     "dedup_substring_strip",
     "decontaminate_eval_overlap",
     "corpus_curation_funnel",
+    # r6b: BPE emits a FIXED 3-row merge table at any corpus size
+    # (per-iteration cost is vocabulary-sized); audio fingerprints
+    # are NOT bijection-invariant (energies move with the char map),
+    # so the pair stream is checked as planted-recall ≥ 50·K rather
+    # than exact K-linearity.
+    "text_bpe_merges",
+    "multimodal_audio_fp_pairs",
 )
 #: embeddings families run over the signed-permutation expansion
 #: (2k → 20k → 200k vectors; queries stay the 10 base vectors, the
@@ -51,6 +58,11 @@ FAMILIES = (
 #: as such.
 EMB_FAMILIES = ("knn_ivf_ann", "embedding_kmeans")
 EMB_ROWS = {"knn_ivf_ann": 50, "embedding_kmeans": 8}
+#: fixed-size outputs regardless of corpus scale
+FIXED_ROWS = {"text_bpe_merges": 3}
+#: planted-recall lower bounds: ≥ value × K rows (each replica's 50
+#: planted audio variants MUST pair; incidental near-pairs may add)
+MIN_ROWS_PER_K = {"multimodal_audio_fp_pairs": 50}
 #: families whose output is an exact per-replica property (rows scale
 #: exactly ×K). dedup_minhash_lsh is only NEAR-linear: its banded
 #: LSH recall depends on the hash space, and each replica's shingle
@@ -146,6 +158,15 @@ def main(args: list[str]) -> int:
             if name in EMB_ROWS:
                 assert rows == EMB_ROWS[name], (
                     f"{name}: expected fixed {EMB_ROWS[name]}-row output, got {rows}"
+                )
+            if name in FIXED_ROWS:
+                assert rows == FIXED_ROWS[name], (
+                    f"{name}: expected fixed {FIXED_ROWS[name]}-row output, got {rows}"
+                )
+            if name in MIN_ROWS_PER_K:
+                assert rows >= MIN_ROWS_PER_K[name] * k, (
+                    f"{name}: {rows} rows at {k}x < planted floor "
+                    f"{MIN_ROWS_PER_K[name] * k}"
                 )
             if k == 1:
                 base_rows = rows
