@@ -1,0 +1,155 @@
+"""Data-quality / observability operators — the Deequ-style audit
+surface a production warehouse runs on every load: primary-key
+uniqueness, foreign-key orphan detection, and column completeness
+profiling. All counts are exact integers, so the whole family is
+hash-gated with no float discipline needed.
+
+Scale shape: every check is one aggregate or one anti-join on the
+natural key — the same shuffles the warehouse's real queries already
+pay, so auditing at 100 TB costs one pass per table. The audit table
+itself is tiny (one row per CHECK, not per violation; violating keys
+would flow to a quarantine sink in the same pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+
+
+@register(
+    "warehouse_integrity_audit",
+    oracle="""
+SELECT 'pk:orders.o_orderkey' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'pk:customer.c_custkey', COUNT(*),
+       COUNT(*) - COUNT(DISTINCT c_custkey)
+FROM customer
+UNION ALL
+SELECT 'pk:part.p_partkey', COUNT(*),
+       COUNT(*) - COUNT(DISTINCT p_partkey)
+FROM part
+UNION ALL
+SELECT 'fk:orders.o_custkey->customer', COUNT(*),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'fk:lineitem.l_orderkey->orders', COUNT(*),
+       CAST(SUM(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders oo ON l.l_orderkey = oo.o_orderkey
+UNION ALL
+SELECT 'fk:lineitem.l_partkey->part', COUNT(*),
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+""",
+    tags=("dq", "integrity", "audit", "pk", "fk"),
+)
+def warehouse_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse INTEGRITY AUDIT: one row per constraint — PK
+    uniqueness (rows minus distinct keys) and FK orphan counts
+    (left-join null probes) across the star schema's load-bearing
+    relationships. A healthy TPC-H shape reports zero violations,
+    and the audit asserting that IS the product: the same query over
+    a corrupted load pinpoints the broken relationship and its
+    violation count in one pass per table."""
+
+    def pk(df: DataFrame, name: str, key: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+            F.expr(f"CAST(COUNT(*) - COUNT(DISTINCT {key}) AS BIGINT)").alias(
+                "n_violations"
+            ),
+        )
+
+    def fk(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+           name: str) -> DataFrame:
+        return (
+            child.join(parent, child[ckey] == parent[pkey], "left")
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+                F.expr(
+                    f"CAST(SUM(CASE WHEN {pkey} IS NULL THEN 1 ELSE 0 END)"
+                    " AS BIGINT)"
+                ).alias("n_violations"),
+            )
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        pk(o, "pk:orders.o_orderkey", "o_orderkey")
+        .unionAll(pk(c, "pk:customer.c_custkey", "c_custkey"))
+        .unionAll(pk(p, "pk:part.p_partkey", "p_partkey"))
+        .unionAll(fk(o, "o_custkey", c, "c_custkey",
+                     "fk:orders.o_custkey->customer"))
+        .unionAll(fk(li, "l_orderkey", o, "o_orderkey",
+                     "fk:lineitem.l_orderkey->orders"))
+        .unionAll(fk(li, "l_partkey", p, "p_partkey",
+                     "fk:lineitem.l_partkey->part"))
+    )
+
+
+@register(
+    "warehouse_profile_events",
+    oracle="""
+SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+       COUNT(DISTINCT event_id) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+       COUNT(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+       COUNT(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+       COUNT(DISTINCT ts) FROM events
+UNION ALL
+SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+       COUNT(DISTINCT value) FROM events
+UNION ALL
+SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+       COUNT(DISTINCT props) FROM events
+""",
+    tags=("dq", "profile", "completeness", "observability"),
+)
+def warehouse_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column PROFILE of the events table — null counts and distinct
+    cardinalities per column, the completeness/cardinality report a
+    data-observability layer publishes per load (integer columns
+    only, so the profile is hash-exact; value-range stats live in
+    the stats_* family). ONE scan computes every column's counters
+    (a single aggregate emitting all profiles, then an unpivot to
+    check rows) — profiling must not multiply the table's read
+    cost."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "ts", "value", "props"]
+    aggs = []
+    for col in cols:
+        aggs += [
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias(f"{col}__rows"),
+            F.expr(f"CAST(COUNT(*) - COUNT({col}) AS BIGINT)").alias(
+                f"{col}__null"
+            ),
+            F.expr(f"COUNT(DISTINCT {col})").alias(f"{col}__distinct"),
+        ]
+    wide = ev.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col, n_rows, n_null, n_distinct)"
+        )
+    )

@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "mapreduce_citation_spark.operators.tpch_extra",
     "mapreduce_citation_spark.operators.pipeline",
     "mapreduce_citation_spark.operators.mining",
+    "mapreduce_citation_spark.operators.dq",
 )
 
 #: Explicit ordering of the registry's public view. External checkers

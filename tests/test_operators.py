@@ -553,3 +553,31 @@ def test_degree_histogram_partitions_the_graph(spark, sf_dir):
     for r in rows:
         b = r["log2_bucket"]
         assert 2 ** b <= r["min_degree"] <= r["max_degree"] < 2 ** (b + 1)
+
+
+def test_integrity_audit_and_profile(spark, sf_dir):
+    """DQ family sanity: the TPC-H-shaped fixture is clean (zero PK
+    and FK violations, non-trivial row counts); the profile's
+    counters match direct pandas computation column by column."""
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.dq import (
+        warehouse_integrity_audit,
+        warehouse_profile_events,
+    )
+
+    audit = {r["check_name"]: r for r in
+             warehouse_integrity_audit(spark, sf_dir).collect()}
+    assert len(audit) == 6
+    for name, r in audit.items():
+        assert r["n_rows"] > 0, name
+        assert r["n_violations"] == 0, name
+
+    prof = {r["col"]: r for r in
+            warehouse_profile_events(spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    assert set(prof) == set(ev.columns)
+    for col, r in prof.items():
+        assert r["n_rows"] == len(ev)
+        assert r["n_null"] == int(ev[col].isna().sum())
+        assert r["n_distinct"] == int(ev[col].nunique())

@@ -966,3 +966,20 @@ def test_incremental_mv_replay_idempotent(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+def test_streaming_heavy_hitters_match_batch_twin(spark, sf_dir):
+    """The live MG family must produce exactly the batch twin's
+    verified heavy-hitter set — candidate snapshots vary with
+    micro-batch boundaries, but the exact verify pass makes the
+    output invariant."""
+    from mapreduce_citation_spark.operators.events import (
+        events_heavy_hitters_mg,
+    )
+    from mapreduce_citation_spark.operators.streaming_queries import (
+        streaming_heavy_hitters_mg,
+    )
+
+    live = sorted(map(tuple, streaming_heavy_hitters_mg(spark, sf_dir).collect()))
+    batch = sorted(map(tuple, events_heavy_hitters_mg(spark, sf_dir).collect()))
+    assert live == batch and len(live) >= 5
