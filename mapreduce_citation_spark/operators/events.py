@@ -802,3 +802,56 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
         )
     )
+
+
+@register(
+    "events_ses_forecast",
+    oracle="""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         list_transform(list_sort(list({'d': day, 'y': y})), s -> s.y) AS ys
+  FROM d GROUP BY event_type
+)
+SELECT event_type, CAST(len(ys) AS BIGINT) AS n_days,
+       CAST(list_reduce(ys, (acc, x) -> (x + acc) // 2) AS BIGINT)
+         AS ses_level,
+       CAST(ys[len(ys)] AS BIGINT) AS last_count
+FROM s
+""",
+    tags=("events", "forecast", "smoothing", "timeseries"),
+)
+def events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (α = 1/2) over each type's daily
+    counts — the one-step-ahead FORECAST level a capacity monitor
+    carries per series. α = 1/2 makes every update an integer
+    halving (l_t = (y_t + l_{t-1}) div 2), so the recursion is exact
+    BIGINT arithmetic and the day-sorted fold replays bit-for-bit:
+    Spark's ``aggregate`` over the sorted array seeded with its
+    first element ≡ DuckDB's ``list_reduce`` (which seeds that way
+    natively — the CLAUDE.md fold convention). The sequential
+    recursion hides INSIDE a per-group array fold, so the plan is
+    one aggregation, not an iteration: per-series state is the
+    day-count array (bounded by the calendar, not the corpus)."""
+    ev = _ev(spark, sf_dir)
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, y))), s -> s.y)"
+        ).alias("ys")
+    )
+    return s.select(
+        "event_type",
+        F.expr("CAST(size(ys) AS BIGINT)").alias("n_days"),
+        F.expr(
+            "CAST(aggregate(slice(ys, 2, size(ys) - 1), ys[0],"
+            " (acc, x) -> (x + acc) div 2) AS BIGINT)"
+        ).alias("ses_level"),
+        F.expr("CAST(ys[size(ys) - 1] AS BIGINT)").alias("last_count"),
+    )

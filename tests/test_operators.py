@@ -581,3 +581,30 @@ def test_integrity_audit_and_profile(spark, sf_dir):
         assert r["n_rows"] == len(ev)
         assert r["n_null"] == int(ev[col].isna().sum())
         assert r["n_distinct"] == int(ev[col].nunique())
+
+
+def test_ses_forecast_matches_python_fold(spark, sf_dir):
+    """The integer SES fold equals a python replay over the same
+    day-sorted counts, and the smoothed level lies within the
+    series' [min, max] envelope (a convexity property of α=1/2
+    halving, up to the floor's -1)."""
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.events import events_ses_forecast
+
+    rows = events_ses_forecast(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    for r in rows:
+        ys = (
+            ev[ev["event_type"] == r["event_type"]]
+            .groupby("day").size().sort_index().tolist()
+        )
+        acc = ys[0]
+        for x in ys[1:]:
+            acc = (x + acc) // 2
+        assert r["n_days"] == len(ys)
+        assert r["ses_level"] == acc
+        assert r["last_count"] == ys[-1]
+        assert min(ys) - 1 <= r["ses_level"] <= max(ys)

@@ -65,6 +65,7 @@ BROADCAST_ALLOWLIST = {
     ("tpch_extra.py", "s"): "supplier dim (TPC-H dim-side convention)",
     ("tpch_extra.py", "total"): "1-row aggregate (scalar fold)",
     ("events.py", "tot"): "1-row aggregate (stream total scalar fold)",
+    ("streaming_queries.py", "tot"): "1-row aggregate (stream total scalar fold)",
     ("events.py", "m"): "per-type transition marginals: ≤|event_type| = 5 rows",
     ("tpch_extra.py", "mx"): "1-row aggregate (scalar fold)",
     ("mining.py", "tot"): "1-row aggregate (basket total scalar fold)",
