@@ -716,14 +716,15 @@ def audio_fingerprint_signatures(assets: DataFrame) -> DataFrame:
     return assets.select("doc_id", "payload").mapInPandas(batches, AUDIO_FP_SCHEMA)
 
 
-def _audio_fp_sigs_sql() -> str:
+def _audio_fp_sigs_sql(n_seg: int = 65) -> str:
     """CTE body reconstructing every audio fingerprint from the
     construction definition: sample byte j of doc_id's WAV is text
     byte j (j < nd = L − L%channels; low bit xor'd for the planted
-    variant's first sample), segment s covers j ∈ [⌈s·nd/65⌉,
-    ⌈(s+1)·nd/65⌉), energy = Σ|code − 128|, bit i compares segments
-    i+1 vs i. Ends with a ``sigs(aud_id, dh)`` CTE."""
-    return """
+    variant's first sample), segment s covers j ∈ [⌈s·nd/n_seg⌉,
+    ⌈(s+1)·nd/n_seg⌉), energy = Σ|code − 128|, bit i compares
+    segments i+1 vs i (n_seg−1 bits). Ends with a
+    ``sigs(aud_id, dh)`` CTE."""
+    return f"""
 auds AS (
   SELECT doc_id, text, length(text) AS L,
          CAST(1 + (doc_id // 2) % 2 AS INT) AS c
@@ -736,14 +737,14 @@ units AS (
   SELECT doc_id * 2 + 1, text, L - L % c, TRUE
   FROM auds WHERE doc_id % 10 = 5 AND L - L % c > 0
 ),
-grid AS (SELECT u.aud_id, u.text, u.nd, u.pert, s FROM units u, range(0, 65) t(s)),
+grid AS (SELECT u.aud_id, u.text, u.nd, u.pert, s FROM units u, range(0, {n_seg}) t(s)),
 seg AS (
   SELECT g.aud_id, g.s AS seg,
          COALESCE((
            SELECT SUM(CASE WHEN g.pert AND j = 0
                       THEN ABS(xor(ascii(substr(g.text, CAST(j AS INT) + 1, 1)), 1) - 128)
                       ELSE ABS(ascii(substr(g.text, CAST(j AS INT) + 1, 1)) - 128) END)
-           FROM unnest(range((g.s * g.nd + 64) // 65, ((g.s + 1) * g.nd + 64) // 65)) AS t(j)
+           FROM unnest(range((g.s * g.nd + {n_seg - 1}) // {n_seg}, ((g.s + 1) * g.nd + {n_seg - 1}) // {n_seg})) AS t(j)
          ), 0) AS energy
   FROM grid g
 ),
@@ -756,7 +757,7 @@ sigs AS (
   SELECT aud_id,
          string_agg(CASE WHEN energy_next > energy THEN '1' ELSE '0' END,
                     '' ORDER BY seg) AS dh
-  FROM cmp WHERE seg < 64
+  FROM cmp WHERE seg < {n_seg - 1}
   GROUP BY aud_id
 )
 """
@@ -897,3 +898,142 @@ def multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset, or sampling-rule bug in the resizer breaks the hash."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     return resize_images(build_media_assets(d), side=4)
+
+
+def hamming_band_pairs_128(
+    sigs: DataFrame, id_col: str, out_a: str, out_b: str
+) -> DataFrame:
+    """128-bit generalization of ``hamming_band_pairs``: 3 pigeonhole
+    blocks of 43/43/42 bits (total recall at Hamming ≤ 2), exact
+    distance summed over FOUR 32-bit quarters (``conv`` of a 64-char
+    binary string would wrap a signed LONG; 32-bit quarters stay
+    safely positive)."""
+    sigs = sigs.localCheckpoint()
+    blocks = [(0, 1, 43), (1, 44, 43), (2, 87, 42)]
+    block_cols = [
+        F.concat_ws(":", F.lit(i), F.substring("dh", st, ln)).alias(f"blk{i}")
+        for i, st, ln in blocks
+    ]
+    quarters = [
+        F.conv(F.substring("dh", 1 + 32 * i, 32), 2, 10)
+        .cast("long")
+        .alias(f"q{i}")
+        for i in range(4)
+    ]
+    bands = sigs.select(
+        F.col(id_col), *quarters, F.explode(F.array(*block_cols)).alias("block_key")
+    )
+    ham = sum(
+        F.bit_count(F.col(f"qa{i}").bitwiseXOR(F.col(f"qb{i}")))
+        for i in range(4)
+    ).cast("long").alias("hamming")
+    sel_a = [F.col(f"x.q{i}").alias(f"qa{i}") for i in range(4)]
+    sel_b = [F.col(f"y.q{i}").alias(f"qb{i}") for i in range(4)]
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.block_key") == F.col("y.block_key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias(out_a),
+            F.col(f"y.{id_col}").alias(out_b),
+            *sel_a,
+            *sel_b,
+        )
+        .distinct()
+        .select(out_a, out_b, ham)
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+def make_audio_fingerprint128():
+    """129-segment (128-bit) variant of ``make_audio_fingerprint`` —
+    the SIGNATURE-ENTROPY fix the 500k-doc corpus run demanded: the
+    64-bit contour saturates at ~250k recordings (9.4M incidental
+    Hamming≤2 pairs); doubling the contour resolution makes
+    incidental near-collisions exponentially rarer while the planted
+    ±1-energy variants still differ in ≤1 bit. Same parsing, same
+    segment rule (byte j → segment (j·129)//nd)."""
+    perturb, _fp64 = make_audio_fingerprint()
+    import struct
+
+    def _data_span(payload: bytes):
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            sz = struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"data":
+                return pos + 8, sz
+            pos += 8 + sz + (sz % 2)
+        raise ValueError("RIFF/WAVE missing data chunk")
+
+    def fp(payload: bytes):
+        off, sz = _data_span(payload)
+        data = payload[off : off + sz]
+        nd = len(data)
+        if nd == 0:
+            return None
+        energy = [0] * 129
+        for j, x in enumerate(data):
+            energy[(j * 129) // nd] += abs(x - 128)
+        return "".join(
+            "1" if energy[i + 1] > energy[i] else "0" for i in range(128)
+        )
+
+    return perturb, fp
+
+
+def audio_fingerprint128_signatures(assets: DataFrame) -> DataFrame:
+    """(aud_id, 128-bit fingerprint) rows with the same planted-variant
+    scheme as the 64-bit path."""
+    perturb, fp = make_audio_fingerprint128()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                s = fp(p)
+                if s is None:
+                    continue
+                rows.append((int(doc_id) * 2, s))
+                if doc_id % 10 == 5:
+                    rows.append((int(doc_id) * 2 + 1, fp(perturb(p))))
+            yield pd.DataFrame(rows, columns=["aud_id", "dh"])
+
+    return assets.select("doc_id", "payload").mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+def _audio_fp128_sigs_sql() -> str:
+    """129-segment variant of ``_audio_fp_sigs_sql``."""
+    return _audio_fp_sigs_sql(129)
+
+
+@register(
+    "multimodal_audio_fp128_pairs",
+    oracle="WITH "
+    + _audio_fp128_sigs_sql()
+    + """
+SELECT a.aud_id AS aud_a, b.aud_id AS aud_b,
+       CAST(bit_count(xor(a.dh::BIT, b.dh::BIT)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.aud_id < b.aud_id
+WHERE bit_count(xor(a.dh::BIT, b.dh::BIT)) <= 2
+""",
+    tags=("multimodal", "dedup", "audio", "fingerprint", "entropy",
+          "pandas-udf"),
+)
+def multimodal_audio_fp128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 128-BIT audio near-dup path — the signature-entropy fix
+    the 500k-doc corpus run demanded (SCALE.md: 64-bit contours
+    saturate at ~250k recordings with 9.4M incidental Hamming≤2
+    pairs while planted recall held). Twice the contour resolution
+    makes incidental near-collisions exponentially rarer; the
+    planted ±1-energy variants still differ in ≤1 bit, so total
+    recall of the planted set stays part of the hash gate. Pairing
+    via ``hamming_band_pairs_128`` (3 pigeonhole blocks of 43/43/42
+    bits; exact distance over four 32-bit quarters)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    sigs = audio_fingerprint128_signatures(build_media_assets(d))
+    return hamming_band_pairs_128(sigs, "aud_id", "aud_a", "aud_b")

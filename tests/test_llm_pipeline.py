@@ -1146,3 +1146,30 @@ def test_resize_thumbs_match_python_pixel_replay(spark, sf_dir):
         assert [r["mean_c0"], r["mean_c1"], r["mean_c2"]] == [
             s / 16 for s in sums
         ]
+
+
+def test_audio_fp128_recovers_planted(spark, sf_dir):
+    """The 128-bit fingerprint must recover every planted pair
+    (Hamming ≤ 1) through its own pigeonhole plan, with well-formed
+    pairs. (A finer contour is NOT a refinement of the coarser one —
+    129 segments don't nest in 65 — so no monotonicity claim between
+    the two pair sets holds in general; their scale behavior is
+    measured, not assumed: see SCALE.md's entropy paragraphs.)"""
+    from mapreduce_citation_spark.operators.multimodal import (
+        multimodal_audio_fp128_pairs,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    planted = {
+        2 * r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 5)
+        .select("doc_id")
+        .collect()
+    }
+    p128 = {(r["aud_a"], r["aud_b"]): r["hamming"]
+            for r in multimodal_audio_fp128_pairs(spark, sf_dir).collect()}
+    for base in planted:
+        assert (base, base + 1) in p128 and p128[(base, base + 1)] <= 1
+    for (a, b), ham in p128.items():
+        assert a < b and 0 <= ham <= 2

@@ -50,6 +50,7 @@ FAMILIES = (
     # than exact K-linearity.
     "text_bpe_merges",
     "multimodal_audio_fp_pairs",
+    "multimodal_audio_fp128_pairs",
 )
 #: embeddings families run over the signed-permutation expansion
 #: (2k → 20k → 200k vectors; queries stay the 10 base vectors, the
@@ -62,7 +63,8 @@ EMB_ROWS = {"knn_ivf_ann": 50, "embedding_kmeans": 8}
 FIXED_ROWS = {"text_bpe_merges": 3}
 #: planted-recall lower bounds: ≥ value × K rows (each replica's 50
 #: planted audio variants MUST pair; incidental near-pairs may add)
-MIN_ROWS_PER_K = {"multimodal_audio_fp_pairs": 50}
+MIN_ROWS_PER_K = {"multimodal_audio_fp_pairs": 50,
+                  "multimodal_audio_fp128_pairs": 50}
 #: families whose output is an exact per-replica property (rows scale
 #: exactly ×K). dedup_minhash_lsh is only NEAR-linear: its banded
 #: LSH recall depends on the hash space, and each replica's shingle
