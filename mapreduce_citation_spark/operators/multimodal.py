@@ -1037,3 +1037,267 @@ def multimodal_audio_fp128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
     sigs = audio_fingerprint128_signatures(build_media_assets(d))
     return hamming_band_pairs_128(sigs, "aud_id", "aud_a", "aud_b")
+
+
+# --- gram-sketch audio near-dup (MinHash over PCM byte shingles) ----------
+
+#: PCM byte-gram length for the gram-sketch signature family.
+_AMH_K = 8
+#: exact-Jaccard verification threshold on candidate pairs.
+_AMH_J = 0.9
+
+#: Decoded PCM stream per recording (planted variants included).
+AUDIO_PCM_SCHEMA = StructType(
+    [StructField("aud_id", LongType()), StructField("pcm", StringType())]
+)
+
+
+def make_audio_pcm():
+    """Pure-python PCM extractor kit: returns ``(perturb, pcm)``.
+
+    - ``perturb`` is the shared planted-variant rule (first data-chunk
+      sample byte xor 1 — same as ``make_audio_fingerprint``).
+    - ``pcm(payload) -> str | None`` chunk-walks the RIFF container to
+      the data bytes and returns them as a latin-1 string (the codec
+      builds from ASCII text, and ascii^1 stays ASCII, so the byte→char
+      mapping is lossless and 1 char == 1 sample). Returns None when
+      the data chunk is shorter than one ``_AMH_K``-byte gram.
+
+    Factory-nested for cloudpickle capture (see make_media_codec)."""
+    import struct
+
+    def _data_span(payload: bytes) -> tuple[int, int]:
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            sz = struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"data":
+                return pos + 8, sz
+            pos += 8 + sz + (sz % 2)
+        raise ValueError("RIFF/WAVE missing data chunk")
+
+    def perturb(payload: bytes) -> bytes:
+        off, sz = _data_span(payload)
+        v = bytearray(payload)
+        if sz > 0:
+            v[off] ^= 1
+        return bytes(v)
+
+    def pcm(payload: bytes) -> str | None:
+        off, sz = _data_span(payload)
+        data = payload[off : off + sz]
+        if len(data) < _AMH_K:
+            return None
+        return data.decode("latin-1")
+
+    return perturb, pcm
+
+
+def audio_pcm_units(assets: DataFrame) -> DataFrame:
+    """WAV assets → (aud_id, pcm) rows: every recording's decoded data
+    chunk under aud_id = 2·doc_id, plus — for each doc_id % 10 == 5 —
+    the planted low-bit-perturbed variant under aud_id = 2·doc_id + 1
+    (the scheme shared with the contour-fingerprint families). One
+    Arrow-batched decode pass; payload bytes never shuffle."""
+    perturb, pcm = make_audio_pcm()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                s = pcm(p)
+                if s is None:
+                    continue
+                rows.append((int(doc_id) * 2, s))
+                if doc_id % 10 == 5:
+                    rows.append((int(doc_id) * 2 + 1, pcm(perturb(p))))
+            yield pd.DataFrame(rows, columns=["aud_id", "pcm"])
+
+    return assets.select("doc_id", "payload").mapInPandas(batches, AUDIO_PCM_SCHEMA)
+
+
+def _audio_minhash_oracle() -> str:
+    """DuckDB replay of the full gram-sketch pipeline from the codec's
+    construction definition: PCM bytes of doc_id's WAV are text bytes
+    truncated to nd = L − L%channels (first byte xor'd for the planted
+    variant), grams are the distinct 8-byte windows digested with the
+    shared cross-engine 31-bit scheme, signatures/bands/candidates/
+    verify mirror ``dedup_minhash_lsh``'s oracle over those digests."""
+    from ..functions.text_funcs import (
+        MINHASH_P,
+        minhash_params,
+        shingle_int_hash_duck,
+    )
+
+    dg = shingle_int_hash_duck(f"substr(pcm, CAST(i AS INT), {_AMH_K})")
+    mins = ", ".join(
+        f"list_aggregate(list_transform(grams, s -> ({a} * s + {b}) % {MINHASH_P}), 'min')"
+        for a, b in minhash_params(16)
+    )
+    jac = (
+        "len(list_intersect(x.grams, y.grams)) * 1.0"
+        " / len(list_distinct(list_concat(x.grams, y.grams)))"
+    )
+    return f"""
+WITH auds AS (
+  SELECT doc_id, text, length(text) AS L,
+         CAST(1 + (doc_id // 2) % 2 AS INT) AS c
+  FROM documents WHERE doc_id % 2 = 1
+),
+units AS (
+  SELECT doc_id * 2 AS aud_id, substr(text, 1, L - L % c) AS pcm
+  FROM auds WHERE L - L % c >= {_AMH_K}
+  UNION ALL
+  SELECT doc_id * 2 + 1,
+         chr(xor(ascii(substr(text, 1, 1)), 1)) || substr(text, 2, L - L % c - 1)
+  FROM auds WHERE doc_id % 10 = 5 AND L - L % c >= {_AMH_K}
+),
+g AS (
+  SELECT aud_id,
+         list_distinct(list_transform(
+           generate_series(1, length(pcm) - {_AMH_K - 1}), i -> {dg})) AS grams
+  FROM units
+),
+sigs AS (SELECT aud_id, grams, [{mins}] AS mh FROM g),
+bands AS (
+  SELECT aud_id,
+         unnest(list_transform(generate_series(0, 3),
+                b -> b || ':' || array_to_string(mh[b * 4 + 1:b * 4 + 4], ','))) AS band_key
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.aud_id AS aud_a, b.aud_id AS aud_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.aud_id < b.aud_id
+)
+SELECT c.aud_a, c.aud_b, {jac} AS jaccard
+FROM cand c
+JOIN g x ON x.aud_id = c.aud_a
+JOIN g y ON y.aud_id = c.aud_b
+WHERE {jac} >= {_AMH_J}
+"""
+
+
+@register(
+    "multimodal_audio_minhash_pairs",
+    oracle=_audio_minhash_oracle(),
+    tags=("multimodal", "dedup", "audio", "minhash", "lsh", "pandas-udf"),
+)
+def multimodal_audio_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-sketch audio near-dup — the SHORT-RECORDING fix the 128-bit
+    contour experiment demanded (SCALE.md: a fixed-width energy contour
+    saturates because its effective entropy is bounded by recording
+    LENGTH, so at 250k+ recordings incidental Hamming-near collisions
+    dominate; more contour bits don't help). A MinHash sketch over PCM
+    byte 8-grams scales its discrimination with CONTENT instead: two
+    recordings only pair when ≥90% of their actual gram sets overlap,
+    never because two 64-bit projections happen to collide.
+
+    Pipeline (the ``dedup_minhash_lsh`` architecture pointed at decoded
+    audio): real WAV decode → (aud_id, pcm) units via one Arrow-batched
+    ``mapInPandas`` pass (payload bytes never shuffle; planted
+    first-sample-xor variants differ in ≤ 1 of ~nd distinct grams —
+    only the window at offset 0 sees byte 0 — so Jaccard ≥
+    (g−1)/(g+1) ≥ 0.947 at the fixture's g ≥ 37 minimum, and
+    total planted recall is part of the hash gate), per-row
+    ``array_distinct`` gram digests (the r6 scale rule: never
+    partial-aggregate near-unique (id, gram) keys), 16 universal-hash
+    MinHash mins (one md5 per gram, codegen'd integer arithmetic), 4×4
+    LSH band self-join for candidates, exact digest-Jaccard verify on
+    candidates only — re-reading the persisted (MEMORY_AND_DISK,
+    columnar, evictable) unit cache instead of re-decoding.
+
+    The DuckDB oracle replays encode→decode→gram→sketch→band→verify
+    from the construction definition — deterministic integer arithmetic
+    end-to-end, so even LSH's probabilistic recall is bit-reproducible
+    across engines."""
+    from pyspark import StorageLevel
+
+    from ..functions.text_funcs import (
+        MINHASH_P,
+        minhash_params,
+        shingle_int_hash_spark,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    units = audio_pcm_units(build_media_assets(d)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dg = shingle_int_hash_spark(f"substring(pcm, i, {_AMH_K})")
+    grams = units.select(
+        "aud_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(1, length(pcm) - {_AMH_K} + 1), i -> {dg}))"
+            )
+        ).alias("h"),
+    )
+    sig = (
+        grams.groupBy("aud_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            *[
+                F.min(F.expr(f"({a} * h + {b}) % {MINHASH_P}")).alias(f"h{i}")
+                for i, (a, b) in enumerate(minhash_params(16))
+            ],
+        )
+        .localCheckpoint()  # one row per recording — tiny; band join below
+    )
+    band_cols = [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.concat_ws(",", *[F.col(f"h{b * 4 + j}") for j in range(4)]),
+        ).alias(f"band{b}")
+        for b in range(4)
+    ]
+    bands = sig.select(
+        "aud_id", "n_g", F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.aud_id") < F.col("b.aud_id")),
+        )
+        .select(
+            F.col("a.aud_id").alias("aud_a"),
+            F.col("b.aud_id").alias("aud_b"),
+            F.col("a.n_g").alias("n_a"),
+            F.col("b.n_g").alias("n_b"),
+        )
+        .distinct()
+    )
+    auds_in_cand = (
+        cand.select(F.col("aud_a").alias("aud_id"))
+        .union(cand.select("aud_b"))
+        .distinct()
+    )
+    gc = units.join(auds_in_cand, "aud_id", "left_semi").select(
+        "aud_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(1, length(pcm) - {_AMH_K} + 1), i -> {dg}))"
+            )
+        ).alias("h"),
+    )
+    common = (
+        gc.alias("x")
+        .join(
+            gc.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.aud_id") < F.col("y.aud_id")),
+        )
+        .groupBy(
+            F.col("x.aud_id").alias("aud_a"), F.col("y.aud_id").alias("aud_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        cand.join(common, ["aud_a", "aud_b"])
+        .select("aud_a", "aud_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _AMH_J)
+    )

@@ -1173,3 +1173,58 @@ def test_audio_fp128_recovers_planted(spark, sf_dir):
         assert (base, base + 1) in p128 and p128[(base, base + 1)] <= 1
     for (a, b), ham in p128.items():
         assert a < b and 0 <= ham <= 2
+
+
+def test_audio_pcm_units_round_trip_and_perturb_locality(spark):
+    """The gram-sketch front-end decodes the WAV data chunk back to
+    exactly the built text bytes (truncated to whole frames), and the
+    planted perturbation changes EXACTLY the first sample — so at most
+    one distinct 8-gram of the base set is replaced."""
+    from mapreduce_citation_spark.operators.multimodal import (
+        _AMH_K,
+        make_audio_pcm,
+        make_media_codec,
+    )
+
+    build, _decode = make_media_codec()
+    perturb, pcm = make_audio_pcm()
+    for doc_id, text in ((1, "alpha beta gamma delta epsilon zeta"),
+                         (3, "short but long enough for grams x")):
+        mime, payload = build(doc_id, text)
+        assert mime == "audio/wav"
+        c = 1 + (doc_id // 2) % 2
+        nd = len(text) - len(text) % c
+        base = pcm(payload)
+        assert base == text[:nd]
+        var = pcm(perturb(payload))
+        assert var[0] == chr(ord(text[0]) ^ 1) and var[1:] == base[1:]
+        grams = lambda s: {s[i : i + _AMH_K] for i in range(len(s) - _AMH_K + 1)}
+        gb, gv = grams(base), grams(var)
+        assert len(gb - gv) <= 1 and len(gv - gb) <= 1
+
+
+def test_audio_minhash_pairs_recover_planted(spark, sf_dir):
+    """Every planted (base, variant) recording pair must survive the
+    full sketch→band→verify pipeline with Jaccard ≥ 0.9 (the variant
+    differs in ≤ 1 of ≥ 37 distinct grams, so its true Jaccard is
+    ≥ 36/38 and its MinHash signature is near-identical); all emitted
+    pairs are ordered and above the gate."""
+    from mapreduce_citation_spark.operators.multimodal import (
+        multimodal_audio_minhash_pairs,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    planted = {
+        2 * r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 5)
+        .select("doc_id")
+        .collect()
+    }
+    pairs = multimodal_audio_minhash_pairs(spark, sf_dir).collect()
+    found = {(r["aud_a"], r["aud_b"]): r["jaccard"] for r in pairs}
+    for base in planted:
+        assert (base, base + 1) in found, f"planted pair {base} missing"
+        assert found[(base, base + 1)] >= 0.9
+    for (a, b), j in found.items():
+        assert a < b and 0.9 <= j <= 1.0

@@ -51,6 +51,11 @@ FAMILIES = (
     "text_bpe_merges",
     "multimodal_audio_fp_pairs",
     "multimodal_audio_fp128_pairs",
+    # r6c: the gram-sketch audio family — within-replica gram identity
+    # IS bijection-invariant (unlike contour energies), so its output
+    # is near-linear like dedup_minhash_lsh (banded recall fluctuates
+    # per replica) on top of the planted floor.
+    "multimodal_audio_minhash_pairs",
 )
 #: embeddings families run over the signed-permutation expansion
 #: (2k → 20k → 200k vectors; queries stay the 10 base vectors, the
@@ -64,7 +69,8 @@ FIXED_ROWS = {"text_bpe_merges": 3}
 #: planted-recall lower bounds: ≥ value × K rows (each replica's 50
 #: planted audio variants MUST pair; incidental near-pairs may add)
 MIN_ROWS_PER_K = {"multimodal_audio_fp_pairs": 50,
-                  "multimodal_audio_fp128_pairs": 50}
+                  "multimodal_audio_fp128_pairs": 50,
+                  "multimodal_audio_minhash_pairs": 500}
 #: families whose output is an exact per-replica property (rows scale
 #: exactly ×K). dedup_minhash_lsh is only NEAR-linear: its banded
 #: LSH recall depends on the hash space, and each replica's shingle
@@ -78,7 +84,7 @@ EXACT_LINEAR = {
     "dedup_substring_spans",
     "dedup_substring_strip",
 }
-NEAR_LINEAR = {"dedup_minhash_lsh"}
+NEAR_LINEAR = {"dedup_minhash_lsh", "multimodal_audio_minhash_pairs"}
 #: the funnel emits 5 accounting rows; only stage 0 (total docs) is
 #: checked ×K. The Gopher QUALITY gate is NOT char-bijection-
 #: invariant (stopword matches and alpha-ratios see rotated chars as
