@@ -259,3 +259,34 @@ def test_personalized_pagerank_localizes_to_seed_community(spark):
         got[n] for n in ("b1", "b2", "b3")
     )
     assert 0.9 * _FP_SCALE < sum(got.values()) <= _FP_SCALE
+
+
+def test_link_prediction_matches_python_ra(spark):
+    """RA link prediction on a hand-built bipartite graph vs an exact
+    python replay of the fixed-point arithmetic: citers c1 (degree 2,
+    weight SCALE//2) and c2 (degree 3, weight SCALE//3) both co-cite
+    (A, B), so RA(A,B) accumulates both discounted weights; (A, C) and
+    (B, C) share only c2 and fall under the >=2-common filter."""
+    from mapreduce_citation_spark.operators.graph import (
+        _RA_SCALE,
+        resource_allocation_pairs,
+    )
+
+    edges = [
+        ("c1", "A"), ("c1", "B"),
+        ("c2", "A"), ("c2", "B"), ("c2", "C"),
+        ("c3", "A"), ("c3", "B"),          # degree-2 citer of the same pair
+        ("c4", "D"),                        # isolated citation
+    ]
+    e = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    rows = resource_allocation_pairs(e).collect()
+    got = {
+        (r["paper_a"], r["paper_b"]): (r["n_common"], r["ra_score_fp"])
+        for r in rows
+    }
+    expected_ab = 2 * (_RA_SCALE // 2) + _RA_SCALE // 3
+    assert got == {("A", "B"): (3, expected_ab)}
+    # deterministic ordering contract: score desc, then ids asc
+    assert [r["paper_a"] for r in rows] == sorted(
+        [r["paper_a"] for r in rows]
+    )
