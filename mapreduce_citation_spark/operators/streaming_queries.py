@@ -975,3 +975,159 @@ def streaming_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("share"),
         )
     )
+
+
+_OUTER_STAGE: dict[str, str] = {}
+
+
+def _staged_events_with_heartbeats(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture for the OUTER-join stream as three
+    ordered files: the real events, then two far-future HEARTBEAT
+    files (one 'view' + one 'purchase' row each, user_id < 0).
+
+    Why: a left-outer stream-stream join finalizes an unmatched left
+    row only when the watermark passes view_ts + join-window — and the
+    watermark only advances when LATER data arrives. On a finite file
+    stream the last window's outer rows would stay buffered forever.
+    The heartbeats are the standard production fix (an idle-topic
+    watermark heartbeat): file 2 advances the watermark past every
+    real event, file 3 triggers one more micro-batch so the join
+    flushes the remainder. Both branches (views/purchases filters) see
+    a heartbeat, so BOTH sides' watermarks advance.
+    ``maxFilesPerTrigger=1`` + explicit mtimes make the three
+    micro-batches real and ordered."""
+    import datetime
+    import glob
+    import shutil
+    import time
+
+    from ..sources.readers import load_table
+
+    key = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    stage = _OUTER_STAGE.get(key)
+    if stage is not None and os.path.isdir(stage):
+        return stage
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    # 1-row scalar: the heartbeat timestamps must clear the real max.
+    # (Staging shim only — in production the heartbeat producer owns
+    # its own clock and this collect does not exist.)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    stage = tempfile.mkdtemp(prefix="outer_funnel_")
+    batches = [ev]
+    for i, eid in ((1, -1), (2, -3)):
+        hb_ts = max_ts + datetime.timedelta(days=10 * i)
+        batches.append(
+            spark.createDataFrame(
+                [
+                    (eid, hb_ts, -1, "view", 0.0, "{}"),
+                    (eid - 1, hb_ts, -2, "purchase", 0.0, "{}"),
+                ],
+                ev.schema,
+            )
+        )
+    now = time.time()
+    for i, df in enumerate(batches):
+        tmp = os.path.join(stage, f"_b{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"f{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 300 + 100 * i, now - 300 + 100 * i))
+    _OUTER_STAGE[key] = stage
+    return stage
+
+
+@register(
+    "streaming_funnel_left_outer",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts
+FROM events v
+LEFT JOIN events p
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts < v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view'
+""",
+    tags=("streaming", "stream-stream-join", "outer-join", "watermark"),
+)
+def streaming_funnel_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join as a LIVE query — the fourteenth
+    live family, and a semantically distinct state machine from the
+    inner funnel: every view must eventually emit, so the join buffers
+    each left row until either a purchase matches or the WATERMARK
+    proves no future purchase can (only then may the NULL-extended row
+    leave — emitting earlier would double-count on a late match).
+    That finalization is why this query stages the fixture behind two
+    far-future heartbeat files (``_staged_events_with_heartbeats``):
+    without later data the last hour of unmatched views would sit in
+    state forever — the standard idle-source watermark-heartbeat
+    pattern, here made deterministic with ``maxFilesPerTrigger=1``.
+
+    The drained append-mode sink must equal the batch LEFT JOIN
+    bit-for-bit (heartbeat rows filtered by user_id >= 0). At 100 TB:
+    state is keyed by user_id and bounded by watermark + the 1-hour
+    bound on BOTH sides; the unmatched-view stream is exactly the
+    retargeting/abandonment feed this shape exists for."""
+    stage = _staged_events_with_heartbeats(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_EVENTS_MICROS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    from ..streaming.events import funnel_join
+
+    views = stream.filter(F.col("event_type") == "view").withWatermark(
+        "ts", "2 hours"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "2 hours"
+    )
+    # NOTE: the heartbeat filter must NOT appear in the streaming plan.
+    # A post-join filter on user_id is a deterministic predicate on a
+    # left-side key, so Catalyst pushes it through the join, through
+    # withWatermark, into the parquet SOURCE — the heartbeat rows then
+    # never reach the watermark operator and it stays frozen at the
+    # real data's max (found by tracing recentProgress: heartbeat
+    # batches showed numInputRows=0). Filter on the drained BATCH
+    # table instead, where pushdown is harmless.
+    joined = (
+        funnel_join(views, purchases, within="1 hour", how="left_outer")
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        )
+    )
+    name = f"streaming_funnel_left_outer_{next(_SINK_COUNTER)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).filter(F.col("user_id") >= 0)
+    n_null = out.filter(F.col("purchase_id").isNull()).count()
+    assert n_null >= 1, (
+        "outer finalization did not flush any unmatched views — "
+        "heartbeat staging failed to advance the watermark"
+    )
+    return out

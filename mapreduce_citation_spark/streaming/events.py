@@ -102,14 +102,18 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def funnel_join(
-    views: DataFrame, purchases: DataFrame, within: str = "1 hour"
+    views: DataFrame, purchases: DataFrame, within: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """View→purchase funnel: for each view, the same user's purchases
     within ``within`` after it. Works on batch DataFrames as-is; on
     streams, attach watermarks to both sides first (required for
     stream-stream joins — the watermark + time bound let Spark expire
     join state). The equi-key (user_id) keeps this a keyed join, never
-    a cross product."""
+    a cross product. ``how="left_outer"`` emits unconverted views with
+    NULL purchase columns — on a stream those rows are finalized only
+    once the watermark passes view_ts + ``within`` (the point where no
+    future purchase can match)."""
     v = views.select(
         F.col("user_id").alias("v_user"),
         F.col("event_id").alias("view_id"),
@@ -126,6 +130,7 @@ def funnel_join(
             (F.col("v_user") == F.col("p_user"))
             & (F.col("purchase_ts") >= F.col("view_ts"))
             & (F.col("purchase_ts") < F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+            how,
         )
         .select(
             F.col("v_user").alias("user_id"),

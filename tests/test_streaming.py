@@ -983,3 +983,63 @@ def test_streaming_heavy_hitters_match_batch_twin(spark, sf_dir):
     live = sorted(map(tuple, streaming_heavy_hitters_mg(spark, sf_dir).collect()))
     batch = sorted(map(tuple, events_heavy_hitters_mg(spark, sf_dir).collect()))
     assert live == batch and len(live) >= 5
+
+
+def test_streaming_left_outer_funnel_flushes_tail(spark, sf_dir):
+    """The left-outer stream-stream join must equal the batch LEFT
+    JOIN — including the LAST join-window of unmatched views, which
+    only flush because the heartbeat files advance the watermark past
+    the end of the real data (the failure signature of a frozen
+    watermark is precisely those tail rows missing). Also pins the
+    pushdown hazard fix: the heartbeat filter lives on the drained
+    batch table, never in the streaming plan."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.streaming_queries import (
+        streaming_funnel_left_outer,
+    )
+    from mapreduce_citation_spark.sources.readers import load_table
+
+    live = streaming_funnel_left_outer(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+        .select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
+        .toPandas()
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (int(r.view_id), -1 if r.purchase_id != r.purchase_id else int(r.purchase_id))
+        for r in df.itertuples()
+    )
+    assert key(live) == key(batch)
+    # the tail must include a NULL-extended view at/near the stream's
+    # very end — the row a frozen watermark would have swallowed
+    last_view = batch["view_id"].max()
+    tail_nulls = {
+        int(r.view_id)
+        for r in live.itertuples()
+        if r.purchase_id != r.purchase_id
+    }
+    batch_tail_nulls = {
+        int(r.view_id)
+        for r in batch.itertuples()
+        if r.purchase_id != r.purchase_id
+    }
+    assert tail_nulls == batch_tail_nulls and max(batch_tail_nulls) <= last_view
+    assert live["user_id"].min() >= 0  # heartbeats never reach the output
