@@ -855,3 +855,105 @@ def events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ses_level"),
         F.expr("CAST(ys[size(ys) - 1] AS BIGINT)").alias("last_count"),
     )
+
+
+@register(
+    "events_daily_acf",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, x, y,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd,
+         CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         LEAD(x, 1) OVER (PARTITION BY event_type ORDER BY x) AS x1,
+         LEAD(y, 1) OVER (PARTITION BY event_type ORDER BY x) AS y1,
+         LEAD(x, 2) OVER (PARTITION BY event_type ORDER BY x) AS x2,
+         LEAD(y, 2) OVER (PARTITION BY event_type ORDER BY x) AS y2,
+         LEAD(x, 3) OVER (PARTITION BY event_type ORDER BY x) AS x3,
+         LEAD(y, 3) OVER (PARTITION BY event_type ORDER BY x) AS y3
+  FROM d
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN x1 = x + 1
+                THEN (nd * y - s) * (nd * y1 - s) END) AS DOUBLE)
+         / CAST(SUM((nd * y - s) * (nd * y - s)) AS DOUBLE) AS acf1,
+       CAST(SUM(CASE WHEN x2 = x + 2
+                THEN (nd * y - s) * (nd * y2 - s) END) AS DOUBLE)
+         / CAST(SUM((nd * y - s) * (nd * y - s)) AS DOUBLE) AS acf2,
+       CAST(SUM(CASE WHEN x3 = x + 3
+                THEN (nd * y - s) * (nd * y3 - s) END) AS DOUBLE)
+         / CAST(SUM((nd * y - s) * (nd * y - s)) AS DOUBLE) AS acf3
+FROM t GROUP BY event_type
+HAVING MIN(y) <> MAX(y)
+""",
+    tags=("events", "timeseries", "autocorrelation"),
+)
+def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type AUTOCORRELATION of the daily count series at lags
+    1-3 — the seasonality/burstiness diagnostic that complements
+    ``events_daily_trend``'s drift detection (a weekly-cycle metric
+    shows acf7 ≫ acf1; a bursty one decays fast).
+
+    Estimator: the standard biased sample ACF r_k = Σ(y_t−ȳ)(y_{t+k}
+    −ȳ) / Σ(y_t−ȳ)², computed entirely in integers before ONE final
+    division — each centered term is (nd·y − S), i.e. nd·(y−ȳ) with
+    the nd² factor cancelling between numerator and denominator, so
+    both engines sum identical BIGINTs (the ``stats_variance``
+    strategy; magnitudes bounded by (nd·max_daily)²·nd ≈ 1e10 at
+    sf0.1 — far inside BIGINT). Lagged pairs are DAY-lagged, not
+    row-lagged: a pair only counts when the day gap is exactly k
+    (LEAD(x,k) = x+k), so a sparse series never silently compares
+    non-adjacent days. A lag with no valid pairs yields NULL on both
+    engines; zero-variance types are dropped identically via the
+    MIN<>MAX guard (the 0/0 class from the repo's determinism rules).
+
+    Scale shape: one corpus-wide shuffle to the (type, day) daily
+    aggregate; the window pass and final per-type aggregate run on
+    |types|×|days| rows and share the hash(event_type) exchange."""
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            ).cast("long").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("x")
+    t = d.select(
+        "event_type", "x", "y",
+        F.count(F.lit(1)).over(w).alias("nd"),
+        F.sum("y").over(w).alias("s"),
+        *[F.lead(c, k).over(wo).alias(f"{c}{k}")
+          for k in (1, 2, 3) for c in ("x", "y")],
+    )
+    den = "CAST(SUM((nd * y - s) * (nd * y - s)) AS DOUBLE)"
+    acfs = [
+        F.expr(
+            f"CAST(SUM(CASE WHEN x{k} = x + {k} "
+            f"THEN (nd * y - s) * (nd * y{k} - s) END) AS DOUBLE) / {den}"
+        ).alias(f"acf{k}")
+        for k in (1, 2, 3)
+    ]
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_days"),
+            *acfs,
+            F.expr("MIN(y) <> MAX(y)").alias("_ok"),
+        )
+        .filter(F.col("_ok"))
+        .drop("_ok")
+    )

@@ -608,3 +608,41 @@ def test_ses_forecast_matches_python_fold(spark, sf_dir):
         assert r["ses_level"] == acc
         assert r["last_count"] == ys[-1]
         assert min(ys) - 1 <= r["ses_level"] <= max(ys)
+
+
+def test_daily_acf_matches_numpy_replay(spark, sf_dir):
+    """The integer-moment ACF equals a numpy replay of the same
+    estimator (full-series-variance denominator, day-lag-validated
+    pairs), and every coefficient lies in [-1, 1]."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pt
+
+    from mapreduce_citation_spark.operators.events import events_daily_acf
+
+    rows = events_daily_acf(spark, sf_dir).collect()
+    assert rows
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    ev["x"] = (ev["ts"].dt.floor("D") - pd.Timestamp("2024-01-01")).dt.days
+    for r in rows:
+        g = ev[ev["event_type"] == r["event_type"]].groupby("x").size()
+        x, y = g.index.to_numpy(int), g.to_numpy(float)
+        assert r["n_days"] == len(x)
+        ybar = y.mean()
+        den = ((y - ybar) ** 2).sum()
+        pos = {d: i for i, d in enumerate(x)}
+        for k in (1, 2, 3):
+            num = sum(
+                (y[i] - ybar) * (y[pos[d + k]] - ybar)
+                for i, d in enumerate(x) if d + k in pos
+                # day-lag semantics: LEAD(x, k) = x + k means the k-th
+                # FOLLOWING OBSERVED day is exactly k days later
+                and sorted(dd for dd in pos if dd > d)[k - 1] == d + k
+            )
+            want = num / den
+            got = r[f"acf{k}"]
+            if num == 0 and got is None:
+                continue
+            assert got == _pt.approx(want, rel=1e-9)
+            assert -1.0 <= got <= 1.0
