@@ -142,3 +142,75 @@ def test_covariance_matches_numpy(spark, sf_dir):
         assert r["sxy"] == G[i, j]
         expect = (float(G[i, j]) - float(sx[i]) * float(sx[j]) / n) / n
         assert r["cov"] == expect
+
+
+def test_power_iteration_matches_integer_replay_and_eigengap(spark, sf_dir):
+    """Two halves: (1) on the fixture, the distributed power method
+    equals a python INTEGER replay of the same quantized recursion
+    bit-for-bit, and its Rayleigh quotient improves on v0's (each
+    power step is a monotone Rayleigh ascent); (2) on a PLANTED
+    eigengap matrix (diag-dominant rank-1 spike) the same operator
+    converges to the known top eigenvector — the fixture itself is
+    near-isotropic (lambda1/lambda2 ~ 1.02), so convergence there
+    would need hundreds of steps and is not the contract."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.similarity import (
+        _KM_SCALE,
+        _PI_GDIV,
+        _PI_ITERS,
+        _PI_VSCALE,
+        embedding_power_iteration,
+    )
+
+    rows = embedding_power_iteration(spark, sf_dir).collect()
+    assert len(rows) == 64
+    got = np.array([r["v_q"] for r in sorted(rows, key=lambda r: r["pos"])],
+                   dtype=np.int64)
+    unit = np.array([r["v_unit"] for r in sorted(rows, key=lambda r: r["pos"])])
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = np.floor(
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _KM_SCALE
+    ).astype(np.int64)
+    G = (X.T @ X)
+    def tdiv(a, b):
+        # python // floors; Spark div / DuckDB // truncate toward zero
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    Gq = np.array([[tdiv(int(G[i, j]), _PI_GDIV) for j in range(64)]
+                   for i in range(64)], dtype=object)
+    v = np.array([_PI_VSCALE] * 64, dtype=object)
+    for _ in range(_PI_ITERS):
+        w = Gq @ v
+        m = max(abs(int(x)) for x in w)
+        v = np.array(
+            [tdiv(int(x) * _PI_VSCALE, m) if m else 0 for x in w], dtype=object
+        )
+    assert [int(x) for x in v] == got.tolist()
+
+    Gf = np.array(Gq.tolist(), dtype=np.float64)
+    rayleigh = lambda u: float(u @ Gf @ u) / float(u @ u)  # noqa: E731
+    v0 = np.ones(64)
+    assert rayleigh(got.astype(np.float64)) > rayleigh(v0)
+    assert np.isclose(float(unit @ unit), 1.0, atol=1e-9)
+
+    # planted eigengap: G = I + 50 * t t^T (unit t) — the top
+    # eigenvector IS t, lambda1/lambda2 = 51
+    from mapreduce_citation_spark.operators.similarity import power_iterate
+
+    rng = np.random.default_rng(11)
+    t = rng.standard_normal(64)
+    t /= np.linalg.norm(t)
+    P = (np.eye(64) * 1000 + 50_000 * np.outer(t, t)).astype(np.int64)
+    gq = spark.createDataFrame(
+        [(i + 1, j + 1, int(P[i, j])) for i in range(64) for j in range(64)],
+        ["i", "j", "g"],
+    )
+    v = power_iterate(spark, gq, dim=64, iters=8).collect()
+    vv = np.array([r["val"] for r in sorted(v, key=lambda r: r["pos"])],
+                  dtype=np.float64)
+    cos = abs(float(vv @ t)) / np.linalg.norm(vv)
+    assert cos >= 0.999, f"planted top eigenvector missed: |cos| = {cos}"
