@@ -974,3 +974,117 @@ def join_bloom_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.l_orderkey == F.col("o_orderkey"),
     )
     return _bloom_rollup(joined)
+
+
+# --- multi-dimensional data layout: Z-order clustering --------------------
+
+#: 4-bit per-dimension quantile codes → 8-bit Morton code → 16 range
+#: buckets ("files").
+_ZO_CODES = 16
+_ZO_BUCKETS = 16
+
+
+def _morton_expr(u: str, v: str, bits: int, div: str) -> str:
+    """Bit-interleave expression from pure integer div/mod arithmetic
+    (no engine bit operators): z = Σ_b bit_b(u)·2^(2b+1) +
+    bit_b(v)·2^(2b). ``div`` is the engine's truncating-division
+    token (Spark ``div``, DuckDB ``//``) — operands are non-negative
+    so truncation vs floor is moot; everything else is shared SQL."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(({u} {div} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"(({v} {div} {1 << b}) % 2) * {1 << (2 * b)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_oracle() -> str:
+    z = _morton_expr("cu", "cv", 4, "//")
+    return f"""
+WITH c AS (
+  SELECT NTILE({_ZO_CODES}) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) - 1 AS cu,
+         NTILE({_ZO_CODES}) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber) - 1 AS cv,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+z AS (SELECT cu, cv, {z} AS zv, l_orderkey, l_linenumber FROM c),
+zb AS (
+  SELECT cu, cv,
+         NTILE({_ZO_BUCKETS}) OVER (ORDER BY zv, l_orderkey, l_linenumber) AS bucket
+  FROM z
+),
+lb AS (
+  SELECT cu, cv,
+         NTILE({_ZO_BUCKETS}) OVER (ORDER BY cu, cv, l_orderkey, l_linenumber) AS bucket
+  FROM z
+)
+SELECT 'zorder' AS layout, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(cu) AS min_u, MAX(cu) AS max_u,
+       MIN(cv) AS min_v, MAX(cv) AS max_v
+FROM zb GROUP BY bucket
+UNION ALL
+SELECT 'linear', bucket, CAST(COUNT(*) AS BIGINT),
+       MIN(cu), MAX(cu), MIN(cv), MAX(cv)
+FROM lb GROUP BY bucket
+"""
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=_zorder_oracle(),
+    tags=("layout", "zorder", "data-skipping", "window"),
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data-layout clustering (the Delta/Iceberg OPTIMIZE
+    ZORDER primitive, built from first principles) with its
+    data-skipping evidence as the output: per-dimension quantile
+    codes (NTILE range ids — exactly how production z-ordering maps
+    unbounded columns into interleavable fixed-width codes), a Morton
+    bit-interleave from pure div/mod arithmetic, and equal-row range
+    buckets standing in for files. The output is each bucket's
+    (min, max) envelope per dimension under BOTH layouts — the
+    min/max statistics a file-skipping reader consults — so the
+    operator's value is measurable from its own result: z-ordered
+    buckets bound BOTH dimensions (a 2-D box predicate touches ~1
+    bucket), a linearly-sorted layout bounds only the leading one
+    (the same box touches ~buckets/codes·span, and a trailing-dim
+    predicate touches ALL buckets). The pytest computes both skip
+    rates from the emitted stats.
+
+    Scale note: the NTILE windows are the inherently-global step of
+    layout reorganization — production systems realize the same
+    semantics as a sampled repartitionByRange + per-partition sort
+    (range bounds from a driver-side sample); the deterministic NTILE
+    formulation is the oracle-able equivalent, and the
+    prefix-offset decomposition (per-partition counts → exclusive
+    prefix sums → local ranks) distributes it exactly if needed."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    wu = Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    wv = Window.orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    c = li.select(
+        (F.ntile(_ZO_CODES).over(wu) - 1).alias("cu"),
+        (F.ntile(_ZO_CODES).over(wv) - 1).alias("cv"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    z = c.select(
+        "cu", "cv", F.expr(_morton_expr("cu", "cv", 4, "div")).alias("zv"),
+        "l_orderkey", "l_linenumber",
+    )
+    wz = Window.orderBy("zv", "l_orderkey", "l_linenumber")
+    wl = Window.orderBy("cu", "cv", "l_orderkey", "l_linenumber")
+    zb = z.select("cu", "cv", F.ntile(_ZO_BUCKETS).over(wz).alias("bucket"))
+    lb = z.select("cu", "cv", F.ntile(_ZO_BUCKETS).over(wl).alias("bucket"))
+
+    def stats(d: DataFrame, layout: str) -> DataFrame:
+        return d.groupBy("bucket").agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+            F.min("cu").alias("min_u"),
+            F.max("cu").alias("max_u"),
+            F.min("cv").alias("min_v"),
+            F.max("cv").alias("max_v"),
+        ).select(F.lit(layout).alias("layout"), "bucket", "n",
+                 "min_u", "max_u", "min_v", "max_v")
+
+    return stats(zb, "zorder").unionByName(stats(lb, "linear"))

@@ -120,3 +120,39 @@ def test_engine_runtime_bloom_filter_injection(tmp_path):
     got = json.loads(proc.stdout.strip().splitlines()[-1])
     assert got["has_bloom"], "engine did not inject a runtime bloom filter"
     assert got["rows"] == got["plain"] and len(got["rows"]) == 1
+
+
+def test_zorder_buckets_skip_better_than_linear(spark, sf_dir):
+    """The z-order layout's own emitted min/max envelopes must prune
+    strictly better than the linear layout for a 2-D box predicate,
+    and at least as well for a trailing-dimension predicate (where
+    linear prunes nothing). Also pins layout invariants: equal-row
+    buckets (NTILE), full code range covered by both layouts."""
+    from mapreduce_citation_spark.operators.joins import layout_zorder_stats
+
+    rows = layout_zorder_stats(spark, sf_dir).collect()
+    by_layout = {"zorder": [], "linear": []}
+    for r in rows:
+        by_layout[r["layout"]].append(r)
+    assert len(by_layout["zorder"]) == 16 and len(by_layout["linear"]) == 16
+    nz = {r["n"] for r in by_layout["zorder"]}
+    assert max(nz) - min(nz) <= 1  # NTILE equal-row buckets
+
+    def touched(buckets, u_rng, v_rng):
+        (ul, uh), (vl, vh) = u_rng, v_rng
+        return sum(
+            1 for r in buckets
+            if r["max_u"] >= ul and r["min_u"] <= uh
+            and r["max_v"] >= vl and r["min_v"] <= vh
+        )
+
+    box = ((4, 7), (4, 7))
+    z_box = touched(by_layout["zorder"], *box)
+    l_box = touched(by_layout["linear"], *box)
+    assert z_box < l_box, (z_box, l_box)
+
+    trailing = ((0, 15), (4, 7))  # no constraint on the leading dim
+    z_tr = touched(by_layout["zorder"], *trailing)
+    l_tr = touched(by_layout["linear"], *trailing)
+    assert l_tr == 16  # linear layout cannot prune on the trailing dim
+    assert z_tr <= l_tr
