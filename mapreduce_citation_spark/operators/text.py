@@ -999,3 +999,109 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations in SQL, so the pair counting, the argmax tie-break,
     AND the greedy merge application are all hash-gated."""
     return bpe_merge_table(load_table(spark, sf_dir, "documents"), 3)
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+WITH t AS (
+  SELECT {_TOK_D} AS toks FROM documents
+),
+u AS (
+  SELECT unnest(toks) AS w FROM t
+),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY w),
+nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uc),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+  FROM t WHERE len(toks) >= 2
+),
+bc AS (
+  SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM bg GROUP BY 1, 2
+),
+nb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bg FROM bc)
+SELECT w1, w2, n_pair, cx.c AS n_w1, cy.c AS n_w2,
+       CAST(n_pair * n_uni * n_uni AS DOUBLE)
+         / CAST(n_bg * cx.c * cy.c AS DOUBLE) AS lift
+FROM bc
+JOIN uc cx ON cx.w = bc.w1
+JOIN uc cy ON cy.w = bc.w2, nu, nb
+WHERE n_pair >= 5
+ORDER BY lift DESC, w1 ASC, w2 ASC
+LIMIT 20
+""",
+    tags=("text", "pmi", "collocations", "ngram"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION mining: top-20 bigrams by pointwise-mutual-
+    information lift — p(w1 w2) / (p(w1)·p(w2)) with pair probability
+    over the bigram total and word probabilities over the unigram
+    total — the phrase-discovery statistic a tokenizer/vocabulary
+    pipeline runs before merging multi-word units (PMI itself is
+    log2(lift); log is monotone, so ranking by lift IS ranking by PMI
+    and the gate avoids libm entirely). n_pair ≥ 5 prunes
+    hapax-pair noise, the classic collocation-extraction floor.
+
+    Determinism: lift's numerator and denominator are each ONE
+    product of exact BIGINTs evaluated in an identical expression
+    tree on both engines (n_pair·n_uni² ≤ 2^57 at sf0.1; a 10^12-
+    token corpus moves the products to DECIMAL), then one division —
+    correctly-rounded doubles, bitwise-stable ordering with (w1, w2)
+    tie-breaks.
+
+    Shape: two map-side explodes (unigram, bigram) each feeding one
+    map-side-combinable count shuffle; the pair→word-count joins key
+    on the word (broadcast-eligible by AQE measurement — word counts
+    are vocabulary-sized); the two 1-row totals ride scalar folds;
+    TakeOrdered top-20. The documents double-scan is the two-role
+    token stream (unigram + bigram passes over the same column)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.expr(_TOK_S).alias("toks"))
+    # both count tables are vocabulary-sized and feed 2-3 consumers
+    # each; materialized once so the corpus tokenization runs exactly
+    # twice (unigram pass + bigram pass), not once per consumer (the
+    # unmaterialized plan re-derived the token stream FIVE times)
+    uc = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    nu = uc.agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("n_uni"))
+    bc = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint()
+    )
+    nb = bc.agg(F.expr("CAST(SUM(n_pair) AS BIGINT)").alias("n_bg"))
+    cx = uc.select(F.col("w").alias("w1"), F.col("c").alias("n_w1"))
+    cy = uc.select(F.col("w").alias("w2"), F.col("c").alias("n_w2"))
+    return (
+        bc.filter(F.col("n_pair") >= 5)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", "n_pair", "n_w1", "n_w2",
+            (
+                F.expr("CAST(n_pair * n_uni * n_uni AS DOUBLE)")
+                / F.expr("CAST(n_bg * n_w1 * n_w2 AS DOUBLE)")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )

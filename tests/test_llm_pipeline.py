@@ -1228,3 +1228,37 @@ def test_audio_minhash_pairs_recover_planted(spark, sf_dir):
         assert found[(base, base + 1)] >= 0.9
     for (a, b), j in found.items():
         assert a < b and 0.9 <= j <= 1.0
+
+
+def test_pmi_collocations_match_python_replay(spark, sf_dir):
+    """Top-20 PMI collocations equal an exact python Counter replay
+    (same lift formula, same >= 5 floor, same tie-break), and every
+    emitted lift exceeds 1 only when the pair genuinely co-occurs
+    above independence."""
+    from collections import Counter
+
+    import pandas as pd
+    import pytest as _pt
+
+    from mapreduce_citation_spark.operators.text import text_pmi_collocations
+
+    rows = text_pmi_collocations(spark, sf_dir).collect()
+    assert len(rows) == 20
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    uni, bi = Counter(), Counter()
+    for t in docs["text"]:
+        ws = [w for w in t.split() if w]
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    n_uni, n_bg = sum(uni.values()), sum(bi.values())
+    scored = sorted(
+        (
+            (-(c * n_uni * n_uni) / (n_bg * uni[a] * uni[b]), a, b, c)
+            for (a, b), c in bi.items()
+            if c >= 5
+        ),
+    )[:20]
+    for r, (neg_lift, a, b, c) in zip(rows, scored):
+        assert (r["w1"], r["w2"], r["n_pair"]) == (a, b, c)
+        assert r["lift"] == _pt.approx(-neg_lift, rel=1e-12)
+        assert r["n_w1"] == uni[a] and r["n_w2"] == uni[b]

@@ -60,6 +60,8 @@ BROADCAST_ALLOWLIST = {
     ("similarity.py", "cand_ids"): "PQ shortlist: ≤ n_queries×shortlist",
     ("similarity.py", "code_ids"): "PQ codebook ids: exactly K rows",
     ("text.py", "nd"): "1-row aggregate (corpus doc count)",
+    ("text.py", "nu"): "1-row aggregate (unigram-total scalar fold)",
+    ("text.py", "nb"): "1-row aggregate (bigram-total scalar fold)",
     ("tpch_extra.py", "n"): "nation dim: 25 rows",
     ("tpch_extra.py", "n1"): "nation dim: 25 rows",
     ("tpch_extra.py", "n2"): "nation dim: 25 rows",
