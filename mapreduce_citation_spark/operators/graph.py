@@ -1187,3 +1187,120 @@ def resource_allocation_pairs(e: DataFrame) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# --- community detection: synchronous label propagation -------------------
+
+_LPA_ROUNDS = 4
+
+
+def label_propagation(proj: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
+    """Synchronous label propagation over an undirected edge list
+    ``(u, v)``: every node starts as its own label; each round, every
+    node simultaneously adopts the most frequent label among its
+    neighbors, ties broken by MINIMUM label — the fully deterministic
+    variant of LPA (classic async LPA breaks ties randomly and is
+    unreproducible by design; the deterministic sync rule is what a
+    distributed engine can actually guarantee, at the known cost of
+    possible 2-cycles on bipartite-ish regions, which a fixed round
+    count renders moot).
+
+    Per round: one join of the edge list against the label table on
+    the neighbor key, one (node, label) count aggregate, one per-node
+    argmax window — all shuffling on the node key. Labels
+    localCheckpoint per round (the k-means/k-center convention: a
+    lazy lineage would re-derive every prior round per consumer)."""
+    und = (
+        proj.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(proj.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint()
+    )
+    labels = und.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(rounds):
+        votes = und.join(
+            labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+        ).select("node", "lbl")
+        counts = votes.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+        labels = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return labels.select(F.col("node").alias("paper"), F.col("lbl").alias("community"))
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    stages = []
+    for t in range(1, rounds + 1):
+        stages.append(f"""
+c{t} AS MATERIALIZED (
+  SELECT u.node, l.lbl, COUNT(*) AS c
+  FROM und u JOIN l{t - 1} l ON l.node = u.nbr
+  GROUP BY 1, 2
+),
+l{t} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl ASC) AS rk
+    FROM c{t}
+  ) WHERE rk = 1
+)""")
+    return (
+        _EDGES_CTE
+        + f"""
+, proj AS MATERIALIZED (
+  SELECT a.to_paper AS u, b.to_paper AS v
+  FROM edges a JOIN edges b
+    ON a.from_paper = b.from_paper AND a.to_paper < b.to_paper
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+und AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM proj
+  UNION ALL
+  SELECT v, u FROM proj
+),
+l0 AS (SELECT DISTINCT node, node AS lbl FROM und),{",".join(stages)}
+SELECT node AS paper, lbl AS community FROM l{rounds}
+"""
+    )
+
+
+@register(
+    "citation_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "community", "label-propagation"),
+)
+def citation_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION on the co-citation projection by
+    deterministic synchronous label propagation — the "topic
+    clusters" complement to ``citation_components`` (connectivity)
+    and ``citation_personalized_pagerank`` (seeded relevance):
+    connected components lump everything reachable together, LPA
+    splits dense regions from the sparse bridges between them.
+
+    Fixed 4 rounds (the pagerank/kcore gate framing: the operator
+    pins rounds, determinism per SF, rather than depending on
+    fixture convergence). Every round is the same keyed
+    join+count+argmax plan — at 100 TB each is three node-keyed
+    shuffles with map-side combine on the vote counts."""
+    e = _edges(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    proj = (
+        a.join(
+            b,
+            (F.col("a.from_paper") == F.col("b.from_paper"))
+            & (F.col("a.to_paper") < F.col("b.to_paper")),
+        )
+        .groupBy(F.col("a.to_paper").alias("u"), F.col("b.to_paper").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    return label_propagation(proj)

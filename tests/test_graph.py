@@ -290,3 +290,43 @@ def test_link_prediction_matches_python_ra(spark):
     assert [r["paper_a"] for r in rows] == sorted(
         [r["paper_a"] for r in rows]
     )
+
+
+def test_label_propagation_on_planted_communities(spark):
+    """Deterministic sync LPA on two planted cliques joined by one
+    bridge edge: after 4 rounds each clique carries exactly one
+    community label (its min member — the tie-break winner in round
+    1), the bridge does not merge them, and the result equals a
+    python replay of the same simultaneous-update rule."""
+    from collections import Counter
+
+    from mapreduce_citation_spark.operators.graph import label_propagation
+
+    clique_a = ["a1", "a2", "a3", "a4"]
+    clique_b = ["b1", "b2", "b3", "b4"]
+    edges = (
+        [(u, v) for i, u in enumerate(clique_a) for v in clique_a[i + 1:]]
+        + [(u, v) for i, u in enumerate(clique_b) for v in clique_b[i + 1:]]
+        + [("a4", "b1")]
+    )
+    proj = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["paper"]: r["community"]
+           for r in label_propagation(proj, rounds=4).collect()}
+
+    # python replay: simultaneous update, max-count min-label vote
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    lbl = {n: n for n in nbrs}
+    for _ in range(4):
+        new = {}
+        for n in nbrs:
+            votes = Counter(lbl[m] for m in nbrs[n])
+            top = max(votes.values())
+            new[n] = min(l for l, c in votes.items() if c == top)
+        lbl = new
+    assert got == lbl
+    assert len({got[n] for n in clique_a}) == 1
+    assert len({got[n] for n in clique_b}) == 1
+    assert {got[n] for n in clique_a} != {got[n] for n in clique_b}
