@@ -1269,30 +1269,29 @@ def multimodal_audio_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .distinct()
     )
-    auds_in_cand = (
-        cand.select(F.col("aud_a").alias("aud_id"))
-        .union(cand.select("aud_b"))
-        .distinct()
-    )
-    gc = units.join(auds_in_cand, "aud_id", "left_semi").select(
-        "aud_id",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform("
-                f"sequence(1, length(pcm) - {_AMH_K} + 1), i -> {dg}))"
-            )
-        ).alias("h"),
-    )
+    # PAIR-KEYED verify (measured restructure, see NOTES r6c): the
+    # dedup-family shape — join candidate units' grams on bare gram
+    # equality, then filter to candidate pairs — costs Σ_g df_cand(g)²
+    # rows, and the synthetic corpus's frequent PCM 8-grams are shared
+    # by hundreds of candidate units. Keying the intersection BY PAIR
+    # (cand ⋈ grams(aud_a) ⋈ grams(aud_b) on (aud_b, h)) is linear in
+    # |cand|·grams-per-unit regardless of gram popularity.
+    def cand_grams(side: str) -> DataFrame:
+        ids = cand.select(F.col(side).alias("aud_id")).distinct()
+        return units.join(ids, "aud_id", "left_semi").select(
+            F.col("aud_id").alias(side),
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence(1, length(pcm) - {_AMH_K} + 1), i -> {dg}))"
+                )
+            ).alias("h"),
+        )
     common = (
-        gc.alias("x")
-        .join(
-            gc.alias("y"),
-            (F.col("x.h") == F.col("y.h"))
-            & (F.col("x.aud_id") < F.col("y.aud_id")),
-        )
-        .groupBy(
-            F.col("x.aud_id").alias("aud_a"), F.col("y.aud_id").alias("aud_b")
-        )
+        cand.select("aud_a", "aud_b")
+        .join(cand_grams("aud_a"), "aud_a")
+        .join(cand_grams("aud_b"), ["aud_b", "h"])
+        .groupBy("aud_a", "aud_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))

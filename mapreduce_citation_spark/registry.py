@@ -83,8 +83,25 @@ _PRIORITY = (
     # corpus_mixture_weights; every displaced family keeps an in-window
     # representative, see each block's comment):
     "basket_brand_pairs",
+    # r6c NEW capabilities joining the window (all-or-nothing swap —
+    # out: multimodal_audio_fp_pairs, knn_lsh_ann,
+    # streaming_stream_stream_funnel, stats_percentiles,
+    # doc_winnowing_fingerprints, join_hot_key_salted,
+    # text_tfidf_top_terms, citation_components; every displaced
+    # family keeps an in-window representative, see each block):
+    "multimodal_audio_minhash_pairs",
+    "citation_link_prediction",
+    "streaming_funnel_left_outer",
+    "events_daily_acf",
+    "embedding_power_iteration",
+    "layout_zorder_stats",
+    "text_pmi_collocations",
+    "citation_label_propagation",
     "text_bpe_merges",
-    "multimodal_audio_fp_pairs",
+    # (r6c: multimodal_audio_fp_pairs → beyond-window — the audio
+    # dedup family stays via the stronger gram-sketch
+    # multimodal_audio_minhash_pairs; the pigeonhole Hamming pairing
+    # stays in-window via multimodal_phash_pairs.)
     "embedding_kcenter_coreset",
     "join_bloom_prefilter",
     "citation_triangles",
@@ -118,7 +135,10 @@ _PRIORITY = (
     # (r6b: knn_pq_ann → beyond-window — ANN stays represented by
     # brute + LSH + IVF; PQ remains benched + full-sweep-gated.)
     "knn_brute_cosine",
-    "knn_lsh_ann",
+    # (r6c: knn_lsh_ann → beyond-window — ANN stays via brute + IVF,
+    # and the sign-LSH banding strategy stays in-window via
+    # dedup_embedding_cosine, which shares its band machinery;
+    # embedding_power_iteration joins above.)
     "knn_ivf_ann",
     "embedding_kmeans",
     # LLM-pipeline: text analysis.
@@ -130,8 +150,10 @@ _PRIORITY = (
     "text_token_stats",
     "text_quality_scores",
     "text_lang_id",
-    "text_tfidf_top_terms",
-    "doc_winnowing_fingerprints",
+    # (r6c: text_tfidf_top_terms and doc_winnowing_fingerprints →
+    # beyond-window — the text family stays via token_stats/quality/
+    # lang_id/bpe + the new text_pmi_collocations; winnowing remains
+    # full-sweep-gated with its pairing twin.)
     # LLM-pipeline: end-to-end compositions (r6b:
     # corpus_mixture_weights → beyond-window; the pipeline family
     # stays via pipeline_filter_funnel).
@@ -169,16 +191,24 @@ _PRIORITY = (
     "streaming_session_counts",
     "streaming_dedup_watermark",
     "streaming_kafka_topic_counts",
-    "streaming_stream_stream_funnel",
+    # (r6c: streaming_stream_stream_funnel → beyond-window — the
+    # stream-stream join family stays via the LEFT OUTER variant
+    # above, a strictly richer state machine over the same
+    # funnel_join core; the inner funnel remains full-sweep-gated.)
     "streaming_running_user_counts",
     # Graph / iterative: gate mode + the fixed-point scale mode.
     "citation_pagerank",
     "citation_pagerank_scale",
-    "citation_components",
+    # (r6c: citation_components → beyond-window — connectivity/
+    # community coverage stays via pagerank + triangles +
+    # citation_label_propagation; components remains
+    # full-sweep-gated with its union-find pytest.)
     # Statistics.
     # (r5 rotation: stats_variance → beyond-window; r5b:
     # stats_correlation follows it, making room for embedding_kmeans.)
-    "stats_percentiles",
+    # (r6c: stats_percentiles → beyond-window — the stats family
+    # stays via stats_approx, whose claims gate the sketch
+    # percentiles against exact ranks in the same query.)
     "stats_approx",
     # Custom-operator showcases + the engine-level bench pairs.
     # (r5 rotation: window_topk_per_group and join_salted_skew →
@@ -189,7 +219,9 @@ _PRIORITY = (
     "asof_join_events_orders",
     "join_bucketed_fact_fact",
     "join_hot_key_aqe",
-    "join_hot_key_salted",
+    # (r6c: join_hot_key_salted → beyond-window — the skew family
+    # stays via join_hot_key_aqe; the salted twin remains benched +
+    # full-sweep-gated, the q3 rotation framing.)
 )
 
 
