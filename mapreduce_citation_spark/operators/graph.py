@@ -1304,3 +1304,126 @@ def citation_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return label_propagation(proj)
+
+
+# --- HITS: hubs and authorities on the bipartite citation graph -----------
+
+_HITS_SCALE = 1 << 12
+_HITS_ROUNDS = 4
+
+
+def hits_fixed_point(edges: DataFrame, rounds: int = _HITS_ROUNDS) -> DataFrame:
+    """Kleinberg's HITS in integer fixed point over a directed edge
+    list ``(from_paper, to_paper)``: authority(p) = Σ hub(citers of
+    p), hub(c) = Σ authority(cited by c), each half-step renormalized
+    to max = 2^12 by truncating integer division (the
+    ``pagerank_fixed_point`` determinism strategy — scores are exact
+    BIGINT sums, so partition order can't matter and the unrolled SQL
+    oracle replays bitwise). On the bipartite citation graph the two
+    roles are disjoint node sets — the natural shape for this
+    algorithm (hubs = survey-like citers, authorities = canonical
+    papers).
+
+    Per round: two keyed join+aggregate passes (one per role), both
+    shuffling on the node key, plus two 1-row max folds. Returns the
+    final (role, paper, score_q) table."""
+    e = edges.localCheckpoint()
+    hubs = e.select("from_paper").distinct().select(
+        F.col("from_paper").alias("node"),
+        F.lit(_HITS_SCALE).cast("long").alias("h"),
+    )
+    auth = None
+    for _ in range(rounds):
+        a_raw = (
+            e.join(hubs.select(F.col("node").alias("from_paper"), "h"),
+                   "from_paper")
+            .groupBy("to_paper")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        am = a_raw.agg(F.max("a_raw").alias("m"))
+        auth = (
+            a_raw.crossJoin(F.broadcast(am))
+            .select(
+                F.col("to_paper").alias("node"),
+                F.expr(f"(a_raw * {_HITS_SCALE}) div m").alias("a"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(auth.select(F.col("node").alias("to_paper"), "a"),
+                   "to_paper")
+            .groupBy("from_paper")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        hm = h_raw.agg(F.max("h_raw").alias("m"))
+        hubs = (
+            h_raw.crossJoin(F.broadcast(hm))
+            .select(
+                F.col("from_paper").alias("node"),
+                F.expr(f"(h_raw * {_HITS_SCALE}) div m").alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return hubs.select(
+        F.lit("hub").alias("role"), F.col("node").alias("paper"),
+        F.col("h").alias("score_q"),
+    ).unionByName(
+        auth.select(
+            F.lit("authority").alias("role"), F.col("node").alias("paper"),
+            F.col("a").alias("score_q"),
+        )
+    )
+
+
+def _hits_oracle(rounds: int = _HITS_ROUNDS) -> str:
+    stages = []
+    for t in range(1, rounds + 1):
+        stages.append(f"""
+ar{t} AS MATERIALIZED (
+  SELECT e.to_paper, CAST(SUM(h.h) AS BIGINT) AS a_raw
+  FROM edges e JOIN h{t - 1} h ON h.node = e.from_paper
+  GROUP BY e.to_paper
+),
+a{t} AS MATERIALIZED (
+  SELECT to_paper AS node,
+         CAST((a_raw * {_HITS_SCALE}) // m.m AS BIGINT) AS a
+  FROM ar{t}, (SELECT MAX(a_raw) AS m FROM ar{t}) m
+),
+hr{t} AS MATERIALIZED (
+  SELECT e.from_paper, CAST(SUM(a.a) AS BIGINT) AS h_raw
+  FROM edges e JOIN a{t} a ON a.node = e.to_paper
+  GROUP BY e.from_paper
+),
+h{t} AS MATERIALIZED (
+  SELECT from_paper AS node,
+         CAST((h_raw * {_HITS_SCALE}) // m.m AS BIGINT) AS h
+  FROM hr{t}, (SELECT MAX(h_raw) AS m FROM hr{t}) m
+)""")
+    return (
+        _EDGES_CTE
+        + f""", h0 AS (
+  SELECT DISTINCT from_paper AS node, CAST({_HITS_SCALE} AS BIGINT) AS h
+  FROM edges
+),{",".join(stages)}
+SELECT 'hub' AS role, node AS paper, h AS score_q FROM h{rounds}
+UNION ALL
+SELECT 'authority', node, a FROM a{rounds}
+"""
+    )
+
+
+@register(
+    "citation_hits",
+    oracle=_hits_oracle(),
+    tags=("graph", "hits", "link-analysis", "iterative"),
+)
+def citation_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities — the second classic link-analysis
+    algorithm beside PageRank, and the one whose two-role structure
+    matches this bipartite citation graph exactly (hubs = citers
+    ranked by how authoritative their citation lists are, authorities
+    = papers ranked by how good their citers' taste is — mutual
+    reinforcement, unrolled 4 rounds in the fixed-round gate
+    framing). All integer arithmetic; sums bounded by
+    max-degree·2^12 ≲ 2^25 at any fixture SF."""
+    return hits_fixed_point(_edges(spark, sf_dir))

@@ -330,3 +330,49 @@ def test_label_propagation_on_planted_communities(spark):
     assert len({got[n] for n in clique_a}) == 1
     assert len({got[n] for n in clique_b}) == 1
     assert {got[n] for n in clique_a} != {got[n] for n in clique_b}
+
+
+def test_hits_on_planted_bipartite_graph(spark):
+    """Integer HITS on a planted graph with known structure: a survey
+    citer covering every paper must be the top hub, the paper cited
+    by every citer the top authority; scores equal a python replay of
+    the same fixed-point recursion."""
+    from mapreduce_citation_spark.operators.graph import (
+        _HITS_ROUNDS,
+        _HITS_SCALE,
+        hits_fixed_point,
+    )
+
+    # citers s (survey: cites all 4 papers), c1..c3 (one popular +
+    # one niche paper each); papers p0 (cited by all), p1..p3
+    edges = [("s", f"p{i}") for i in range(4)]
+    edges += [(f"c{i}", "p0") for i in range(1, 4)]
+    edges += [(f"c{i}", f"p{i}") for i in range(1, 4)]
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    rows = hits_fixed_point(df, rounds=_HITS_ROUNDS).collect()
+    got = {(r["role"], r["paper"]): r["score_q"] for r in rows}
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    hubs = {c: _HITS_SCALE for c in {u for u, _ in edges}}
+    auth = {}
+    for _ in range(_HITS_ROUNDS):
+        a_raw = {}
+        for u, v in edges:
+            a_raw[v] = a_raw.get(v, 0) + hubs[u]
+        m = max(a_raw.values())
+        auth = {v: tdiv(x * _HITS_SCALE, m) for v, x in a_raw.items()}
+        h_raw = {}
+        for u, v in edges:
+            h_raw[u] = h_raw.get(u, 0) + auth[v]
+        m = max(h_raw.values())
+        hubs = {u: tdiv(x * _HITS_SCALE, m) for u, x in h_raw.items()}
+    want = {("hub", u): s for u, s in hubs.items()}
+    want |= {("authority", v): s for v, s in auth.items()}
+    assert got == want
+    assert max(hubs, key=hubs.get) == "s"
+    assert max(auth, key=auth.get) == "p0"
+    assert got[("hub", "s")] == _HITS_SCALE  # max-normalized
+    assert got[("authority", "p0")] == _HITS_SCALE

@@ -32,6 +32,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_CHECK", "/root/testdata/sf0.01")
 BROADCAST_ALLOWLIST = {
     # (file, argname): why the relation is bounded
     ("graph.py", "dangling"): "1-row aggregate (dangling-mass scalar)",
+    ("graph.py", "am"): "1-row aggregate (HITS authority max fold)",
+    ("graph.py", "hm"): "1-row aggregate (HITS hub max fold)",
     ("joins.py", "buckets"): "3-row range-bounds demo table",
     ("joins.py", "n"): "nation dim: 25 rows at any SF",
     ("joins.py", "c"): "broadcast-join demo: the hint IS the operator",
