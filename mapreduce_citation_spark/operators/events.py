@@ -957,3 +957,51 @@ def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_ok"))
         .drop("_ok")
     )
+
+
+@register(
+    "events_trailing_rates",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_1h,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_24h
+FROM events
+""",
+    tags=("events", "window", "range-frame", "rate"),
+)
+def events_trailing_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event TRAILING-WINDOW rates via RANGE-interval frames —
+    the rate-limiting / burst-detection signal: for every event, how
+    many events its user produced in the preceding hour and day
+    (frame = ts' ∈ [ts − Δ, ts], peers included — RANGE semantics,
+    so tie order can't matter and the integer counts are hash-exact
+    by construction). This is the VALUE-based frame the ROWS-frame
+    family (`window_moving_avg` etc.) can't express: the frame width
+    adapts to event density instead of row count.
+
+    One shuffle on user_id; both frames ride the same sort (Spark
+    plans a single Window node with two frame specs). At 100 TB this
+    is the same per-key windowed pass any sessionization runs —
+    state bounded by the widest frame's span per user."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(
+            "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+            "AS BIGINT)"
+        ).alias("n_1h"),
+        F.expr(
+            "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW) "
+            "AS BIGINT)"
+        ).alias("n_24h"),
+    )

@@ -646,3 +646,29 @@ def test_daily_acf_matches_numpy_replay(spark, sf_dir):
                 continue
             assert got == _pt.approx(want, rel=1e-9)
             assert -1.0 <= got <= 1.0
+
+
+def test_trailing_rates_match_pandas_replay(spark, sf_dir):
+    """RANGE-interval frame counts equal a pandas replay of the
+    inclusive [ts - delta, ts] window per user, and invariants hold:
+    n_1h <= n_24h, both >= 1 (the row itself is in its own frame)."""
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.events import events_trailing_rates
+
+    rows = events_trailing_rates(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    by_user = {u: g["ts"].sort_values().tolist()
+               for u, g in ev.groupby("user_id")}
+    ts_of = dict(zip(ev["event_id"], ev["ts"]))
+    uid_of = dict(zip(ev["event_id"], ev["user_id"]))
+    for r in rows:
+        t = ts_of[r["event_id"]]
+        series = by_user[uid_of[r["event_id"]]]
+        want_1h = sum(1 for x in series
+                      if t - pd.Timedelta(hours=1) <= x <= t)
+        want_24h = sum(1 for x in series
+                       if t - pd.Timedelta(hours=24) <= x <= t)
+        assert (r["n_1h"], r["n_24h"]) == (want_1h, want_24h)
+        assert 1 <= r["n_1h"] <= r["n_24h"]
