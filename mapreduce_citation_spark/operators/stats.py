@@ -560,3 +560,110 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (COUNT(*) * CAST(SUM(spend) AS DOUBLE))"
         ).alias("gini"),
     )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+WITH t AS (
+  SELECT o_totalprice AS val, c_mktsegment AS s
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+g AS (
+  SELECT val,
+         CAST(COUNT(*) FILTER (WHERE s = 'BUILDING') AS BIGINT) AS ca,
+         CAST(COUNT(*) FILTER (WHERE s = 'MACHINERY') AS BIGINT) AS cb
+  FROM t GROUP BY val
+),
+c AS (
+  SELECT val,
+         CAST(SUM(ca) OVER (ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa,
+         CAST(SUM(cb) OVER (ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fb
+  FROM g
+),
+n AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM g
+),
+d AS (
+  SELECT MAX(ABS(fa * n.nb - fb * n.na)) AS d_num,
+         MIN(CASE WHEN ABS(fa * n.nb - fb * n.na) =
+               (SELECT MAX(ABS(fa * n.nb - fb * n.na)) FROM c, n)
+             THEN val END) AS ks_at
+  FROM c, n
+)
+SELECT 'BUILDING' AS segment_a, 'MACHINERY' AS segment_b,
+       n.na AS n_a, n.nb AS n_b,
+       CAST(d.d_num AS BIGINT) AS d_num, d.ks_at,
+       CAST(d.d_num AS DOUBLE) / CAST(n.na * n.nb AS DOUBLE) AS d_stat
+FROM d, n
+""",
+    tags=("stats", "ks-test", "distribution", "drift"),
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV statistic between the order-value
+    distributions of two customer segments — the nonparametric
+    distribution-drift test a monitoring pipeline runs between
+    cohorts / time slices (D = max |F_a(x) − F_b(x)|, plus the value
+    where the gap peaks).
+
+    Integer-exact throughout: D's numerator is
+    max |cum_a·n_b − cum_b·n_a| over the merged order statistics —
+    exact BIGINT cross-multiplication (the corpus-scale bound:
+    cum·n ≤ n² ≈ 2^60 at 10^9 rows; DECIMAL beyond) — and the final
+    D divides once. The peak location takes the MINIMUM value
+    achieving the max (deterministic under ties on both engines).
+
+    Shape: one fact-dim join (AQE broadcasts the measured customer
+    side), one groupBy on the value, then the merged-CDF window —
+    the inherently-global cumulative pass (PPS-cumsum category; the
+    prefix-offset decomposition distributes it exactly at scale)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    t = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(F.col("o_totalprice").alias("val"), F.col("c_mktsegment").alias("s"))
+    )
+    # value-domain-sized; checkpointed so the fact-dim join runs once,
+    # not once per consumer (n / gaps / argmin all read this table)
+    g = t.groupBy("val").agg(
+        F.count(F.when(F.col("s") == "BUILDING", 1)).alias("ca"),
+        F.count(F.when(F.col("s") == "MACHINERY", 1)).alias("cb"),
+    ).localCheckpoint()
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        "val",
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+    )
+    n = g.agg(
+        F.expr("CAST(SUM(ca) AS BIGINT)").alias("na"),
+        F.expr("CAST(SUM(cb) AS BIGINT)").alias("nb"),
+    )
+    gaps = cum.crossJoin(F.broadcast(n)).select(
+        "val", "na", "nb", F.expr("ABS(fa * nb - fb * na)").alias("gap")
+    ).localCheckpoint()
+    d_num = gaps.agg(F.max("gap").alias("d_num"))
+    ks_at = (
+        gaps.join(F.broadcast(d_num), F.col("gap") == F.col("d_num"))
+        .agg(F.min("val").alias("ks_at"))
+    )
+    return (
+        d_num.crossJoin(F.broadcast(ks_at))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.lit("BUILDING").alias("segment_a"),
+            F.lit("MACHINERY").alias("segment_b"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.col("d_num").cast("long").alias("d_num"),
+            "ks_at",
+            (F.col("d_num").cast("double")
+             / F.expr("CAST(na * nb AS DOUBLE)")).alias("d_stat"),
+        )
+    )

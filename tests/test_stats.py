@@ -298,3 +298,41 @@ def test_gini_matches_numpy_and_bounds(spark, sf_dir):
         assert r["gini"] == _pt.approx(gini(g), rel=1e-9)
         assert 0.0 <= r["gini"] < 1.0
         assert r["gini"] == _pt.approx(gini(g.iloc[::-1]), rel=1e-9)
+
+
+def test_ks_two_sample_matches_scipy_style_replay(spark, sf_dir):
+    """The integer KS statistic equals a python replay of the classic
+    two-sample D over the merged order statistics (and scipy's
+    definition when available); the peak location really achieves the
+    max gap."""
+    import pandas as pd
+    import pytest as _pt
+
+    from mapreduce_citation_spark.operators.stats import stats_ks_two_sample
+
+    r = stats_ks_two_sample(spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    a = sorted(m[m["c_mktsegment"] == "BUILDING"]["o_totalprice"])
+    b = sorted(m[m["c_mktsegment"] == "MACHINERY"]["o_totalprice"])
+    na, nb = len(a), len(b)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    import bisect
+
+    vals = sorted(set(a) | set(b))
+    gaps = [
+        (abs(bisect.bisect_right(a, v) * nb - bisect.bisect_right(b, v) * na), v)
+        for v in vals
+    ]
+    d_num = max(g for g, _ in gaps)
+    ks_at = min(v for g, v in gaps if g == d_num)
+    assert r["d_num"] == d_num and r["ks_at"] == ks_at
+    assert r["d_stat"] == _pt.approx(d_num / (na * nb), rel=1e-15)
+    try:
+        from scipy.stats import ks_2samp
+        assert r["d_stat"] == _pt.approx(ks_2samp(a, b).statistic, rel=1e-12)
+    except ImportError:
+        pass

@@ -82,6 +82,9 @@ BROADCAST_ALLOWLIST = {
     ("stats.py", 'sketches.select("l_returnflag", "_amed")'):
         "per-group sketch table: ≤|l_returnflag| = 3 rows",
     ("stats.py", "b"): "per-type percentile-bounds table: ≤|event_type| = 5 rows",
+    ("stats.py", "n"): "1-row aggregate (KS sample-size scalar fold)",
+    ("stats.py", "d_num"): "1-row aggregate (KS max-gap scalar fold)",
+    ("stats.py", "ks_at"): "1-row aggregate (KS argmin scalar fold)",
     ("stats.py", 'merged.select("event_type", "_med")'):
         "per-type merged-sketch table: ≤|event_type| = 5 rows",
 }
