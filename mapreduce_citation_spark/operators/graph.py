@@ -1427,3 +1427,116 @@ def citation_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     framing). All integer arithmetic; sums bounded by
     max-degree·2^12 ≲ 2^25 at any fixture SF."""
     return hits_fixed_point(_edges(spark, sf_dir))
+
+
+# --- BFS: bounded-depth traversal from a deterministic seed ----------------
+
+_BFS_DEPTH = 3
+
+
+def bfs_depths(proj: DataFrame, seeds: DataFrame, depth: int = _BFS_DEPTH) -> DataFrame:
+    """Bounded-depth BFS over an undirected edge list ``(u, v)`` from
+    a seed set: returns (paper, dist) for every node within ``depth``
+    hops — each level is one frontier-join + anti-join against the
+    visited set, the textbook distributed BFS (level-synchronous;
+    lineage linear in depth). Distances are exact small integers."""
+    und = (
+        proj.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(proj.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint()
+    )
+    visited = seeds.select("node", F.lit(0).alias("dist")).localCheckpoint()
+    frontier = visited.select("node")
+    for d in range(1, depth + 1):
+        nxt = (
+            und.join(frontier, "node", "semi")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(d).alias("dist"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited.select(F.col("node").alias("paper"), F.col("dist").cast("int").alias("dist"))
+
+
+def _bfs_oracle(depth: int = _BFS_DEPTH) -> str:
+    stages = []
+    for d in range(1, depth + 1):
+        stages.append(f"""
+f{d} AS MATERIALIZED (
+  SELECT DISTINCT u.nbr AS node
+  FROM und u JOIN f{d - 1} f ON f.node = u.node
+  WHERE u.nbr NOT IN (SELECT node FROM v{d - 1})
+),
+v{d} AS MATERIALIZED (
+  SELECT node, dist FROM v{d - 1}
+  UNION ALL
+  SELECT node, {d} FROM f{d}
+)""")
+    return (
+        _EDGES_CTE
+        + f""", proj AS MATERIALIZED (
+  SELECT a.to_paper AS u, b.to_paper AS v
+  FROM edges a JOIN edges b
+    ON a.from_paper = b.from_paper AND a.to_paper < b.to_paper
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+und AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM proj
+  UNION ALL SELECT v, u FROM proj
+),
+deg AS (SELECT node, COUNT(*) AS d FROM und GROUP BY node),
+seed AS (
+  SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT 1
+),
+f0 AS (SELECT node FROM seed),
+v0 AS (SELECT node, 0 AS dist FROM seed),{",".join(stages)}
+SELECT node AS paper, CAST(dist AS INT) AS dist FROM v{depth}
+"""
+    )
+
+
+@register(
+    "citation_bfs_depths",
+    oracle=_bfs_oracle(),
+    tags=("graph", "bfs", "traversal"),
+)
+def citation_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS from the co-citation projection's top hub
+    (max degree, min id on ties — a deterministic seed): the
+    neighborhood-expansion primitive behind "related within k hops",
+    graph sampling, and ego-network extraction. Level-synchronous
+    frontier expansion, 3 levels unrolled (the fixed-round gate
+    framing); each level is a node-keyed semi-join + anti-join
+    against the visited set — at 100 TB the frontier and visited
+    tables partition by node id and the traversal is |E(frontier)|
+    work per level, never corpus-wide."""
+    e = _edges(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    proj = (
+        a.join(
+            b,
+            (F.col("a.from_paper") == F.col("b.from_paper"))
+            & (F.col("a.to_paper") < F.col("b.to_paper")),
+        )
+        .groupBy(F.col("a.to_paper").alias("u"), F.col("b.to_paper").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    und_deg = (
+        proj.select(F.col("u").alias("node"))
+        .unionAll(proj.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    seed = (
+        und_deg.orderBy(F.col("d").desc(), F.col("node").asc())
+        .limit(1)
+        .select("node")
+    )
+    return bfs_depths(proj, seed)

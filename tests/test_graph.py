@@ -376,3 +376,39 @@ def test_hits_on_planted_bipartite_graph(spark):
     assert max(auth, key=auth.get) == "p0"
     assert got[("hub", "s")] == _HITS_SCALE  # max-normalized
     assert got[("authority", "p0")] == _HITS_SCALE
+
+
+def test_bfs_depths_on_planted_graph(spark):
+    """Level-synchronous BFS on a hand-built graph with known
+    distances: a path chain off a hub, a cycle, and an unreachable
+    component (must be absent). Distances equal python BFS."""
+    from collections import deque
+
+    from mapreduce_citation_spark.operators.graph import bfs_depths
+
+    edges = [
+        ("h", "a"), ("h", "b"), ("a", "c"), ("c", "d"),  # chain to depth 3
+        ("b", "a"),                                       # cycle h-a-b
+        ("x", "y"),                                       # unreachable island
+    ]
+    proj = spark.createDataFrame(edges, ["u", "v"])
+    seeds = spark.createDataFrame([("h",)], ["node"])
+    got = {r["paper"]: r["dist"]
+           for r in bfs_depths(proj, seeds, depth=3).collect()}
+
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    want, q = {"h": 0}, deque([("h", 0)])
+    while q:
+        n, d = q.popleft()
+        if d == 3:
+            continue
+        for m in nbrs[n]:
+            if m not in want:
+                want[m] = d + 1
+                q.append((m, d + 1))
+    assert got == want
+    assert "x" not in got and "y" not in got
+    assert got == {"h": 0, "a": 1, "b": 1, "c": 2, "d": 3}
