@@ -1005,3 +1005,80 @@ def events_trailing_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("n_24h"),
     )
+
+
+@register(
+    "events_snapshot_diff",
+    oracle="""
+WITH w1 AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND user_id % 20 <> 0
+  GROUP BY user_id
+),
+w2 AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND user_id % 20 <> 1
+  GROUP BY user_id
+)
+SELECT CASE WHEN w1.user_id IS NULL THEN 'insert'
+            WHEN w2.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       COALESCE(w1.user_id, w2.user_id) AS user_id,
+       w1.n AS old_n, w2.n AS new_n
+FROM w1 FULL JOIN w2 ON w1.user_id = w2.user_id
+WHERE w1.user_id IS NULL OR w2.user_id IS NULL OR w1.n <> w2.n
+""",
+    tags=("events", "cdc", "snapshot-diff", "changelog"),
+)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF → CDC changelog GENERATION — the producer side
+    of change data capture (the consumer side is
+    ``events_cdc_compaction`` / its live twin): given two versions of
+    a per-user aggregate state (first vs second half of the fixture
+    month, with deterministically PLANTED churn cohorts — user_id %
+    20 == 0 joins late, % 20 == 1 churns after the cutoff; the
+    fixture's users are otherwise uniformly active all month, so
+    without planting only updates would ever occur), emit the
+    minimal changelog that transforms one into the other. op = insert (new key), delete (vanished key), update
+    (value changed); unchanged keys emit nothing — exactly what a
+    MERGE INTO / incremental-materialization pipeline replays
+    downstream.
+
+    One shuffle per snapshot aggregate + one full-outer join on the
+    key — all user_id-keyed, so at 100 TB the three exchanges share
+    partitioning (AQE coalesces the join post-shuffle). Counts are
+    exact BIGINTs; the filter drops unchanged keys identically on
+    both engines (integer <>)."""
+    ev = _ev(spark, sf_dir)
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    w1 = (
+        ev.filter((F.col("ts") < cut) & (F.col("user_id") % 20 != 0))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("user_id").alias("u1"), F.col("n").alias("old_n"))
+    )
+    w2 = (
+        ev.filter((F.col("ts") >= cut) & (F.col("user_id") % 20 != 1))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("user_id").alias("u2"), F.col("n").alias("new_n"))
+    )
+    j = w1.join(w2, F.col("u1") == F.col("u2"), "full_outer")
+    return (
+        j.filter(
+            F.col("u1").isNull()
+            | F.col("u2").isNull()
+            | (F.col("old_n") != F.col("new_n"))
+        )
+        .select(
+            F.when(F.col("u1").isNull(), "insert")
+            .when(F.col("u2").isNull(), "delete")
+            .otherwise("update")
+            .alias("op"),
+            F.coalesce("u1", "u2").alias("user_id"),
+            "old_n",
+            "new_n",
+        )
+    )

@@ -672,3 +672,38 @@ def test_trailing_rates_match_pandas_replay(spark, sf_dir):
                        if t - pd.Timedelta(hours=24) <= x <= t)
         assert (r["n_1h"], r["n_24h"]) == (want_1h, want_24h)
         assert 1 <= r["n_1h"] <= r["n_24h"]
+
+
+def test_snapshot_diff_changelog_replays_to_target(spark, sf_dir):
+    """The changelog's defining property: applying it to snapshot 1
+    reproduces snapshot 2 exactly (insert adds, delete removes,
+    update overwrites, unchanged keys carried over) — verified
+    against a pandas rebuild of both snapshots. All three ops must
+    occur on this fixture."""
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.events import events_snapshot_diff
+
+    rows = events_snapshot_diff(spark, sf_dir).collect()
+    ops = {r["op"] for r in rows}
+    assert ops == {"insert", "delete", "update"}
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    cut = pd.Timestamp("2024-01-16 00:00:00")
+    s1 = (ev[(ev["ts"] < cut) & (ev["user_id"] % 20 != 0)]
+          .groupby("user_id").size().to_dict())
+    s2 = (ev[(ev["ts"] >= cut) & (ev["user_id"] % 20 != 1)]
+          .groupby("user_id").size().to_dict())
+
+    state = dict(s1)
+    for r in rows:
+        if r["op"] == "insert":
+            assert r["user_id"] not in state and r["old_n"] is None
+            state[r["user_id"]] = r["new_n"]
+        elif r["op"] == "delete":
+            assert r["new_n"] is None
+            del state[r["user_id"]]
+        else:
+            assert state[r["user_id"]] == r["old_n"] != r["new_n"]
+            state[r["user_id"]] = r["new_n"]
+    assert state == s2
