@@ -1082,3 +1082,149 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_n",
         )
     )
+
+
+#: Fixed follow-up horizon (hours) for the survival analysis —
+#: subjects without a conversion inside it are administratively
+#: censored (the fixture's users all convert eventually, so a finite
+#: follow-up is what makes censoring real).
+_KM_HORIZON_H = 48
+
+
+@register(
+    "events_survival_km",
+    oracle=f"""
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS v FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS p
+  FROM events e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fv.v
+  GROUP BY e.user_id
+),
+subj AS (
+  SELECT fv.user_id,
+         (epoch_us(fp.p) - epoch_us(fv.v)) // 3600000000 AS raw_h,
+         fp.p IS NOT NULL
+           AND (epoch_us(fp.p) - epoch_us(fv.v)) // 3600000000
+               < {_KM_HORIZON_H} AS ev
+  FROM fv LEFT JOIN fp ON fp.user_id = fv.user_id
+),
+g AS (
+  SELECT CASE WHEN ev THEN raw_h ELSE {_KM_HORIZON_H} END AS t,
+         CAST(COUNT(*) FILTER (WHERE ev) AS BIGINT) AS d,
+         CAST(COUNT(*) FILTER (WHERE NOT ev) AS BIGINT) AS c
+  FROM subj GROUP BY 1
+),
+r AS (
+  SELECT t, d, c,
+         CAST(SUM(d + c) OVER () AS BIGINT)
+           - CAST(COALESCE(SUM(d + c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS n
+  FROM g
+),
+km AS (SELECT t, d, n FROM r WHERE d > 0),
+arr AS (
+  SELECT list_sort(list(struct_pack(t := t, d := d, n := n))) AS a FROM km
+)
+SELECT km.t AS t_hours, km.n AS n_risk, km.d AS d_events,
+       list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE),
+           list_transform(list_filter(arr.a, x -> x.t <= km.t),
+             x -> CAST(1.0 AS DOUBLE)
+                  - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+         (a, b) -> a * b) AS survival
+FROM km, arr
+""",
+    tags=("events", "survival", "kaplan-meier", "censoring"),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve for view→purchase conversion —
+    time-to-event analysis WITH CENSORING, the statistic behind
+    retention curves and conversion-latency monitoring: subjects are
+    users from their first view; the event is their first purchase
+    within a fixed 48-hour follow-up; users not converting inside it
+    are administratively censored (they leave the risk set without an
+    event — simply dropping them would bias the curve down, counting
+    them as converted would bias it up; KM is the unbiased
+    estimator). S(t) = Π_{{s ≤ t}} (1 − d_s/n_s) over event times.
+
+    Determinism: d and n are exact integer counts (risk set via one
+    windowed cumulative over the ≤ 49-row duration table; durations
+    are integer-hour truncations of exact epoch-microsecond
+    differences, Spark ``div`` ≡ DuckDB ``//``); the survival
+    product is the repo's value-sorted fold convention — both
+    engines multiply the same correctly-rounded factors in the same
+    sorted order, so the doubles are bit-identical.
+
+    Shape: two user-keyed aggregates (first view, first qualifying
+    purchase — the purchase join rides the same key), one tiny
+    duration-table window, and the fold runs on a ≤ 49-element
+    broadcast array — corpus-size-independent after the per-user
+    reductions."""
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    raw_h = (
+        "(unix_micros(CAST(p AS TIMESTAMP)) - unix_micros(CAST(v AS TIMESTAMP)))"
+        " div 3600000000"
+    )
+    subj = fv.join(fp, "user_id", "left").select(
+        "user_id",
+        F.expr(raw_h).alias("raw_h"),
+        F.expr(f"p IS NOT NULL AND {raw_h} < {_KM_HORIZON_H}").alias("ev"),
+    )
+    g = (
+        subj.groupBy(
+            F.when(F.col("ev"), F.col("raw_h"))
+            .otherwise(F.lit(_KM_HORIZON_H))
+            .alias("t")
+        )
+        .agg(
+            F.expr("CAST(COUNT(CASE WHEN ev THEN 1 END) AS BIGINT)").alias("d"),
+            F.expr("CAST(COUNT(CASE WHEN NOT ev THEN 1 END) AS BIGINT)").alias("c"),
+        )
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.select(
+        "t", "d",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).cast("long").alias("n"),
+    )
+    km = r.filter(F.col("d") > 0).localCheckpoint()
+    arr = km.agg(
+        F.expr("array_sort(collect_list(struct(t, d, n)))").alias("a")
+    )
+    surv = (
+        "aggregate(filter(a, x -> x.t <= t), CAST(1.0 AS DOUBLE), "
+        "(acc, x) -> acc * (CAST(1.0 AS DOUBLE) "
+        "- CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)))"
+    )
+    return km.crossJoin(F.broadcast(arr)).select(
+        F.col("t").alias("t_hours"),
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("d_events"),
+        F.expr(surv).alias("survival"),
+    )

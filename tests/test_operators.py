@@ -707,3 +707,50 @@ def test_snapshot_diff_changelog_replays_to_target(spark, sf_dir):
             assert state[r["user_id"]] == r["old_n"] != r["new_n"]
             state[r["user_id"]] = r["new_n"]
     assert state == s2
+
+
+def test_survival_km_matches_lifelines_style_replay(spark, sf_dir):
+    """The KM curve equals an exact python replay of the estimator
+    (risk sets, event counts, product-limit survival) built from the
+    raw events; survival is monotone nonincreasing in (0, 1]."""
+    import pandas as pd
+    import pytest as _pt
+
+    from mapreduce_citation_spark.operators.events import (
+        _KM_HORIZON_H,
+        events_survival_km,
+    )
+
+    rows = sorted(events_survival_km(spark, sf_dir).collect(),
+                  key=lambda r: r["t_hours"])
+    assert rows
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    fv = (ev[ev["event_type"] == "view"].groupby("user_id")["ts"].min())
+    durs = []
+    for u, v in fv.items():
+        p = ev[(ev["event_type"] == "purchase") & (ev["user_id"] == u)
+               & (ev["ts"] >= v)]["ts"].min()
+        if pd.isna(p):
+            durs.append((_KM_HORIZON_H, False))
+        else:
+            h = int((p - v).total_seconds()) // 3600
+            durs.append((h, True) if h < _KM_HORIZON_H
+                        else (_KM_HORIZON_H, False))
+    surv, prev_t = 1.0, -1
+    want = []
+    for t in sorted({t for t, e in durs if e}):
+        n = sum(1 for td, _ in durs if td >= t)
+        d = sum(1 for td, e in durs if td == t and e)
+        surv *= 1.0 - d / n
+        want.append((t, n, d, surv))
+        assert t > prev_t
+        prev_t = t
+    got = [(r["t_hours"], r["n_risk"], r["d_events"], r["survival"])
+           for r in rows]
+    assert [(t, n, d) for t, n, d, _ in got] == [(t, n, d) for t, n, d, _ in want]
+    for (_, _, _, gs), (_, _, _, ws) in zip(got, want):
+        assert gs == _pt.approx(ws, rel=1e-12)
+    sv = [s for _, _, _, s in got]
+    assert all(0 < s <= 1 for s in sv)
+    assert all(a >= b for a, b in zip(sv, sv[1:]))

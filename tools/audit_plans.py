@@ -71,6 +71,7 @@ BROADCAST_ALLOWLIST = {
     ("tpch_extra.py", "s"): "supplier dim (TPC-H dim-side convention)",
     ("tpch_extra.py", "total"): "1-row aggregate (scalar fold)",
     ("events.py", "tot"): "1-row aggregate (stream total scalar fold)",
+    ("events.py", "arr"): "1-row collected KM event-time table: ≤ horizon+1 = 49 rows inside",
     ("streaming_queries.py", "tot"): "1-row aggregate (stream total scalar fold)",
     ("events.py", "m"): "per-type transition marginals: ≤|event_type| = 5 rows",
     ("tpch_extra.py", "mx"): "1-row aggregate (scalar fold)",
