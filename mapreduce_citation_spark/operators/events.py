@@ -1228,3 +1228,98 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("d_events"),
         F.expr(surv).alias("survival"),
     )
+
+
+@register(
+    "events_pattern_sequences",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+vc AS (
+  SELECT * FROM (
+    SELECT v.user_id, v.view_id, v.view_ts,
+           c.event_id AS click_id, c.ts AS click_ts,
+           ROW_NUMBER() OVER (PARTITION BY v.view_id
+                              ORDER BY c.ts, c.event_id) AS rk
+    FROM v JOIN events c
+      ON c.user_id = v.user_id AND c.event_type = 'click'
+     AND c.ts >= v.view_ts AND c.ts < v.view_ts + INTERVAL 24 HOURS
+  ) WHERE rk = 1
+),
+vcp AS (
+  SELECT * FROM (
+    SELECT vc.user_id, vc.view_id, vc.view_ts, vc.click_id, vc.click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           ROW_NUMBER() OVER (PARTITION BY vc.view_id
+                              ORDER BY p.ts, p.event_id) AS rk
+    FROM vc JOIN events p
+      ON p.user_id = vc.user_id AND p.event_type = 'purchase'
+     AND p.ts >= vc.click_ts AND p.ts < vc.click_ts + INTERVAL 24 HOURS
+  ) WHERE rk = 1
+)
+SELECT user_id, view_id, click_id, purchase_id,
+       view_ts, click_ts, purchase_ts
+FROM vcp
+""",
+    tags=("events", "pattern", "sequence", "match-recognize"),
+)
+def events_pattern_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL PATTERN detection — the MATCH_RECOGNIZE workload as
+    composable DataFrame ops: for every view, the FIRST click within
+    an hour, then the FIRST purchase within an hour of that click —
+    strict three-step order with per-step 24-hour bounds (sized to
+    the fixture's event density — at 1 hour the pattern never
+    completes below sf0.1), first-match
+    semantics (each step's candidate set resolved by a deterministic
+    (ts, event_id) argmin window, so simultaneous events can't make
+    the match ambiguous).
+
+    Shape: two keyed join+argmin stages, each an equi-join on user_id
+    with a range predicate and a per-anchor ROW_NUMBER — the same
+    bounded-state semantics a streaming pattern matcher maintains
+    per key; at 100 TB all exchanges key on user_id / the anchor id
+    and the per-view candidate lists are bounded by the time
+    windows."""
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    wv = Window.partitionBy("view_id").orderBy("click_ts", "click_id")
+    vc = (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    wp = Window.partitionBy("view_id").orderBy("purchase_ts", "purchase_id")
+    return (
+        vc.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id", "view_id", "click_id", "purchase_id",
+            "view_ts", "click_ts", "purchase_ts",
+        )
+    )

@@ -754,3 +754,42 @@ def test_survival_km_matches_lifelines_style_replay(spark, sf_dir):
     sv = [s for _, _, _, s in got]
     assert all(0 < s <= 1 for s in sv)
     assert all(a >= b for a, b in zip(sv, sv[1:]))
+
+
+def test_pattern_sequences_first_match_semantics(spark, sf_dir):
+    """Pattern instances are strictly ordered in time, one per view,
+    and each step really is the FIRST eligible event: a pandas replay
+    of the greedy first-click/first-purchase rule matches exactly."""
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.events import (
+        events_pattern_sequences,
+    )
+
+    rows = events_pattern_sequences(spark, sf_dir).collect()
+    assert rows
+    view_ids = [r["view_id"] for r in rows]
+    assert len(view_ids) == len(set(view_ids))  # one match per view
+    for r in rows:
+        assert r["view_ts"] <= r["click_ts"] <= r["purchase_ts"]
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "event_type"])
+    win = pd.Timedelta(hours=24)
+    by_user = dict(tuple(ev.groupby("user_id")))
+    want = {}
+    for _, v in ev[ev["event_type"] == "view"].iterrows():
+        g = by_user[v["user_id"]]
+        cl = g[(g["event_type"] == "click") & (g["ts"] >= v["ts"])
+               & (g["ts"] < v["ts"] + win)]
+        if not len(cl):
+            continue
+        c = cl.sort_values(["ts", "event_id"]).iloc[0]
+        pu = g[(g["event_type"] == "purchase") & (g["ts"] >= c["ts"])
+               & (g["ts"] < c["ts"] + win)]
+        if not len(pu):
+            continue
+        p = pu.sort_values(["ts", "event_id"]).iloc[0]
+        want[v["event_id"]] = (c["event_id"], p["event_id"])
+    got = {r["view_id"]: (r["click_id"], r["purchase_id"]) for r in rows}
+    assert got == want
