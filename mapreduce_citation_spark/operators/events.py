@@ -1323,3 +1323,119 @@ def events_pattern_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "view_ts", "click_ts", "purchase_ts",
         )
     )
+
+
+#: Packed-state encoding for the Holt fold: level and trend ride ONE
+#: BIGINT (st = (l + OFF)·B + (b + OFF)) because a STRUCT accumulator
+#: is not portable: DuckDB 1.0's list_reduce evaluates struct fields
+#: sequentially against the partially-updated accumulator (probed:
+#: with {'l': f(acc), 'b': g(acc.l)}, g saw the NEW l — the isolated
+#: single step computes correctly, multi-step folds diverge), while
+#: Spark's aggregate gives every field the old accumulator. A scalar
+#: accumulator cannot be partially updated, so the packed fold is
+#: bit-identical on both engines (the SES convention, widened to
+#: two components). Bounds: |l|, |b| < OFF = 2^19 — daily counts are
+#: ≤ ~10^3 at sf0.1 and smoothing keeps the state in the data's
+#: range; a corpus breaking 5·10^5 events/day/type needs a wider B.
+_HOLT_B = 1 << 20
+_HOLT_OFF = 1 << 19
+
+
+def _holt_step(div: str, y: str) -> str:
+    """One Holt update on the packed state ``st`` (shared text for
+    both engines; ``div`` is the truncating-division token)."""
+    B, OFF = _HOLT_B, _HOLT_OFF
+    l = f"(st {div} {B} - {OFF})"
+    b = f"(st % {B} - {OFF})"
+    nl = f"(({y} + {l} + {b}) {div} 2)"
+    nb = f"(({b} + {nl} - {l}) {div} 2)"
+    return f"(({nl} + {OFF}) * {B} + ({nb} + {OFF}))"
+
+
+@register(
+    "events_holt_forecast",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         list_transform(list_sort(list({{'d': day, 'y': y}})), s -> s.y) AS ys
+  FROM d GROUP BY event_type
+),
+h AS (
+  SELECT event_type, CAST(len(ys) AS BIGINT) AS n_days,
+         list_reduce(
+           list_prepend(
+             (ys[1] + {_HOLT_OFF}) * {_HOLT_B} + (ys[2] - ys[1] + {_HOLT_OFF}),
+             ys[3:]),
+           (st, x) -> {_holt_step("//", "x")}) AS st
+  FROM s WHERE len(ys) >= 2
+)
+SELECT event_type, n_days,
+       CAST(st // {_HOLT_B} - {_HOLT_OFF} AS BIGINT) AS holt_level,
+       CAST(st % {_HOLT_B} - {_HOLT_OFF} AS BIGINT) AS holt_trend,
+       CAST((st // {_HOLT_B} - {_HOLT_OFF})
+            + (st % {_HOLT_B} - {_HOLT_OFF}) AS BIGINT) AS forecast_next
+FROM h
+""",
+    tags=("events", "forecast", "smoothing", "holt", "timeseries"),
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT double exponential smoothing (α = β = 1/2) — the
+    trend-aware forecast completing the smoothing family
+    (``events_ses_forecast`` tracks level only, so it lags any
+    trending series by construction; Holt carries (level, trend)
+    state and its one-step forecast is level + trend).
+
+    α = β = 1/2 keeps the whole recursion in integer halvings
+    (l_t = (y_t + l + b) div 2; b_t = (b + (l_t − l)) div 2 —
+    truncation toward zero agrees across engines even on the
+    negative intermediate trends a dropping series produces). The
+    two-component state rides the PACKED-BIGINT fold (see
+    ``_holt_step``): a struct accumulator is NOT cross-engine-safe —
+    DuckDB 1.0's list_reduce lets later struct fields observe the
+    same step's already-updated earlier fields (measured; the
+    engineering note above the helper) — but a scalar accumulator
+    cannot be partially updated, so the packed encoding folds
+    bit-identically on both engines. One aggregation; per-series
+    state bounded by the calendar."""
+    ev = _ev(spark, sf_dir)
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, y))), s -> s.y)"
+        ).alias("ys")
+    )
+    fold = (
+        f"aggregate(slice(ys, 3, size(ys) - 2), "
+        f"(ys[0] + {_HOLT_OFF}) * CAST({_HOLT_B} AS BIGINT)"
+        f" + (ys[1] - ys[0] + {_HOLT_OFF}), "
+        f"(st, x) -> {_holt_step('div', 'x')})"
+    )
+    return (
+        s.where(F.expr("size(ys) >= 2"))
+        .select(
+            "event_type",
+            F.expr("CAST(size(ys) AS BIGINT)").alias("n_days"),
+            F.expr(fold).alias("_st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.expr(f"CAST(_st div {_HOLT_B} - {_HOLT_OFF} AS BIGINT)").alias(
+                "holt_level"
+            ),
+            F.expr(f"CAST(_st % {_HOLT_B} - {_HOLT_OFF} AS BIGINT)").alias(
+                "holt_trend"
+            ),
+            F.expr(
+                f"CAST((_st div {_HOLT_B} - {_HOLT_OFF})"
+                f" + (_st % {_HOLT_B} - {_HOLT_OFF}) AS BIGINT)"
+            ).alias("forecast_next"),
+        )
+    )

@@ -793,3 +793,48 @@ def test_pattern_sequences_first_match_semantics(spark, sf_dir):
         want[v["event_id"]] = (c["event_id"], p["event_id"])
     got = {r["view_id"]: (r["click_id"], r["purchase_id"]) for r in rows}
     assert got == want
+
+
+def test_holt_forecast_matches_python_fold(spark, sf_dir):
+    """Holt's packed-BIGINT fold equals an exact python replay of the
+    (level, trend) recursion with truncating halvings; the forecast
+    is level + trend; SES must lag Holt on a trending planted series
+    (the reason the trend component exists)."""
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.events import events_holt_forecast
+
+    rows = events_holt_forecast(spark, sf_dir).collect()
+    assert rows
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    ev["day"] = ev["ts"].dt.floor("D")
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    for r in rows:
+        ys = (ev[ev["event_type"] == r["event_type"]]
+              .groupby("day").size().sort_index().tolist())
+        l, b = ys[0], ys[1] - ys[0]
+        for y in ys[2:]:
+            nl = tdiv(y + l + b, 2)
+            b = tdiv(b + (nl - l), 2)
+            l = nl
+        assert (r["holt_level"], r["holt_trend"]) == (l, b)
+        assert r["forecast_next"] == l + b
+        assert r["n_days"] == len(ys)
+
+    # trending planted series: Holt's forecast tracks the slope, SES lags
+    ys = list(range(10, 10 + 2 * 20, 2))  # slope 2
+    l, b = ys[0], ys[1] - ys[0]
+    ses = ys[0]
+    for y in ys[1:]:
+        ses = tdiv(y + ses, 2)
+    for y in ys[2:]:
+        nl = tdiv(y + l + b, 2)
+        b = tdiv(b + (nl - l), 2)
+        l = nl
+    assert abs((l + b) - (ys[-1] + 2)) <= 1   # Holt ~ next point
+    assert ses < ys[-1]                        # SES lags the trend
