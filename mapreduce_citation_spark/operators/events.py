@@ -1439,3 +1439,82 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("forecast_next"),
         )
     )
+
+
+@register(
+    "events_user_features",
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+         CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_active_days,
+         MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, n_view, n_click, n_purchase, n_error,
+       n_active_days, first_ts, last_ts, value_cents,
+       (epoch_us(TIMESTAMP '2024-01-31') - epoch_us(last_ts))
+         // 86400000000 AS recency_days,
+       (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000 AS tenure_days,
+       CAST(n_purchase AS DOUBLE) / CAST(n_events AS DOUBLE) AS purchase_rate,
+       CAST(n_events AS DOUBLE) / CAST(n_active_days AS DOUBLE)
+         AS events_per_active_day
+FROM f
+""",
+    tags=("events", "features", "ml", "feature-store"),
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-STORE materialization: the wide per-user feature vector
+    a churn/propensity model trains on — event-type counts, activity
+    span (active days, tenure, recency vs the fixture horizon),
+    monetary value, and exact-ratio rates, all in ONE aggregation
+    pass (every FILTERed count shares the single user_id shuffle; no
+    per-feature scans).
+
+    Determinism: counts and day-spans are integers (epoch-microsecond
+    arithmetic, truncating division); ``value`` is money — routed through
+    DECIMAL(18,2) before the cents conversion (a double value·100
+    rounds differently across engines: Spark truncates the cast,
+    DuckDB rounds — the decimal-before-sum rule, measured again
+    here) so the sum is an associative integer; the two rates are single divisions of
+    exact integers. At 100 TB this is the canonical one-shuffle
+    map-side-combinable wide aggregate."""
+    ev = _ev(spark, sf_dir)
+    cnt = lambda t: F.expr(  # noqa: E731
+        f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+    ).alias(f"n_{t}")
+    f = ev.groupBy("user_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_events"),
+        cnt("view"), cnt("click"), cnt("purchase"), cnt("error"),
+        F.expr(
+            "CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)"
+        ).alias("n_active_days"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.expr(
+            "CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("value_cents"),
+    )
+    day_us = 86_400_000_000
+    return f.select(
+        "user_id", "n_events", "n_view", "n_click", "n_purchase", "n_error",
+        "n_active_days", "first_ts", "last_ts", "value_cents",
+        F.expr(
+            "(unix_micros(TIMESTAMP '2024-01-31 00:00:00')"
+            f" - unix_micros(CAST(last_ts AS TIMESTAMP))) div {day_us}"
+        ).alias("recency_days"),
+        F.expr(
+            "(unix_micros(CAST(last_ts AS TIMESTAMP))"
+            f" - unix_micros(CAST(first_ts AS TIMESTAMP))) div {day_us}"
+        ).alias("tenure_days"),
+        (F.col("n_purchase").cast("double") / F.col("n_events").cast("double"))
+        .alias("purchase_rate"),
+        (F.col("n_events").cast("double") / F.col("n_active_days").cast("double"))
+        .alias("events_per_active_day"),
+    )

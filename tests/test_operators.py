@@ -838,3 +838,36 @@ def test_holt_forecast_matches_python_fold(spark, sf_dir):
         l = nl
     assert abs((l + b) - (ys[-1] + 2)) <= 1   # Holt ~ next point
     assert ses < ys[-1]                        # SES lags the trend
+
+
+def test_user_features_match_pandas_replay(spark, sf_dir):
+    """The feature vector equals a pandas replay per user (counts,
+    active days, recency/tenure, decimal-exact cents, exact-ratio
+    rates) and type counts tally to n_events minus signups."""
+    from decimal import Decimal
+
+    import pandas as pd
+    import pytest as _pt
+
+    from mapreduce_citation_spark.operators.events import events_user_features
+
+    rows = events_user_features(spark, sf_dir).collect()
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+    horizon = pd.Timestamp("2024-01-31")
+    for r in rows[:40]:
+        g = ev[ev["user_id"] == r["user_id"]]
+        assert r["n_events"] == len(g)
+        for t in ("view", "click", "purchase", "error"):
+            assert r[f"n_{t}"] == (g["event_type"] == t).sum()
+        assert r["n_active_days"] == g["ts"].dt.floor("D").nunique()
+        cents = sum(int(Decimal(str(round(v, 2))) * 100) for v in g["value"])
+        assert r["value_cents"] == cents
+        assert r["recency_days"] == int(
+            (horizon - g["ts"].max()).total_seconds()) // 86400
+        assert r["tenure_days"] == int(
+            (g["ts"].max() - g["ts"].min()).total_seconds()) // 86400
+        assert r["purchase_rate"] == _pt.approx(
+            (g["event_type"] == "purchase").sum() / len(g), rel=1e-15)
