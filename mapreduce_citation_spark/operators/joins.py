@@ -1088,3 +1088,135 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "min_u", "max_u", "min_v", "max_v")
 
     return stats(zb, "zorder").unionByName(stats(lb, "linear"))
+
+
+# --- interval overlap join (bucketed, count-once) --------------------------
+
+#: Day width in microseconds; promo calendar epoch (2024-01-01 UTC).
+_DAY_US = 86_400_000_000
+_CAL_EPOCH_US = 1_704_067_200_000_000
+#: 10 promo windows: promo i covers days [3i, 3i+2) of January 2024.
+_N_PROMOS = 10
+
+
+@register(
+    "interval_overlap_join",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800000000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         epoch_us(MIN(ts)) AS ss, epoch_us(MAX(ts)) AS se
+  FROM numbered GROUP BY user_id, session_id
+), promos AS (
+  SELECT CAST(i AS BIGINT) AS promo_id,
+         {_CAL_EPOCH_US} + 3 * i * {_DAY_US} AS ps,
+         {_CAL_EPOCH_US} + (3 * i + 2) * {_DAY_US} AS pe
+  FROM range(0, {_N_PROMOS}) t(i)
+), sd AS (
+  SELECT s.*, unnest(generate_series(ss // {_DAY_US}, se // {_DAY_US})) AS b
+  FROM sessions s
+), pd AS (
+  SELECT p.*, unnest(generate_series(ps // {_DAY_US}, (pe - 1) // {_DAY_US})) AS b
+  FROM promos p
+)
+SELECT sd.user_id, sd.session_id, pd.promo_id,
+       CAST((LEAST(sd.se, pd.pe - 1) - GREATEST(sd.ss, pd.ps)) // 1000000
+            AS BIGINT) AS overlap_seconds
+FROM sd JOIN pd ON sd.b = pd.b
+WHERE sd.ss < pd.pe AND pd.ps <= sd.se
+  AND sd.b = GREATEST(sd.ss, pd.ps) // {_DAY_US}
+""",
+    tags=("join", "interval", "overlap", "bucketed"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP join — sessions × promotion windows — via the
+    bucketed count-once plan, the standard way to keep an
+    interval-intersection join off the n×m cliff: both interval sets
+    explode into the DAY buckets they span, pairs meet on a bucket
+    equi-join (shuffle on the bucket key, never a cross product),
+    and each overlapping pair survives EXACTLY once — in the bucket
+    containing the overlap's start (b = ⌊max(ss, ps)/day⌋) — so no
+    distinct/dedup pass is needed. The overlap length is exact
+    integer microsecond arithmetic.
+
+    The promo side here is a generated 10-row calendar (bounded —
+    AQE broadcasts it at this scale), but the plan is the TWO-LARGE-
+    SIDES shape: nothing about the bucket join or the count-once
+    rule assumes either side fits in memory; bucket width trades
+    explosion factor (intervals/bucket-span) against per-bucket
+    density — day buckets fit sessions (hours) and promos (2 days).
+
+    Session bounds reuse ``sessionize_events``'s exact pipeline
+    (same CTEs in the oracle); intervals are half-open on the promo
+    side, inclusive on the observed session side."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    numbered = ev.select(
+        "user_id", "ts", "event_id", new_session.alias("new_session")
+    ).withColumn("session_id", F.sum("new_session").over(wcum))
+    sessions = (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.expr("unix_micros(CAST(MIN(ts) AS TIMESTAMP))").alias("ss"),
+            F.expr("unix_micros(CAST(MAX(ts) AS TIMESTAMP))").alias("se"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "ss",
+            "se",
+        )
+    )
+    promos = spark.range(0, _N_PROMOS).select(
+        F.col("id").alias("promo_id"),
+        (F.lit(_CAL_EPOCH_US) + 3 * F.col("id") * _DAY_US).alias("ps"),
+        (F.lit(_CAL_EPOCH_US) + (3 * F.col("id") + 2) * _DAY_US).alias("pe"),
+    )
+    sd = sessions.select(
+        "user_id", "session_id", "ss", "se",
+        F.explode(
+            F.expr(f"sequence(ss div {_DAY_US}, se div {_DAY_US})")
+        ).alias("b"),
+    )
+    pd_ = promos.select(
+        "promo_id", "ps", "pe",
+        F.explode(
+            F.expr(f"sequence(ps div {_DAY_US}, (pe - 1) div {_DAY_US})")
+        ).alias("b"),
+    )
+    return (
+        sd.join(pd_, "b")
+        .filter(
+            (F.col("ss") < F.col("pe"))
+            & (F.col("ps") <= F.col("se"))
+            & (F.col("b") == F.expr(f"GREATEST(ss, ps) div {_DAY_US}"))
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "promo_id",
+            F.expr(
+                "CAST((LEAST(se, pe - 1) - GREATEST(ss, ps)) div 1000000"
+                " AS BIGINT)"
+            ).alias("overlap_seconds"),
+        )
+    )

@@ -156,3 +156,49 @@ def test_zorder_buckets_skip_better_than_linear(spark, sf_dir):
     l_tr = touched(by_layout["linear"], *trailing)
     assert l_tr == 16  # linear layout cannot prune on the trailing dim
     assert z_tr <= l_tr
+
+
+def test_interval_overlap_join_exact_and_count_once(spark, sf_dir):
+    """The bucketed count-once plan equals the naive quadratic
+    overlap join exactly: same (session, promo) pair set, each pair
+    exactly once, same integer overlap lengths — verified against a
+    pandas interval-intersection replay."""
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.joins import (
+        _CAL_EPOCH_US,
+        _DAY_US,
+        _N_PROMOS,
+        interval_overlap_join,
+    )
+
+    rows = interval_overlap_join(spark, sf_dir).collect()
+    keys = [(r["user_id"], r["session_id"], r["promo_id"]) for r in rows]
+    assert len(keys) == len(set(keys))  # count-once
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        sid, prev, bounds = 0, None, {}
+        for _, r in g.iterrows():
+            if prev is None or (r["ts"] - prev) > gap:
+                sid += 1
+                bounds[sid] = [r["ts"], r["ts"]]
+            else:
+                bounds[sid][1] = r["ts"]
+            prev = r["ts"]
+        for sid, (a, b) in bounds.items():
+            ss = int(a.value) // 1000  # ns -> us
+            se = int(b.value) // 1000
+            for i in range(_N_PROMOS):
+                ps = _CAL_EPOCH_US + 3 * i * _DAY_US
+                pe = ps + 2 * _DAY_US
+                if ss < pe and ps <= se:
+                    ov = (min(se, pe - 1) - max(ss, ps)) // 1_000_000
+                    want[(uid, sid, i)] = ov
+    got = {(r["user_id"], r["session_id"], r["promo_id"]): r["overlap_seconds"]
+           for r in rows}
+    assert got == want and want
