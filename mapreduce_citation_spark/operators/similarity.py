@@ -1632,3 +1632,64 @@ def power_iterate(
             .localCheckpoint()
         )
     return v
+
+
+def _pca_scores_oracle() -> str:
+    """Power-iteration oracle re-used through its final vector, then
+    every embedding projects onto it: score = Σ_j xq_j·v_j (exact
+    BIGINT dot product — xq ≤ 2^20, v ≤ 2^12, 64 dims → ≤ 2^38)."""
+    base = _power_iteration_oracle()
+    head, sep, _tail = base.partition("\nss AS (")
+    assert sep, "power-iteration oracle tail drifted"
+    return head + f"""
+q2 AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}.0) AS BIGINT)) AS xq
+  FROM embeddings
+)
+SELECT q2.vec_id,
+       CAST(SUM(q2.xq[v.pos] * v.val) AS BIGINT) AS score_q
+FROM q2, v{_PI_ITERS} v
+GROUP BY q2.vec_id
+"""
+
+
+@register(
+    "embedding_pca_scores",
+    oracle=_pca_scores_oracle(),
+    tags=("similarity", "pca", "projection", "apply", "pandas-udf"),
+)
+def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the power-iteration model: project every embedding onto
+    the learned principal direction (the kmeans→kmeans_assign
+    pattern — train produces a tiny model table, apply is a
+    broadcast-join map over the corpus). score = Σ xq_j·v_j, an
+    exact BIGINT dot product, so the full 500-row projection is
+    hash-gated; at 100 TB the 64-row direction broadcasts and the
+    projection is one shuffle-free map plus a vec-keyed partial
+    aggregate over the exploded components."""
+    part = embedding_gram_partials(_emb(spark, sf_dir)).localCheckpoint()
+    up = part.filter((F.col("i") > 0) & (F.col("j") > 0))
+    full = up.unionByName(
+        up.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s"
+        )
+    )
+    gq = full.select(
+        "i", "j", F.expr(f"s div {_PI_GDIV}").alias("g")
+    ).localCheckpoint()
+    v = power_iterate(spark, gq, dim=64, iters=_PI_ITERS)
+    xq = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+                f" * {_KM_SCALE}.0D) AS BIGINT))"
+            )
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    return (
+        xq.join(F.broadcast(v), "pos")
+        .groupBy("vec_id")
+        .agg(F.expr("CAST(SUM(x * val) AS BIGINT)").alias("score_q"))
+    )

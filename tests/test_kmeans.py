@@ -214,3 +214,46 @@ def test_power_iteration_matches_integer_replay_and_eigengap(spark, sf_dir):
                   dtype=np.float64)
     cos = abs(float(vv @ t)) / np.linalg.norm(vv)
     assert cos >= 0.999, f"planted top eigenvector missed: |cos| = {cos}"
+
+
+def test_pca_scores_match_integer_replay(spark, sf_dir):
+    """Projection scores equal the exact integer dot products of the
+    quantized embeddings with the bit-replayed power-iteration
+    direction (full 500-row apply)."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.similarity import (
+        _KM_SCALE,
+        _PI_GDIV,
+        _PI_ITERS,
+        _PI_VSCALE,
+        embedding_pca_scores,
+    )
+
+    rows = embedding_pca_scores(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    X = np.floor(
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _KM_SCALE
+    ).astype(np.int64)
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    G = X.T @ X
+    Gq = np.array([[tdiv(int(G[i, j]), _PI_GDIV) for j in range(64)]
+                   for i in range(64)], dtype=object)
+    v = np.array([_PI_VSCALE] * 64, dtype=object)
+    for _ in range(_PI_ITERS):
+        w = Gq @ v
+        m = max(abs(int(x)) for x in w)
+        v = np.array([tdiv(int(x) * _PI_VSCALE, m) if m else 0 for x in w],
+                     dtype=object)
+    want = {
+        int(vid): int(sum(int(a) * int(b) for a, b in zip(xrow, v)))
+        for vid, xrow in zip(pdf["vec_id"], X)
+    }
+    got = {r["vec_id"]: r["score_q"] for r in rows}
+    assert got == want and len(got) == len(X)

@@ -55,6 +55,7 @@ BROADCAST_ALLOWLIST = {
     ("similarity.py", "nxt"): "1-row argmax (farthest-point fold)",
     ("similarity.py", "ss"): "1-row aggregate (vector-norm scalar fold)",
     ("similarity.py", "m"): "1-row aggregate (power-iteration max-abs fold)",
+    ("similarity.py", "v"): "power-iteration direction: exactly dim=64 rows",
     ("similarity.py", "cent"): "per-label centroids: ≤|labels| rows",
     ("similarity.py", "centroids"): "k-means centroid table: exactly k=8 rows",
     ("similarity.py", "codebook"): "PQ codebook: K×m constant rows",
