@@ -97,15 +97,36 @@ _PRIORITY = (
     "layout_zorder_stats",
     "text_pmi_collocations",
     "citation_label_propagation",
+    # r6c SECOND batch (all-or-nothing swap — out: citation_pagerank
+    # (gate mode; the fixed-point scale mode stays), citation_triangles,
+    # orders_retention_cohorts, dedup_substring_spans,
+    # multimodal_ingest_stats, text_lang_id, knn_brute_cosine,
+    # streaming_session_counts, events_scd2_history,
+    # embedding_kcenter_coreset, join_partition_pruned; every displaced
+    # family keeps an in-window representative, see each block):
+    "citation_hits",
+    "events_trailing_rates",
+    "stats_ks_two_sample",
+    "citation_bfs_depths",
+    "events_snapshot_diff",
+    "events_survival_km",
+    "events_pattern_sequences",
+    "events_holt_forecast",
+    "events_user_features",
+    "interval_overlap_join",
+    "embedding_pca_scores",
     "text_bpe_merges",
     # (r6c: multimodal_audio_fp_pairs → beyond-window — the audio
     # dedup family stays via the stronger gram-sketch
     # multimodal_audio_minhash_pairs; the pigeonhole Hamming pairing
-    # stays in-window via multimodal_phash_pairs.)
-    "embedding_kcenter_coreset",
+    # stays in-window via multimodal_phash_pairs. r6c second batch:
+    # embedding_kcenter_coreset → beyond-window (embedding selection
+    # stays via kmeans + power iteration + the PCA apply),
+    # citation_triangles → beyond-window (graph stays via LPA, link
+    # prediction, HITS, BFS, pagerank-scale), events_scd2_history →
+    # beyond-window (the dimension-history axis stays via
+    # events_snapshot_diff).)
     "join_bloom_prefilter",
-    "citation_triangles",
-    "events_scd2_history",
     # LLM-pipeline: deduplication — every family in-window, including
     # the full suffix-array-style substring trio and decontamination.
     # (r5 rotation: dedup_ngram_jaccard — minhash's ground-truth twin
@@ -124,7 +145,8 @@ _PRIORITY = (
     # decontamination; multimodal_phash_pairs joins the window so the
     # new image near-dup capability is driver-gated.)
     "dedup_exact_substring_pairs",
-    "dedup_substring_spans",
+    # (r6c second batch: dedup_substring_spans → beyond-window — the
+    # substring family stays via pairs + decontamination.)
     "decontaminate_eval_overlap",
     # LLM-pipeline: similarity search (all four ANN strategies) +
     # clustering (r5b: embedding_kmeans joins the window — a new
@@ -134,11 +156,12 @@ _PRIORITY = (
     # (r5 rotation: embedding_label_stats → beyond-window.)
     # (r6b: knn_pq_ann → beyond-window — ANN stays represented by
     # brute + LSH + IVF; PQ remains benched + full-sweep-gated.)
-    "knn_brute_cosine",
     # (r6c: knn_lsh_ann → beyond-window — ANN stays via brute + IVF,
     # and the sign-LSH banding strategy stays in-window via
     # dedup_embedding_cosine, which shares its band machinery;
-    # embedding_power_iteration joins above.)
+    # embedding_power_iteration joins above. Second batch:
+    # knn_brute_cosine follows — ANN stays via IVF, brute remains
+    # benched + full-sweep-gated.)
     "knn_ivf_ann",
     "embedding_kmeans",
     # LLM-pipeline: text analysis.
@@ -149,7 +172,9 @@ _PRIORITY = (
     # stays represented by the four below + text_bpe_merges above.)
     "text_token_stats",
     "text_quality_scores",
-    "text_lang_id",
+    # (r6c second batch: text_lang_id → beyond-window — the text
+    # family stays via token_stats/quality/bpe/pmi; lang-ID remains
+    # full-sweep-gated with its confusion-matrix pipeline twin.)
     # (r6c: text_tfidf_top_terms and doc_winnowing_fingerprints →
     # beyond-window — the text family stays via token_stats/quality/
     # lang_id/bpe + the new text_pmi_collocations; winnowing remains
@@ -162,7 +187,9 @@ _PRIORITY = (
     # multimodal_phash_pairs joins the window; r6b:
     # multimodal_decode_features → beyond-window — the codec loop
     # stays represented by ingest + phash + the new audio pairs).
-    "multimodal_ingest_stats",
+    # (r6c second batch: multimodal_ingest_stats → beyond-window —
+    # the multimodal family stays via phash pairs + the audio
+    # gram-sketch.)
     "multimodal_phash_pairs",
     # Event analytics (batch twins of the streaming surface).
     # (r5 rotation: events_json_struct → beyond-window with its
@@ -171,7 +198,8 @@ _PRIORITY = (
     # streaming_tumbling_counts, its live twin; the r5b analytics
     # family gets its first in-window representative,
     # orders_retention_cohorts.)
-    "orders_retention_cohorts",
+    # (r6c second batch: orders_retention_cohorts → beyond-window —
+    # the cohort/lifecycle family stays via events_survival_km.)
     # (r6b second micro-swap: events_session_window → beyond-window —
     # the session family stays via sessionize_events +
     # streaming_session_counts; the custom python DataSource connector
@@ -181,14 +209,19 @@ _PRIORITY = (
     # family stays represented by streaming_stream_stream_funnel;
     # join_partition_pruned joins the window so the DPP capability is
     # driver-gated alongside the bucketed warehouse join.)
-    "join_partition_pruned",
+    # (r6c second batch: join_partition_pruned → beyond-window — the
+    # join family stays via bloom prefilter, bucketed, hot-key AQE,
+    # z-order, and the interval-overlap join; DPP remains benched +
+    # full-sweep-gated with its flat twin.)
     # Structured Streaming, driver-visible: six live families in the
     # window (three more — CDC compaction, stream-static join, sliding
     # windows — are registered beyond it, full-sweep-gated) —
     # windowed agg, session windows, stateful dedup, kafka-shaped
     # source, stream-stream join, custom applyInPandasWithState.
     "streaming_tumbling_counts",
-    "streaming_session_counts",
+    # (r6c second batch: streaming_session_counts → beyond-window —
+    # the session family stays via sessionize_events, and five live
+    # families remain in-window.)
     "streaming_dedup_watermark",
     "streaming_kafka_topic_counts",
     # (r6c: streaming_stream_stream_funnel → beyond-window — the
@@ -197,7 +230,9 @@ _PRIORITY = (
     # funnel_join core; the inner funnel remains full-sweep-gated.)
     "streaming_running_user_counts",
     # Graph / iterative: gate mode + the fixed-point scale mode.
-    "citation_pagerank",
+    # (r6c second batch: citation_pagerank (gate mode) →
+    # beyond-window — the pagerank family stays via the fixed-point
+    # scale mode, which is the benched at-scale strategy.)
     "citation_pagerank_scale",
     # (r6c: citation_components → beyond-window — connectivity/
     # community coverage stays via pagerank + triangles +
