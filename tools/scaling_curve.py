@@ -54,6 +54,17 @@ FAMILIES = {
     "multimodal_audio_fp_pairs": "documents",
     "citation_personalized_pagerank": "lineitem",
     "basket_brand_triples": "lineitem",
+    # r6c additions (the session's heaviest new families)
+    "multimodal_audio_minhash_pairs": "documents",
+    "citation_hits": "lineitem",
+    "citation_label_propagation": "lineitem",
+    "citation_link_prediction": "lineitem",
+    "layout_zorder_stats": "lineitem",
+    "events_pattern_sequences": "events",
+    "interval_overlap_join": "events",
+    "stats_ks_two_sample": "orders",
+    "embedding_power_iteration": "embeddings",
+    "text_pmi_collocations": "documents",
 }
 
 
