@@ -667,3 +667,89 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.expr("CAST(na * nb AS DOUBLE)")).alias("d_stat"),
         )
     )
+
+
+@register(
+    "stats_chi2_independence",
+    oracle="""
+WITH t AS (
+  SELECT c_mktsegment AS s, o_orderpriority AS p
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+cells AS (
+  SELECT s, p, CAST(COUNT(*) AS BIGINT) AS o FROM t GROUP BY s, p
+),
+m AS (
+  SELECT s, p, o,
+         CAST(SUM(o) OVER (PARTITION BY s) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY p) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells
+),
+terms AS (
+  SELECT n,
+         list_sort(list(struct_pack(s := s, p := p,
+           term := CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+                   / CAST(n * r * c AS DOUBLE)))) AS ts,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_s,
+         CAST(COUNT(DISTINCT p) AS BIGINT) AS n_p
+  FROM m GROUP BY n
+)
+SELECT n AS n_total,
+       (n_s - 1) * (n_p - 1) AS df,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(ts, x -> x.term)),
+         (a, b) -> a + b) AS chi2
+FROM terms
+""",
+    tags=("stats", "chi-square", "independence", "hypothesis-test"),
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE test of independence between customer segment and
+    order priority — the categorical complement of the KS drift test
+    (together: the two workhorse hypothesis tests of a monitoring
+    pipeline). χ² = Σ (O·N − R·C)² / (N·R·C) over the |s|×|p|
+    contingency cells (the O−E form cross-multiplied so every
+    numerator/denominator is an exact BIGINT product; magnitudes ≤
+    (O·N)² ≈ 2^56 at sf0.1 — DECIMAL beyond ~10^9 rows).
+
+    Each cell's term is ONE division of exact integers; the 25-term
+    χ² sum rides the value-sorted fold convention (struct-sorted by
+    (s, p), folded left-to-right from a 0.0 seed on both engines) so
+    the final double is bit-identical. Shape: one fact-dim join
+    (AQE-broadcast), one cell aggregate, three windows over the
+    25-row cell table, one bounded fold."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    t = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("s"), F.col("o_orderpriority").alias("p")
+    )
+    cells = t.groupBy("s", "p").agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("o"))
+    m = cells.select(
+        "s", "p", "o",
+        F.sum("o").over(Window.partitionBy("s")).cast("long").alias("r"),
+        F.sum("o").over(Window.partitionBy("p")).cast("long").alias("c"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).cast("long").alias("n"),
+    )
+    terms = m.groupBy("n").agg(
+        F.expr(
+            "array_sort(collect_list(struct(s, p, "
+            "CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)"
+            " / CAST(n * r * c AS DOUBLE) AS term)))"
+        ).alias("ts"),
+        F.expr("CAST(COUNT(DISTINCT s) AS BIGINT)").alias("n_s"),
+        F.expr("CAST(COUNT(DISTINCT p) AS BIGINT)").alias("n_p"),
+    )
+    return terms.select(
+        F.col("n").alias("n_total"),
+        ((F.col("n_s") - 1) * (F.col("n_p") - 1)).alias("df"),
+        F.expr(
+            "aggregate(transform(ts, x -> x.term), CAST(0.0 AS DOUBLE), "
+            "(a, b) -> a + b)"
+        ).alias("chi2"),
+    )

@@ -336,3 +336,38 @@ def test_ks_two_sample_matches_scipy_style_replay(spark, sf_dir):
         assert r["d_stat"] == _pt.approx(ks_2samp(a, b).statistic, rel=1e-12)
     except ImportError:
         pass
+
+
+def test_chi2_independence_matches_scipy_style_replay(spark, sf_dir):
+    """Chi-square equals the classic contingency computation (and
+    scipy's chi2_contingency when available); df = (|s|-1)(|p|-1)."""
+    import pandas as pd
+    import pytest as _pt
+
+    from mapreduce_citation_spark.operators.stats import (
+        stats_chi2_independence,
+    )
+
+    r = stats_chi2_independence(spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    ct = pd.crosstab(m["c_mktsegment"], m["o_orderpriority"])
+    n = ct.values.sum()
+    chi2 = 0.0
+    for i in range(ct.shape[0]):
+        for j in range(ct.shape[1]):
+            obs = ct.values[i, j]
+            rr, cc = ct.values[i].sum(), ct.values[:, j].sum()
+            chi2 += (obs * n - rr * cc) ** 2 / (n * rr * cc)
+    assert r["n_total"] == n
+    assert r["df"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert r["chi2"] == _pt.approx(chi2, rel=1e-12)
+    try:
+        from scipy.stats import chi2_contingency
+        assert r["chi2"] == _pt.approx(
+            chi2_contingency(ct.values, correction=False).statistic, rel=1e-9)
+    except ImportError:
+        pass
