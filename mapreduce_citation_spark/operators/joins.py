@@ -1050,32 +1050,43 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate touches ALL buckets). The pytest computes both skip
     rates from the emitted stats.
 
-    Scale note: the NTILE windows are the inherently-global step of
-    layout reorganization — production systems realize the same
-    semantics as a sampled repartitionByRange + per-partition sort
-    (range bounds from a driver-side sample); the deterministic NTILE
-    formulation is the oracle-able equivalent, and the
-    prefix-offset decomposition (per-partition counts → exclusive
-    prefix sums → local ranks) distributes it exactly if needed."""
+    Scale note (r7): the four global NTILEs are computed WITHOUT any
+    unpartitioned window — each is a prefix-offset global rank
+    (``prefix.with_global_order``: sampled ``repartitionByRange`` +
+    arithmetic local ranks + broadcast exclusive-prefix offsets, the
+    same strategy production z-ordering uses) fed through the closed-
+    form ANSI-NTILE bucket formula (``prefix.ntile_from_rank``). The
+    r6 measurement of the old single-task-sort form — 7.6× time at a
+    10× input step, the repo's worst curve — is the reason; semantics
+    and oracle are unchanged."""
+    from .prefix import ntile_from_rank, with_global_order
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
     )
-    wu = Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
-    wv = Window.orderBy("l_suppkey", "l_orderkey", "l_linenumber")
-    c = li.select(
-        (F.ntile(_ZO_CODES).over(wu) - 1).alias("cu"),
-        (F.ntile(_ZO_CODES).over(wv) - 1).alias("cv"),
+    d = with_global_order(
+        li, ["l_partkey", "l_orderkey", "l_linenumber"], rank="ru", total="n"
+    )
+    d = with_global_order(
+        d, ["l_suppkey", "l_orderkey", "l_linenumber"], rank="rv"
+    )
+    c = d.select(
+        (ntile_from_rank("ru", "n", _ZO_CODES) - 1).alias("cu"),
+        (ntile_from_rank("rv", "n", _ZO_CODES) - 1).alias("cv"),
         "l_orderkey",
         "l_linenumber",
+        "n",
     )
     z = c.select(
         "cu", "cv", F.expr(_morton_expr("cu", "cv", 4, "div")).alias("zv"),
-        "l_orderkey", "l_linenumber",
+        "l_orderkey", "l_linenumber", "n",
     )
-    wz = Window.orderBy("zv", "l_orderkey", "l_linenumber")
-    wl = Window.orderBy("cu", "cv", "l_orderkey", "l_linenumber")
-    zb = z.select("cu", "cv", F.ntile(_ZO_BUCKETS).over(wz).alias("bucket"))
-    lb = z.select("cu", "cv", F.ntile(_ZO_BUCKETS).over(wl).alias("bucket"))
+    zb = with_global_order(
+        z, ["zv", "l_orderkey", "l_linenumber"], rank="rz"
+    ).select("cu", "cv", ntile_from_rank("rz", "n", _ZO_BUCKETS).alias("bucket"))
+    lb = with_global_order(
+        z, ["cu", "cv", "l_orderkey", "l_linenumber"], rank="rl"
+    ).select("cu", "cv", ntile_from_rank("rl", "n", _ZO_BUCKETS).alias("bucket"))
 
     def stats(d: DataFrame, layout: str) -> DataFrame:
         return d.groupBy("bucket").agg(

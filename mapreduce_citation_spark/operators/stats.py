@@ -13,6 +13,7 @@ expose for reproducible pipelines anyway.)
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -617,10 +618,15 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     achieving the max (deterministic under ties on both engines).
 
     Shape: one fact-dim join (AQE broadcasts the measured customer
-    side), one groupBy on the value, then the merged-CDF window —
-    the inherently-global cumulative pass (PPS-cumsum category; the
-    prefix-offset decomposition distributes it exactly at scale)."""
-    from pyspark.sql import Window
+    side), one groupBy on the value, then the merged CDF via the
+    prefix-offset decomposition (``prefix.with_global_order``): the
+    grouped value-domain table is ~order-cardinality (near-unique
+    prices), so an unpartitioned running-sum window over it would be a
+    corpus-proportional single-task sort — instead the cumulative
+    counts come from range-partitioned local cumsums plus broadcast
+    prefix offsets, exact and distributed (r6 verdict scale-killer
+    class, deleted r7)."""
+    from .prefix import with_global_order
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -629,25 +635,23 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
         .select(F.col("o_totalprice").alias("val"), F.col("c_mktsegment").alias("s"))
     )
-    # value-domain-sized; checkpointed so the fact-dim join runs once,
-    # not once per consumer (n / gaps / argmin all read this table)
+    # value-domain-sized (corpus-proportional at scale): persist —
+    # columnar, evictable — so the fact-dim join runs once, not once
+    # per consumer (n / gaps / argmin all read this table)
     g = t.groupBy("val").agg(
         F.count(F.when(F.col("s") == "BUILDING", 1)).alias("ca"),
         F.count(F.when(F.col("s") == "MACHINERY", 1)).alias("cb"),
-    ).localCheckpoint()
-    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = g.select(
-        "val",
-        F.sum("ca").over(w).alias("fa"),
-        F.sum("cb").over(w).alias("fb"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cum = with_global_order(
+        g, ["val"], cumsum={"fa": "ca", "fb": "cb"}
+    ).select("val", "fa", "fb")
     n = g.agg(
         F.expr("CAST(SUM(ca) AS BIGINT)").alias("na"),
         F.expr("CAST(SUM(cb) AS BIGINT)").alias("nb"),
     )
     gaps = cum.crossJoin(F.broadcast(n)).select(
         "val", "na", "nb", F.expr("ABS(fa * nb - fb * na)").alias("gap")
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     d_num = gaps.agg(F.max("gap").alias("d_num"))
     ks_at = (
         gaps.join(F.broadcast(d_num), F.col("gap") == F.col("d_num"))

@@ -77,6 +77,10 @@ BROADCAST_ALLOWLIST = {
     ("events.py", "m"): "per-type transition marginals: ≤|event_type| = 5 rows",
     ("tpch_extra.py", "mx"): "1-row aggregate (scalar fold)",
     ("mining.py", "tot"): "1-row aggregate (basket total scalar fold)",
+    ("prefix.py", "offsets"):
+        "prefix-offset table: ≤ n_parts (shuffle-partition count) rows"
+        " by construction",
+    ("prefix.py", "grand"): "1-row aggregate (global row-count fold)",
     ("pipeline.py", "tot"):
         "1-row aggregate (mixture normalizer / PPS total-weight scalar fold)",
     ("pipeline.py", "n_sampled"): "1-row aggregate (coordinated-sample scalar fold)",

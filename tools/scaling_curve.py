@@ -65,6 +65,9 @@ FAMILIES = {
     "stats_ks_two_sample": "orders",
     "embedding_power_iteration": "embeddings",
     "text_pmi_collocations": "documents",
+    # r7: the three prefix-offset rewrites (pps joins the file so all
+    # three ex-global-window queries carry a curve)
+    "corpus_pps_systematic_sample": "documents",
 }
 
 
