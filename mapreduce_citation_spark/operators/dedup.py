@@ -251,31 +251,72 @@ WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive word-3-gram Jaccard pairs ≥ 0.8 — the ground truth
     the LSH variant approximates (their agreement is a pytest
-    property). Spark side computes |A∩B| by exploding shingles and
-    equi-joining on the shingle — pairs sharing zero shingles are
-    never materialized, unlike the oracle's O(n²) brute force (fine
-    for DuckDB at oracle scale, wrong at 100 TB)."""
+    property). EXACT (no candidate may be lost — the hash gate
+    compares against DuckDB's O(n²) brute force), but never all-pairs
+    and, since r7, never Σ_g df(g)² either:
+
+    1. PREFIX FILTER (Chaudhuri et al. SSJoin / PPJoin): order every
+       doc's shingle set by one global total order (ascending document
+       frequency, shingle text as tie-break) and keep only the first
+       ``|A| − ⌈0.8·|A|⌉ + 1`` shingles. Any pair with J ≥ 0.8 shares
+       ≥ 0.8·max(|A|,|B|) shingles, so its rarest-first prefixes must
+       intersect — candidate generation equi-joins PREFIX shingles
+       only, and frequent shingles (the df² blowup this query paid
+       before; the audio family measured the same fix at 5.1×) almost
+       never sit in a rarest-first prefix.
+    2. PAIR-KEYED verify (the audio-family restructure): intersections
+       are counted by joining each candidate pair's own shingles on
+       (pair, shingle) — linear in |cand|·shingles-per-doc, immune to
+       shingle popularity.
+
+    The shingle cache is persist(MEMORY_AND_DISK) — corpus-sized reuse
+    cache, per the r6 memory rule (localCheckpoint pins deserialized
+    rows on-heap); df counts, sizes, prefixes and verify all read it."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir)
-    # materialize the exploded shingles once: they feed BOTH self-join
-    # sides AND the size aggregate — left lazy, the (interpreted-HOF)
-    # shingle pipeline runs four times (documents scanned 4×)
-    ex = exploded_word_shingles(d, 3).localCheckpoint()
+    ex = exploded_word_shingles(d, 3).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    df_g = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(df_g, "s").select(
+        "doc_id",
+        "s",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("df", "s"))
+        .alias("rk"),
+    )
+    pref = (
+        ranked.join(sizes, "doc_id")
+        # ceil(0.8·n) = (4n+4) div 5, exact in integers
+        .filter(F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1)
+        .select("doc_id", "s", "n_sh")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .distinct()
+    )
+    common = (
+        cand.select("doc_a", "doc_b")
+        .join(ex.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(common, ["doc_a", "doc_b"])
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )

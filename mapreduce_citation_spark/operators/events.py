@@ -692,7 +692,7 @@ SELECT event_type,
           * (COUNT(*) * CAST(SUM(y * y) AS DOUBLE)
              - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))) AS r2
 FROM d GROUP BY event_type
-HAVING COUNT(*) >= 2 AND MIN(x) <> MAX(x)
+HAVING COUNT(*) >= 2 AND MIN(x) <> MAX(x) AND MIN(y) <> MAX(y)
 """,
     tags=("events", "trend", "regression", "timeseries"),
 )
@@ -734,11 +734,14 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"{num} * {num} / ({den} * (COUNT(*) * {syy} - {sy} * {sy}))"
             ).alias("r2"),
-            # x-variance guard rides the aggregate: a type active on
-            # <2 distinct days has no defined slope, and 0-denominator
-            # division diverges across engines (Spark NULL, DuckDB
-            # inf/NaN) — drop it identically on both sides
-            F.expr("MIN(x) <> MAX(x) AND COUNT(*) >= 2").alias("_ok"),
+            # variance guards ride the aggregate: a type active on <2
+            # distinct days has no defined slope, and one whose daily
+            # counts are all equal has r² = 0/0 — both 0-denominator
+            # divisions diverge across engines (Spark NULL, DuckDB
+            # inf/NaN) — drop them identically on both sides
+            F.expr(
+                "MIN(x) <> MAX(x) AND MIN(y) <> MAX(y) AND COUNT(*) >= 2"
+            ).alias("_ok"),
         )
         .filter(F.col("_ok"))
         .drop("_ok")
@@ -1268,7 +1271,7 @@ FROM vcp
 def events_pattern_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEQUENTIAL PATTERN detection — the MATCH_RECOGNIZE workload as
     composable DataFrame ops: for every view, the FIRST click within
-    an hour, then the FIRST purchase within an hour of that click —
+    24 hours, then the FIRST purchase within 24 hours of that click —
     strict three-step order with per-step 24-hour bounds (sized to
     the fixture's event density — at 1 hour the pattern never
     completes below sf0.1), first-match

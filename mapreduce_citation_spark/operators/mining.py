@@ -18,6 +18,7 @@ aggregates after.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,7 +80,7 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every aggregate lands on the bounded brand×brand domain."""
     e = order_brand_incidence(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = e.select(F.count_distinct("o").alias("n_orders"))
     c = e.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
     x, y = e.alias("x"), e.alias("y")
@@ -137,7 +138,7 @@ def parts_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "part")
         .select("p_brand", "p_name")
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = e.alias("a"), e.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
@@ -192,7 +193,7 @@ def basket_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape."""
     e = order_brand_incidence(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = e.select(F.count_distinct("o").alias("n_orders"))
     x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
     t = (

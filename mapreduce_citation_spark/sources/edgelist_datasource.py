@@ -106,9 +106,18 @@ class EdgeListReader(DataSourceReader):
                 EdgeRangePartition(path, bounds[i], bounds[i + 1])
                 for i in range(n)
             )
-        return parts or [EdgeRangePartition(self._files()[0], 0, 0)]
+        if parts:
+            return parts
+        # all-empty (or no) files: the DataSource API needs ≥1
+        # partition (an empty list makes Spark hand read() a None),
+        # so emit one zero-range sentinel; an empty staging dir must
+        # read as zero rows, not IndexError
+        files = self._files()
+        return [EdgeRangePartition(files[0] if files else None, 0, 0)]
 
     def read(self, partition: EdgeRangePartition):
+        if partition.path is None:  # empty-directory sentinel
+            return
         sep, comment = self.sep, self.comment
         with open(partition.path, "rb") as f:
             if partition.start > 0:

@@ -205,6 +205,25 @@ def test_edgelist_datasource_range_splits_exact(spark, tmp_path):
     assert many.rdd.getNumPartitions() == 8
 
 
+def test_edgelist_datasource_empty_dir_reads_zero_rows(spark, tmp_path):
+    """An empty staging directory (or one holding only dot/underscore
+    files) must read as zero rows — not IndexError from the
+    zero-range fallback indexing a nonexistent first file."""
+    from mapreduce_citation_spark.sources.edgelist_datasource import (
+        register_edgelist_source,
+    )
+
+    register_edgelist_source(spark)
+    empty = tmp_path / "staging"
+    empty.mkdir()
+    df = spark.read.format("edgelist").option("path", str(empty)).load()
+    assert df.count() == 0
+    (empty / "_SUCCESS").write_text("")
+    (empty / ".hidden").write_text("p\tq\n")
+    df2 = spark.read.format("edgelist").option("path", str(empty)).load()
+    assert df2.count() == 0
+
+
 def test_edgelist_stream_source_multibatch_and_replay(spark, tmp_path):
     """The custom streaming source: tiny batchLines forces many
     micro-batches; the drained complete-mode aggregate equals the
