@@ -23,6 +23,7 @@ integer coefficients; SimHash reads md5 hex digits as sign bits.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -176,7 +177,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the signature table once: the band self-join below
     # would otherwise evaluate the whole shingle+hash pipeline twice
     # (self-join sides only share work up to the last exchange)
-    sig = sig.localCheckpoint()
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     band_cols = [
         F.concat(
             F.lit(f"{b}:"),
@@ -272,7 +273,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle cache is persist(MEMORY_AND_DISK) — corpus-sized reuse
     cache, per the r6 memory rule (localCheckpoint pins deserialized
     rows on-heap); df counts, sizes, prefixes and verify all read it."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
@@ -370,7 +370,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize: the block self-join would otherwise run the (HOF,
     # interpreted) simhash pipeline once per side
-    s = s.localCheckpoint()
+    s = s.persist(StorageLevel.MEMORY_AND_DISK)
     blocks = [(0, 1, 11), (1, 12, 11), (2, 23, 10)]  # (id, start, len), 1-based
     block_cols = [
         F.concat_ws(":", F.lit(i), F.substring("simhash", st, ln)).alias(f"blk{i}")
@@ -476,7 +476,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scanned 2× just for candidates). Keys come from the vectorized
     # Arrow/numpy kernel — bitwise identical to the SQL fold the
     # DuckDB oracle mirrors (see lsh_band_keys_pandas docstring).
-    bands = lsh_band_keys_pandas(e, 6, 8).localCheckpoint()
+    bands = lsh_band_keys_pandas(e, 6, 8).persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), (F.col("x.band_key") == F.col("y.band_key"))
@@ -873,7 +873,6 @@ def exact_substring_pairs(
     plan survives corpus growth. Per-doc dedup happens inside each
     row (:func:`_doc_distinct_grams`) — no global distinct
     aggregate."""
-    from pyspark import StorageLevel
 
     g = _doc_distinct_grams(d, k).persist(StorageLevel.MEMORY_AND_DISK)
     # df-count with NO partial aggregate: digests are near-unique
@@ -973,7 +972,6 @@ def substring_span_stats(d: DataFrame, k: int = _ESK) -> DataFrame:
     pinned deserialized rows are the wrong cache at corpus scale);
     the only remaining documents re-scan is the final per-doc length
     join, which reads just (doc_id, length)."""
-    from pyspark import StorageLevel
 
     g = _char_grams(d, k).persist(StorageLevel.MEMORY_AND_DISK)
     spans = _merged_dup_spans(g, k)
@@ -1067,7 +1065,6 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlaps and on how many distinct shared grams (i.e. (t.dg, b)
     match rows — each shared digest counts once per benchmark doc
     carrying it)."""
-    from pyspark import StorageLevel
 
     d = _docs(spark, sf_dir)
     # one cached materialization feeds both the benchmark and training
@@ -1157,7 +1154,6 @@ def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     road instead: per-character anti-join against covered positions
     (150k rows at oracle scale) — two INDEPENDENT constructions of the
     same string, which is the point of the check."""
-    from pyspark import StorageLevel
 
     d = _docs(spark, sf_dir)
     g = _char_grams(d).persist(StorageLevel.MEMORY_AND_DISK)

@@ -11,6 +11,7 @@ shared with these functions.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -366,7 +367,7 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     m = d.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("nd"),
@@ -429,7 +430,7 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("day", "ts").alias("day"), "user_id")
         .agg(F.lit(1).alias("_one"))
         .select("day", "user_id")
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dau = d.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     wau = (

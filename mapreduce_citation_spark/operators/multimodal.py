@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -473,7 +474,7 @@ def hamming_band_pairs(
     (out_a, out_b, hamming) with out_a < out_b, hamming ≤ 2."""
     # materialize: the block self-join below would otherwise run the
     # whole encode+fingerprint pandas pipeline once per side
-    sigs = sigs.localCheckpoint()
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     blocks = [(0, 1, 22), (1, 23, 21), (2, 44, 21)]  # (id, start, len), 1-based
     block_cols = [
         F.concat_ws(":", F.lit(i), F.substring("dh", st, ln)).alias(f"blk{i}")
@@ -908,7 +909,7 @@ def hamming_band_pairs_128(
     distance summed over FOUR 32-bit quarters (``conv`` of a 64-char
     binary string would wrap a signed LONG; 32-bit quarters stay
     safely positive)."""
-    sigs = sigs.localCheckpoint()
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     blocks = [(0, 1, 43), (1, 44, 43), (2, 87, 42)]
     block_cols = [
         F.concat_ws(":", F.lit(i), F.substring("dh", st, ln)).alias(f"blk{i}")
@@ -1211,7 +1212,6 @@ def multimodal_audio_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     from the construction definition — deterministic integer arithmetic
     end-to-end, so even LSH's probabilistic recall is bit-reproducible
     across engines."""
-    from pyspark import StorageLevel
 
     from ..functions.text_funcs import (
         MINHASH_P,

@@ -11,6 +11,7 @@ one digest shuffle, map-side everything else.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -437,14 +438,14 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (both inherent — they need the raw text at other granularities)
     base = d.select(
         "doc_id", "text", "n_chars", F.expr(QG_KEEP_SPARK).alias("keep")
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     s1 = base.filter(F.col("keep")).drop("keep")
     w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
     s2 = (
         s1.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # stage 3: near dedup — reuse the registered cluster operator's
     # exact output (corpus-level cluster membership); survivors not in
@@ -464,9 +465,8 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2c.join(keepers, "cluster_id", "left")
         .filter(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("_keeper")))
         .select("doc_id", "text", "n_chars")
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    from pyspark import StorageLevel
 
     g = _doc_distinct_grams(d).persist(StorageLevel.MEMORY_AND_DISK)
     bench_g = g.where(F.col("doc_id") % 10 == 0).select("dg").distinct()
@@ -605,7 +605,7 @@ def coordinated_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole warehouse: one rule, any number of tables, joins intact."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.expr(_COORD_COIN_SPARK.format(k="c_custkey"))
-    ).select("c_custkey", "c_mktsegment").localCheckpoint()
+    ).select("c_custkey", "c_mktsegment").persist(StorageLevel.MEMORY_AND_DISK)
     o = load_table(spark, sf_dir, "orders").filter(
         F.expr(_COORD_COIN_SPARK.format(k="o_custkey"))
     ).select(

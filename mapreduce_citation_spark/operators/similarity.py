@@ -19,6 +19,7 @@ Dot products are ordered left-folds in double on both engines
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -752,7 +753,7 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.row_number().over(w_assign))
         .filter(F.col("r") == 1)
         .select(F.col("vec_id").alias("neighbor_id"), "m", "code")
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # per-query ADC tables: dot(query subvector, codeword) per (m, code)
     qsubs = subs.filter(F.col("vec_id") < 10).select(
@@ -969,7 +970,7 @@ def kmeans_fixed_point(
         F.expr(
             f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0D) AS BIGINT))"
         ).alias("xq"),
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cent = (
         q.orderBy("vec_id")
         .limit(k)

@@ -311,7 +311,7 @@ def stats_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sk = (
         d.groupBy("day")

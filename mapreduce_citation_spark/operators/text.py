@@ -11,6 +11,7 @@ in both engines.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -292,7 +293,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(F.expr(_TOK_S)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -684,7 +685,7 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel_d = (
         winnowed_fingerprints(_docs(spark, sf_dir))
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     eligible = (
         sel_d.groupBy("sel")
@@ -939,7 +940,7 @@ def bpe_merge_table(docs: DataFrame, n_merges: int) -> DataFrame:
             "word", "(.)", _BPE_SEP1 + "$1" + _BPE_SEP2
         ).alias("s"),
         "freq",
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     out = None
     cur = wrapped
@@ -1067,7 +1068,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nu = uc.agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("n_uni"))
     bc = (
@@ -1084,7 +1085,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b.w1", "b.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nb = bc.agg(F.expr("CAST(SUM(n_pair) AS BIGINT)").alias("n_bg"))
     cx = uc.select(F.col("w").alias("w1"), F.col("c").alias("n_w1"))

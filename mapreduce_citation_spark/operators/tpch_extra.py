@@ -22,6 +22,7 @@ identically-computed doubles (see operators/relational.py docstring).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -259,7 +260,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total and the filter — left lazy, each branch re-scans lineitem
     pv = li.groupBy("l_partkey").agg(
         F.expr(f"SUM({PRICE} * (1 - {DISC}))").alias("value")
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     total = pv.agg(F.sum("value").alias("total"))
     return (
         pv.crossJoin(F.broadcast(total))
@@ -524,7 +525,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
         .select("l_orderkey", "l_suppkey")
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l1, l2 = late.alias("l1"), late.alias("l3")
     # EXISTS another supplier on the order — checked ONLY for orders
     # that have a late line at all: the semi-join against the (small)
