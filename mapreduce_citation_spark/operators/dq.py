@@ -13,6 +13,7 @@ would flow to a quarantine sink in the same pass).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,45 +58,102 @@ def warehouse_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationships. A healthy TPC-H shape reports zero violations,
     and the audit asserting that IS the product: the same query over
     a corrupted load pinpoints the broken relationship and its
-    violation count in one pass per table."""
+    violation count in ONE scan per table (r7 rework): each table is
+    read once into the narrowest projection that serves every one of
+    its checks — customer/part as cached per-key dup counts (PK stats
+    AND FK parent side), orders as a cached (o_orderkey, o_custkey)
+    pair (its own PK, the child side of the customer FK, and grouped
+    to the parent-key side of lineitem's FK), lineitem as one probe
+    joining BOTH parents before a single wide aggregate. Caches are
+    persist(MEMORY_AND_DISK) — the key projections are table-sized
+    (the corpus-cache memory rule)."""
+    lvl = StorageLevel.MEMORY_AND_DISK
+    # one scan per dim: per-key dup counts serve the PK check (sum of
+    # dups = row count, key count = distinct count) and, being unique
+    # by construction, join as the FK parent without multiplying
+    ck = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("ndup"))
+        .persist(lvl)
+    )
+    pkd = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("ndup"))
+        .persist(lvl)
+    )
+    # one scan of orders: the row-level key pair feeds its own PK
+    # check, the orders->customer orphan probe, and (grouped) the
+    # unique parent-key side of lineitem's FK
+    ow = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .persist(lvl)
+    )
 
-    def pk(df: DataFrame, name: str, key: str) -> DataFrame:
-        return df.agg(
+    def pk_row(keyed: DataFrame, name: str) -> DataFrame:
+        return keyed.agg(
             F.lit(name).alias("check_name"),
-            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
-            F.expr(f"CAST(COUNT(*) - COUNT(DISTINCT {key}) AS BIGINT)").alias(
+            F.expr("CAST(SUM(ndup) AS BIGINT)").alias("n_rows"),
+            F.expr("CAST(SUM(ndup) - COUNT(*) AS BIGINT)").alias(
                 "n_violations"
             ),
         )
 
-    def fk(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
-           name: str) -> DataFrame:
-        return (
-            child.join(parent, child[ckey] == parent[pkey], "left")
-            .agg(
-                F.lit(name).alias("check_name"),
-                F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
-                F.expr(
-                    f"CAST(SUM(CASE WHEN {pkey} IS NULL THEN 1 ELSE 0 END)"
-                    " AS BIGINT)"
-                ).alias("n_violations"),
+    # orders wide pass: PK stats + customer-orphan sum, one aggregate
+    orders_wide = (
+        ow.join(ck.select("c_custkey"), ow.o_custkey == F.col("c_custkey"),
+                "left")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+            F.expr("CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)")
+            .alias("pk_viol"),
+            F.expr(
+                "CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("fk_viol"),
+        )
+        .select(
+            F.expr(
+                "stack(2, 'pk:orders.o_orderkey', n, pk_viol,"
+                " 'fk:orders.o_custkey->customer', n, fk_viol)"
+                " AS (check_name, n_rows, n_violations)"
             )
         )
-
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    p = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem")
+    )
+    # lineitem wide pass: both parents probed off ONE child scan
+    okeys = ow.groupBy("o_orderkey").agg(F.lit(1).alias("_o"))
+    li_wide = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(okeys, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .join(pkd.select("p_partkey"),
+              F.col("l_partkey") == F.col("p_partkey"), "left")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+            F.expr(
+                "CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("ord_viol"),
+            F.expr(
+                "CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("part_viol"),
+        )
+        .select(
+            F.expr(
+                "stack(2, 'fk:lineitem.l_orderkey->orders', n, ord_viol,"
+                " 'fk:lineitem.l_partkey->part', n, part_viol)"
+                " AS (check_name, n_rows, n_violations)"
+            )
+        )
+    )
     return (
-        pk(o, "pk:orders.o_orderkey", "o_orderkey")
-        .unionAll(pk(c, "pk:customer.c_custkey", "c_custkey"))
-        .unionAll(pk(p, "pk:part.p_partkey", "p_partkey"))
-        .unionAll(fk(o, "o_custkey", c, "c_custkey",
-                     "fk:orders.o_custkey->customer"))
-        .unionAll(fk(li, "l_orderkey", o, "o_orderkey",
-                     "fk:lineitem.l_orderkey->orders"))
-        .unionAll(fk(li, "l_partkey", p, "p_partkey",
-                     "fk:lineitem.l_partkey->part"))
+        orders_wide
+        .unionAll(pk_row(ck, "pk:customer.c_custkey"))
+        .unionAll(pk_row(pkd, "pk:part.p_partkey"))
+        .unionAll(li_wide)
     )
 
 

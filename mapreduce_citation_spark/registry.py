@@ -107,11 +107,20 @@ _PRIORITY = (
     "citation_hits",
     "events_trailing_rates",
     "stats_ks_two_sample",
-    "citation_bfs_depths",
+    # (r7 rotation, all-or-nothing swap — out: citation_bfs_depths
+    # (graph stays via link prediction, LPA, HITS, pagerank-scale) and
+    # events_holt_forecast (forecast/timeseries stays via daily_acf +
+    # trailing_rates; holt remains full-sweep-gated); in: the two
+    # families the window never carried — dq (the single-pass
+    # integrity audit, reworked this round to one scan per table) and
+    # the relational-shape block (pivot as its representative). The
+    # family-coverage invariant is now pinned by
+    # tests/test_registry.py::test_priority_window_covers_every_family.)
+    "warehouse_integrity_audit",
+    "pivot_status_by_priority",
     "events_snapshot_diff",
     "events_survival_km",
     "events_pattern_sequences",
-    "events_holt_forecast",
     "events_user_features",
     "interval_overlap_join",
     "embedding_pca_scores",
@@ -304,6 +313,37 @@ def all_specs() -> dict[str, QuerySpec]:
 
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in all_specs().items()}
+
+
+#: Fine-grained relational-shape demo tags that roll up into ONE
+#: family for window-representation purposes: each is a single
+#: showcase query (pivot/unpivot/setop/...), and the window carries
+#: one representative for the whole block.
+_SHAPE_TAGS = frozenset(
+    {"array", "distinct", "pivot", "sort", "sql", "struct", "unpivot",
+     "setop"}
+)
+
+#: Size of the prefix of ``queries()`` external checkers sample.
+WINDOW = 50
+
+
+def family_of(spec: QuerySpec) -> str:
+    """The operator family a spec belongs to: its first tag, with the
+    relational-shape showcase tags coalesced into one family."""
+    t = spec.tags[0] if spec.tags else "untagged"
+    return "relational-shape" if t in _SHAPE_TAGS else t
+
+
+def missing_families(window_names: list[str] | None = None) -> set[str]:
+    """Families with NO representative in the priority window — must
+    be empty: the driver gates only a prefix of ``queries()``, so a
+    rotation that drops a family's last in-window member silently
+    removes that family from per-round correctness evidence."""
+    specs = all_specs()
+    names = list(specs) if window_names is None else window_names
+    in_window = {family_of(specs[n]) for n in names[:WINDOW] if n in specs}
+    return {family_of(s) for s in specs.values()} - in_window
 
 
 def oracle_sql() -> dict[str, str]:

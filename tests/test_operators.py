@@ -871,3 +871,77 @@ def test_user_features_match_pandas_replay(spark, sf_dir):
             (g["ts"].max() - g["ts"].min()).total_seconds()) // 86400
         assert r["purchase_rate"] == _pt.approx(
             (g["event_type"] == "purchase").sum() / len(g), rel=1e-15)
+
+
+def test_integrity_audit_single_pass_plan(spark, sf_dir):
+    """r7 rework pin: the audit reads each table exactly ONCE — a
+    FileScan that feeds an InMemoryRelation is the cache fill (one
+    physical read however many times the cache is referenced), and no
+    table may have a second, uncached scan."""
+    import importlib.util
+    import os
+
+    from mapreduce_citation_spark.operators.dq import (
+        warehouse_integrity_audit,
+    )
+
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "audit_plans.py")
+    spec = importlib.util.spec_from_file_location("audit_plans", tool)
+    ap = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ap)
+
+    plan = (
+        warehouse_integrity_audit(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scans = ap.count_scans(plan)
+    assert scans == {"orders": 1, "customer": 1, "part": 1, "lineitem": 1}
+
+
+def test_integrity_audit_detects_planted_violations(spark, sf_dir, tmp_path):
+    """The audit is not a tautology: a load with a duplicated order
+    key, an orphaned order->customer reference, and an orphaned
+    lineitem->part reference reports exactly those violation counts
+    (and n_rows reflecting the corruption)."""
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.dq import (
+        warehouse_integrity_audit,
+    )
+
+    src = "/root/testdata/sf0.001"
+    o = pd.read_parquet(f"{src}/orders.parquet")
+    c = pd.read_parquet(f"{src}/customer.parquet")
+    p = pd.read_parquet(f"{src}/part.parquet")
+    li = pd.read_parquet(f"{src}/lineitem.parquet")
+
+    dup = o.iloc[[0]]                       # duplicate PK row
+    orphan_o = o.iloc[[1]].copy()
+    orphan_o["o_orderkey"] = o["o_orderkey"].max() + 10_000  # fresh PK
+    orphan_o["o_custkey"] = c["c_custkey"].max() + 10_000   # FK orphan
+    o_bad = pd.concat([o, dup, orphan_o], ignore_index=True)
+    orphan_li = li.iloc[[0]].copy()
+    orphan_li["l_partkey"] = p["p_partkey"].max() + 10_000  # FK orphan
+    li_bad = pd.concat([li, orphan_li], ignore_index=True)
+
+    d = tmp_path / "corrupted"
+    d.mkdir()
+    o_bad.to_parquet(d / "orders.parquet")
+    c.to_parquet(d / "customer.parquet")
+    p.to_parquet(d / "part.parquet")
+    li_bad.to_parquet(d / "lineitem.parquet")
+
+    audit = {r["check_name"]: r for r in
+             warehouse_integrity_audit(spark, str(d)).collect()}
+    assert audit["pk:orders.o_orderkey"]["n_violations"] == 1
+    assert audit["pk:orders.o_orderkey"]["n_rows"] == len(o) + 2
+    # the duplicated order row has a VALID custkey; only the planted
+    # orphan trips the FK probe
+    assert audit["fk:orders.o_custkey->customer"]["n_violations"] == 1
+    assert audit["fk:lineitem.l_partkey->part"]["n_violations"] == 1
+    # the duplicated o_orderkey must NOT multiply lineitem FK probes
+    assert audit["fk:lineitem.l_orderkey->orders"]["n_rows"] == len(li) + 1
+    assert audit["fk:lineitem.l_orderkey->orders"]["n_violations"] == 0
+    assert audit["pk:customer.c_custkey"]["n_violations"] == 0
+    assert audit["pk:part.p_partkey"]["n_violations"] == 0

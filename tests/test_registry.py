@@ -16,18 +16,24 @@ def test_priority_names_all_registered():
 
 
 def test_priority_window_covers_every_family():
-    """The first 50 public entries contain at least one query from
-    each operator family (the driver records only a prefix)."""
-    specs = registry.all_specs()
-    first50 = list(specs)[:50]
-    tagsets = [specs[n].tags for n in first50]
-    for family in (
-        "dedup", "similarity", "text", "multimodal", "streaming",
-        "graph", "pipeline", "tpch", "window-agg",
-    ):
-        assert any(family in t for t in tagsets), f"family {family} not in first 50"
+    """EVERY operator family (first tag, relational-shape tags
+    coalesced) has at least one representative in the first-50 window
+    the driver samples — a rotation can't silently drop one."""
+    missing = registry.missing_families()
+    assert not missing, f"families with no window representative: {missing}"
     # and the reference's own surface leads the window
-    assert first50[:3] == ["citation_counts", "top_cited", "citing_papers"]
+    first = list(registry.all_specs())[:3]
+    assert first == ["citation_counts", "top_cited", "citing_papers"]
+
+
+def test_missing_families_detects_bad_rotation():
+    """The invariant actually bites: a synthetic window that drops
+    every dq query must be reported as missing the dq family."""
+    specs = registry.all_specs()
+    bad = [n for n in specs if registry.family_of(specs[n]) != "dq"]
+    assert "dq" in registry.missing_families(bad)
+    # and the real window plus nothing extra is exactly clean
+    assert registry.missing_families(list(specs)) == set()
 
 
 def test_no_orphan_oracles_and_unique_names():

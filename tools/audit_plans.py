@@ -146,6 +146,50 @@ def audit_broadcast_hints() -> int:
     return bad
 
 
+def count_scans(plan: str) -> Counter:
+    """Count physical parquet reads per table from the executed-plan
+    string. A FileScan under an InMemoryRelation is the CACHE-FILL
+    plan: Spark prints it once per InMemoryTableScan reference but
+    reads the file once (first fill), so identical cached scans are
+    deduped (keyed on the descriptor with expr-ids stripped).
+    Uncached FileScans count every occurrence — a self-join without a
+    cache really does scan twice."""
+    scans: Counter = Counter()
+    cached_seen = set()
+    stack: list[tuple[int, bool]] = []  # (marker depth, is InMemoryRelation)
+    for line in plan.splitlines():
+        depth = None
+        for pat in ("+- ", ":- "):
+            i = line.find(pat)
+            if i != -1 and (depth is None or i < depth):
+                depth = i
+        if depth is None:
+            # marker-less line: the tree root (indent 0) or a bare
+            # stage label inside an AQE section (e.g. the
+            # "ResultQueryStage 1" line under "== Final Plan ==") —
+            # its indent IS its depth; never reset the stack, or a
+            # cached AQE subtree's FileScan loses its InMemoryRelation
+            # ancestor
+            depth = len(line) - len(line.lstrip(" :"))
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        under_cache = any(is_imr for _, is_imr in stack)
+        m = re.search(r"file:[^\]\s]*?/(\w+)\.parquet", line)
+        if m:
+            table = m.group(1)
+            if under_cache:
+                desc = line[line.find("FileScan"):] if "FileScan" in line \
+                    else line.strip()
+                key = (table, re.sub(r"#\d+", "", desc))
+                if key not in cached_seen:
+                    cached_seen.add(key)
+                    scans[table] += 1
+            else:
+                scans[table] += 1
+        stack.append((depth, "InMemoryRelation" in line))
+    return scans
+
+
 def main() -> None:
     from mapreduce_citation_spark.registry import all_specs
     from mapreduce_citation_spark.session import get_spark
@@ -167,7 +211,7 @@ def main() -> None:
             print(f"ERR   {name}: {str(e)[:120]}")
             flagged += 1
             continue
-        scans = Counter(re.findall(r"file:[^\]\s]*?/(\w+)\.parquet", plan))
+        scans = count_scans(plan)
         issues = []
         multi = {t: c for t, c in scans.items() if c > 1}
         if multi:
