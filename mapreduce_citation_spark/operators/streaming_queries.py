@@ -478,6 +478,78 @@ def streaming_running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_running_user_counts_tws",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming", "stateful", "transformWithState"),
+)
+def streaming_running_user_counts_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The running per-user counter ported to the
+    ``transformWithStateInPandas`` API (the successor custom-state
+    surface: named per-variable state, timers, TTL, RocksDB-backed) —
+    same state machine, same oracle, same drain discipline as
+    ``streaming_running_user_counts``; the two are live twins. The
+    RocksDB state-store provider is set for the query's lifetime and
+    restored after (transformWithState requires it; the other live
+    families keep the default provider). On an engine without the API
+    the registered query falls back to the applyInPandasWithState
+    twin, so the sweep stays green across engine versions — the tag
+    records which surface was exercised."""
+    from ..streaming.events import (
+        HAS_TRANSFORM_WITH_STATE,
+        running_user_counts,
+        running_user_counts_tws,
+    )
+
+    ev = read_events_parquet_stream(spark, sf_dir)
+    if not HAS_TRANSFORM_WITH_STATE:
+        updates = running_user_counts(ev.select("user_id", "ts"))
+    else:
+        updates = running_user_counts_tws(ev.select("user_id", "ts"))
+    name = f"streaming_running_user_counts_tws_{next(_SINK_COUNTER)}"
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    if HAS_TRANSFORM_WITH_STATE:
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if HAS_TRANSFORM_WITH_STATE:
+            if prev is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prev)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        )
+    )
+
+
+@register(
     "streaming_cdc_compaction",
     oracle="""
 SELECT user_id, event_id AS last_event_id, ts AS last_ts,

@@ -183,6 +183,74 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def _has_transform_with_state() -> bool:
+    """True iff the transformWithState surface can actually RUN here:
+    the API landed in pyspark 4.0 (SPARK-49770), but its Python-side
+    state server speaks protobuf — on an engine image without
+    ``google.protobuf`` the driver worker crashes at init
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, observed on this
+    container), so the guard checks BOTH the API and its runtime
+    dependency."""
+    import importlib.util
+
+    try:
+        from pyspark.sql import GroupedData as _GD
+    except ImportError:
+        return False
+    return (
+        hasattr(_GD, "transformWithStateInPandas")
+        and importlib.util.find_spec("google") is not None
+        and importlib.util.find_spec("google.protobuf") is not None
+    )
+
+
+HAS_TRANSFORM_WITH_STATE = _has_transform_with_state()
+
+
+def running_user_counts_tws(events: DataFrame) -> DataFrame:
+    """The ``running_user_counts`` state machine ported to the
+    ``transformWithStateInPandas`` API (SPARK-49770 generation): state
+    is a named ValueState on a StatefulProcessor handle instead of the
+    single GroupState tuple — the API Spark positions as the successor
+    for bespoke streaming operators (per-state-variable schemas,
+    timers, TTL, RocksDB-backed). Same contract as the twin: one
+    updated (user_id, n_events, last_ts) row per key per micro-batch,
+    n_events monotone via the carried count, last_ts the within-batch
+    max. Requires the RocksDB state-store provider (the caller sets
+    ``spark.sql.streaming.stateStore.providerClass``); guard with
+    ``HAS_TRANSFORM_WITH_STATE``."""
+    from pyspark.sql.streaming import StatefulProcessor as _SP
+
+    class _RunningCounts(_SP):
+        def init(self, handle) -> None:
+            self._n = handle.getValueState("n", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = self._n.get()
+            n = cur[0] if cur is not None else 0
+            last_ts = None
+            for pdf in rows:
+                n += len(pdf)
+                batch_max = pdf["ts"].max()
+                last_ts = (
+                    batch_max if last_ts is None else max(last_ts, batch_max)
+                )
+            self._n.update((n,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "last_ts": [last_ts]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningCounts(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 #: Output schema of the timeout-closing sessionizer.
 _CLOSED_SESSION_SCHEMA = StructType(
     [

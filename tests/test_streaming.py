@@ -1043,3 +1043,75 @@ def test_streaming_left_outer_funnel_flushes_tail(spark, sf_dir):
     }
     assert tail_nulls == batch_tail_nulls and max(batch_tail_nulls) <= last_view
     assert live["user_id"].min() >= 0  # heartbeats never reach the output
+
+
+def test_transform_with_state_guard_matches_runtime():
+    """HAS_TRANSFORM_WITH_STATE is a RUNTIME capability guard, not an
+    API-presence check: pyspark 4.x ships the API, but its Python
+    state server needs google.protobuf — absent on this image, the
+    driver worker crashes at init (observed:
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The guard must
+    equal api-present AND dep-present, so it flips on if the image
+    ever gains protobuf and the port goes live in the sweep."""
+    import importlib.util
+
+    from pyspark.sql import GroupedData
+
+    from mapreduce_citation_spark.streaming.events import (
+        HAS_TRANSFORM_WITH_STATE,
+    )
+
+    api = hasattr(GroupedData, "transformWithStateInPandas")
+    dep = (
+        importlib.util.find_spec("google") is not None
+        and importlib.util.find_spec("google.protobuf") is not None
+    )
+    assert HAS_TRANSFORM_WITH_STATE == (api and dep)
+
+
+def test_running_user_counts_tws_matches_twin(spark, stream_dir):
+    """Where the transformWithState runtime exists, the ported state
+    machine must agree with its applyInPandasWithState twin exactly
+    (final per-user counts). Skipped — not passed vacuously — on
+    images without the protobuf dependency."""
+    from mapreduce_citation_spark.streaming.events import (
+        HAS_TRANSFORM_WITH_STATE,
+        running_user_counts_tws,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        pytest.skip("transformWithState runtime (protobuf) not on image")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, stream_dir)
+        got = _run(
+            spark,
+            running_user_counts_tws(stream.select("user_id", "ts")),
+            "tws_out",
+            "update",
+        )
+        final = {
+            r["user_id"]: r["n"]
+            for r in got.groupBy("user_id")
+            .agg(F.max("n_events").alias("n"))
+            .collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    batch = spark.read.schema(EVENTS_SCHEMA).json(stream_dir)
+    want = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == want
