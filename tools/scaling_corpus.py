@@ -56,6 +56,13 @@ FAMILIES = (
     # is near-linear like dedup_minhash_lsh (banded recall fluctuates
     # per replica) on top of the planted floor.
     "multimodal_audio_minhash_pairs",
+    # r7: the exact Jaccard ground-truth twin after its prefix-filter
+    # + pair-keyed-verify rework. Word-shingle identity is char-
+    # bijection-invariant and replicas share no shingles, so the
+    # ≥0.8-pair stream is EXACTLY K-linear — and the runtime curve
+    # measures the new candidate generation (rarest-first prefixes)
+    # instead of the old sum-of-df-squared shingle join.
+    "dedup_ngram_jaccard",
 )
 #: embeddings families run over the signed-permutation expansion
 #: (2k → 20k → 200k vectors; queries stay the 10 base vectors, the
@@ -83,6 +90,9 @@ EXACT_LINEAR = {
     # spans/strip emit one row per input doc
     "dedup_substring_spans",
     "dedup_substring_strip",
+    # per-replica jaccard pairs are bijection-invariant; no
+    # cross-replica shingles exist, so pairs scale exactly x K
+    "dedup_ngram_jaccard",
 }
 NEAR_LINEAR = {"dedup_minhash_lsh", "multimodal_audio_minhash_pairs"}
 #: the funnel emits 5 accounting rows; only stage 0 (total docs) is
