@@ -1002,6 +1002,160 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(load_table(spark, sf_dir, "documents"), 3)
 
 
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB replay of ``text_bpe_encode``: the SAME
+    training CTEs as ``_bpe_oracle`` (pair counts, deterministic
+    argmax, greedy sentinel-wrapped merge) but carrying the WORD
+    through every iteration and applying ALL merges (the trainer
+    stops short of applying the last one — training only needs its
+    identity, encoding needs its effect), then joining per-word token
+    counts back onto each document's word stream."""
+    s1, s2 = "chr(31)", "chr(30)"
+    ctes = [
+        f"""words AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+it0 AS (
+  SELECT word, regexp_replace(word, '(.)', {s1}||'\\1'||{s2}, 'g') AS s, freq
+  FROM words
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""
+p{i} AS (
+  SELECT z.pr[1] AS l, z.pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_zip(ls[1:len(ls)-1], ls[2:len(ls)])) AS pr, freq
+    FROM (SELECT string_split(trim(s, {s1}||{s2}), {s2}||{s1}) AS ls, freq
+          FROM it{i - 1})
+  ) z
+  GROUP BY 1, 2
+),
+t{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+it{i} AS (
+  SELECT word,
+         replace(s, {s1}||t.l||{s2}||{s1}||t.r||{s2},
+                 {s1}||t.l||t.r||{s2}) AS s, freq
+  FROM it{i - 1}, t{i} t
+)""")
+    return (
+        "WITH " + ",".join(ctes) + f""",
+vocab AS (
+  SELECT word,
+         len(string_split(trim(s, {s1}||{s2}), {s2}||{s1})) AS n_tok
+  FROM it{n_merges}
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_tok) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+      FROM documents) d
+JOIN vocab v ON d.word = v.word
+WHERE d.word <> ''
+GROUP BY d.doc_id"""
+    )
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(3),
+    tags=("text", "bpe", "tokenizer", "apply", "llm"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY — the missing half of the train→apply
+    story (``text_bpe_merges`` learns, this encodes): re-derives the
+    same 3 merges over the word-frequency dict, applies ALL of them
+    to the VOCABULARY (one row per distinct word — every subsequent
+    pass is vocab-sized, the trainer's classic compression), and maps
+    each document's word stream through the resulting word→token-count
+    table, yielding per-doc BPE token counts (doc_id, n_words,
+    n_tokens). This is the token-accounting pass a training-data
+    pipeline runs corpus-wide: at 100 TB the corpus is touched twice
+    (word-freq shuffle + the apply join on the word key, tokenization's
+    inherent cost) and the iterations never touch it. The 1-row merge
+    winners fold in by crossJoin (vetted scalar pattern, no collect);
+    the apply join carries no broadcast hint — the vocab is
+    data-dependent, so AQE picks the strategy from measured sizes.
+    Integer outputs only — hash-exact against the unrolled oracle."""
+    return bpe_encode_counts(load_table(spark, sf_dir, "documents"), 3)
+
+
+def bpe_encode_counts(docs: DataFrame, n_merges: int) -> DataFrame:
+    """Learn ``n_merges`` BPE merges and encode every document: see
+    ``text_bpe_encode`` (the registered 3-merge instance) for the
+    plan shape and scale notes. Pytest replays this against a classic
+    tuple-symbol python BPE on a planted corpus."""
+    sep1, sep2 = F.lit(_BPE_SEP1), F.lit(_BPE_SEP2)
+    words = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        "word",
+        F.regexp_replace(
+            "word", "(.)", _BPE_SEP1 + "$1" + _BPE_SEP2
+        ).alias("s"),
+        "freq",
+    ).localCheckpoint()
+    for _ in range(n_merges):
+        ls = F.split(F.expr(f"trim(BOTH '{_BPE_SEP1}{_BPE_SEP2}' FROM s)"),
+                     _BPE_SEP2 + _BPE_SEP1)
+        pairs = (
+            cur.select(F.col("s"), "freq")
+            .select(ls.alias("ls"), "freq")
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("ls"), 1, F.size("ls") - 1).alias("l"),
+                        F.slice(F.col("ls"), 2, F.size("ls") - 1).alias("r"),
+                    )
+                ).alias("pr"),
+                "freq",
+            )
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        t = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("l").asc(),
+                          F.col("r").asc())
+            .limit(1)
+            .select(F.col("l").alias("_ml"), F.col("r").alias("_mr"))
+        )
+        cur = (
+            cur.crossJoin(t)
+            .select(
+                "word",
+                F.replace(
+                    F.col("s"),
+                    F.concat(sep1, F.col("_ml"), sep2,
+                             sep1, F.col("_mr"), sep2),
+                    F.concat(sep1, F.col("_ml"), F.col("_mr"), sep2),
+                ).alias("s"),
+                "freq",
+            )
+            .localCheckpoint()  # per-iteration state (vocab-sized)
+        )
+    ls = F.split(F.expr(f"trim(BOTH '{_BPE_SEP1}{_BPE_SEP2}' FROM s)"),
+                 _BPE_SEP2 + _BPE_SEP1)
+    vocab = cur.select("word", F.size(ls).alias("n_tok"))
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 @register(
     "text_pmi_collocations",
     oracle=f"""

@@ -1262,3 +1262,76 @@ def test_pmi_collocations_match_python_replay(spark, sf_dir):
         assert (r["w1"], r["w2"], r["n_pair"]) == (a, b, c)
         assert r["lift"] == _pt.approx(-neg_lift, rel=1e-12)
         assert r["n_w1"] == uni[a] and r["n_w2"] == uni[b]
+
+
+def test_bpe_encode_matches_classic_python_bpe(spark):
+    """Tokenizer APPLY on the same planted corpus as the trainer
+    test: per-doc BPE token counts after 4 learned merges must equal
+    a classic tuple-symbol implementation's encoding — including the
+    run case (greedy non-overlapping "aa" merges inside "aaaa") and
+    words untouched by any merge."""
+    from collections import Counter
+
+    from mapreduce_citation_spark.operators.text import bpe_encode_counts
+
+    corpus = [
+        "aaaa aaaa aa baba",
+        "abab abab aaab",
+        "aaaa abab cddc",
+        "xy xy xy xyxy aaaa",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                                 ["doc_id", "text"])
+
+    words = Counter(w for t in corpus for w in t.split() if w)
+    vocab = {tuple(w): c for w, c in words.items()}
+
+    def top_pair(v):
+        pc = Counter()
+        for syms, c in v.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        return sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0][0]
+
+    def merge(v, pair):
+        a, b = pair
+        out: dict[tuple, int] = {}
+        for syms, c in v.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            out[tuple(ns)] = out.get(tuple(ns), 0) + c
+        return out
+
+    enc = {tuple(w): tuple(w) for w in {w for t in corpus for w in t.split() if w}}
+    v = vocab
+    for _ in range(4):
+        pair = top_pair(v)
+        v = merge(v, pair)
+        a, b = pair
+        for w in enc:
+            syms, ns, i = enc[w], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            enc[w] = tuple(ns)
+
+    expected = {}
+    for d, t in enumerate(corpus):
+        ws = [w for w in t.split() if w]
+        expected[d] = (len(ws), sum(len(enc[tuple(w)]) for w in ws))
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode_counts(docs, 4).collect()
+    }
+    assert got == expected
