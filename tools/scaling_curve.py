@@ -30,6 +30,12 @@ SF_DIRS = (
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
 )
+# r7: a fourth decade when the generated sf1 fixtures exist
+# (tools/gen_sf.py benchdata/sf1 10) — three decades of input spread
+_SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "benchdata", "sf1")
+if os.path.isdir(_SF1):
+    SF_DIRS = SF_DIRS + (_SF1,)
 
 #: family -> (query name, driving table whose row count is "input size")
 FAMILIES = {
