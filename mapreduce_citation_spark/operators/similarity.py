@@ -722,7 +722,11 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("s")
     subs = e.select("vec_id", sub).select(
         "vec_id", F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ r7: the subvector table feeds codebook training, corpus code
+    # assignment, AND the query-side lookups — cached once (corpus-
+    # sized reuse cache per the memory rule), the embeddings parquet
+    # is read once instead of three times
     # codebook = the K LOWEST vec_ids (orderBy-limit, codes renumbered
     # 0..K-1), matching the numpy replay's X[:K] definition even when
     # ids are sparse or non-zero-based — `vec_id < K` would silently
