@@ -158,6 +158,70 @@ def warehouse_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warehouse_delete_cascade",
+    oracle="""
+WITH del_c AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0
+),
+del_o AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+),
+del_l AS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)
+)
+SELECT 'customer' AS table_name,
+       CAST((SELECT COUNT(*) FROM del_c) AS BIGINT) AS n_cascade
+UNION ALL
+SELECT 'orders', CAST((SELECT COUNT(*) FROM del_o) AS BIGINT)
+UNION ALL
+SELECT 'lineitem', CAST((SELECT COUNT(*) FROM del_l) AS BIGINT)
+""",
+    tags=("dq", "deletion", "cascade", "gdpr", "audit"),
+)
+def warehouse_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-CASCADE impact report (the right-to-be-forgotten
+    pre-flight a production warehouse runs before purging): for a
+    deterministic deletion cohort (customers with negative balance),
+    count every row that the FK graph would cascade away — the
+    customers themselves, their orders, and those orders' line items.
+    One scan per table, each child bounded by a LEFT-SEMI probe
+    against the previous level's cached key set (cohort-sized, far
+    smaller than the fact — the opposite side of the corpus-cache
+    rule); the actual purge would be the same probes as anti-joins
+    writing survivors. Integer counts only — hash-exact."""
+    lvl = StorageLevel.MEMORY_AND_DISK
+    del_c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+        .persist(lvl)
+    )
+    del_o = (
+        load_table(spark, sf_dir, "orders")
+        .join(del_c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey")
+        .persist(lvl)
+    )
+    del_l = load_table(spark, sf_dir, "lineitem").join(
+        del_o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+
+    def n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_cascade"),
+        )
+
+    return (
+        n(del_c, "customer")
+        .unionAll(n(del_o, "orders"))
+        .unionAll(n(del_l, "lineitem"))
+    )
+
+
+@register(
     "warehouse_profile_events",
     oracle="""
 SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,

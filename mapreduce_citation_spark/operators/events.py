@@ -1446,6 +1446,51 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cumulative_users",
+    oracle="""
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS day FROM events
+  GROUP BY user_id
+),
+n AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_users
+FROM n
+""",
+    tags=("events", "growth", "cumulative", "timeseries"),
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE DISTINCT USERS per day — the growth curve a product
+    dashboard draws. Running COUNT(DISTINCT) is the textbook
+    quadratic trap; the exact linear form used here is: first-seen
+    day per user (one shuffle on user_id), daily new-user counts,
+    then an integer running sum over the DAY-GRAIN table — bounded by
+    the calendar (dozens of rows), so the unpartitioned window is a
+    constant-size driver-free fold, not the corpus-proportional
+    single-task sort the prefix-offset rewrite exists for. Integer
+    counts only — hash-exact."""
+    ev = _ev(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("day")
+    )
+    daily = first.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@register(
     "events_user_features",
     oracle="""
 WITH f AS (

@@ -945,3 +945,51 @@ def test_integrity_audit_detects_planted_violations(spark, sf_dir, tmp_path):
     assert audit["fk:lineitem.l_orderkey->orders"]["n_violations"] == 0
     assert audit["pk:customer.c_custkey"]["n_violations"] == 0
     assert audit["pk:part.p_partkey"]["n_violations"] == 0
+
+
+def test_delete_cascade_matches_pandas(spark, sf_dir):
+    """GDPR cascade counts replayed in pandas: cohort, their orders,
+    and those orders' line items."""
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.dq import (
+        warehouse_delete_cascade,
+    )
+
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    ck = set(c.loc[c["c_acctbal"] < 0, "c_custkey"])
+    ok = set(o.loc[o["o_custkey"].isin(ck), "o_orderkey"])
+    want = {
+        "customer": len(ck),
+        "orders": len(ok),
+        "lineitem": int(li["l_orderkey"].isin(ok).sum()),
+    }
+    got = {r["table_name"]: r["n_cascade"]
+           for r in warehouse_delete_cascade(spark, sf_dir).collect()}
+    assert got == want
+    assert got["customer"] > 0  # the cohort is non-trivial on fixtures
+
+
+def test_cumulative_users_invariants(spark, sf_dir):
+    """Growth-curve identities: cum_users is the running sum of
+    new_users, strictly increasing, and ends at the corpus's total
+    distinct user count."""
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.events import (
+        events_cumulative_users,
+    )
+
+    rows = sorted(
+        events_cumulative_users(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    run = 0
+    for r in rows:
+        run += r["new_users"]
+        assert r["cum_users"] == run
+        assert r["new_users"] > 0
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    assert rows[-1]["cum_users"] == ev["user_id"].nunique()
