@@ -478,6 +478,85 @@ def streaming_running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_cumulative_users",
+    oracle="""
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS day FROM events
+  GROUP BY user_id
+),
+n AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_users
+FROM n
+""",
+    tags=("streaming", "dedup", "first-touch", "stateful", "growth"),
+)
+def streaming_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-TOUCH identity state as a LIVE query — the streaming twin
+    of ``events_cumulative_users`` (fifteenth live family): streaming
+    ``dropDuplicates(["user_id"])`` keeps one state entry per user
+    IDENTITY and emits exactly each user's first-ever event (append
+    mode); the drained sink rolls up to daily new-user counts and the
+    cumulative growth curve, which must equal the batch first-seen
+    derivation bit-for-bit.
+
+    The dedup KEY is (user_id, day) rather than bare user_id — a
+    deliberate determinism choice: streaming dropDuplicates keeps
+    whichever row each keyed state sees FIRST, which across parallel
+    source partitions is not a stable pick, so any column taken from
+    the kept ROW would be micro-batch-order-dependent. The emitted
+    (user_id, day) SET is order-independent — every active pair is
+    emitted exactly once no matter which concrete row won — and
+    MIN(day) over that set is the user's true first-touch day.
+    Identity state is deliberately long-retention (a user seen in
+    month 1 must still be a duplicate in month 12); keying by day
+    caps it at |users| × |active days| and makes it watermarkable in
+    production (evict pairs older than the horizon without changing
+    past first-touch attributions). At 100 TB the state partitions by
+    key hash across executors and lives in RocksDB; the rollup below
+    is day-grain (calendar-bounded window). A pytest pins that
+    planted re-emits do NOT re-enter the sink."""
+    ev = read_events_parquet_stream(spark, sf_dir)
+    # plant re-emits so the identity dedup demonstrably does work
+    planted = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp_ntz")).alias("day"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(1) + (F.col("event_id") % 2).cast("int"))
+        ).alias("_copy"),
+    ).drop("_copy")
+    first_touch = planted.dropDuplicates(["user_id", "day"])
+    name = f"streaming_cumulative_users_{next(_SINK_COUNTER)}"
+    q = (
+        first_touch.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    first = sink.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily = first.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@register(
     "streaming_running_user_counts_tws",
     oracle="""
 SELECT user_id,

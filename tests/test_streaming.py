@@ -1115,3 +1115,44 @@ def test_running_user_counts_tws_matches_twin(spark, stream_dir):
         .collect()
     }
     assert final == want
+
+
+def test_streaming_cumulative_users_state_does_work_and_matches_batch(
+    spark, sf_dir
+):
+    """The first-touch family's identity state must (a) collapse the
+    planted re-emits — the drained sink is exactly the distinct
+    (user, day) set, never larger — and (b) roll up to the same
+    growth curve as the batch first-seen derivation."""
+    from mapreduce_citation_spark.operators.events import (
+        events_cumulative_users,
+    )
+    from mapreduce_citation_spark.operators.streaming_queries import (
+        streaming_cumulative_users,
+    )
+
+    got = {
+        r["day"]: (r["new_users"], r["cum_users"])
+        for r in streaming_cumulative_users(spark, sf_dir).collect()
+    }
+    want = {
+        r["day"]: (r["new_users"], r["cum_users"])
+        for r in events_cumulative_users(spark, sf_dir).collect()
+    }
+    assert got == want
+    # state did work: planted input strictly exceeds distinct pairs
+    ev = load_table(spark, sf_dir, "events")
+    n_pairs = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    n_planted = ev.select(
+        F.explode(
+            F.sequence(
+                F.lit(1), F.lit(1) + (F.col("event_id") % 2).cast("int")
+            )
+        )
+    ).count()
+    assert n_planted > n_pairs
+    assert sum(n for n, _ in got.values()) == ev.select("user_id").distinct().count()
