@@ -118,9 +118,21 @@ _PRIORITY = (
     # tests/test_registry.py::test_priority_window_covers_every_family.)
     "warehouse_integrity_audit",
     "pivot_status_by_priority",
-    "events_snapshot_diff",
+    # (r7 second batch, all-or-nothing swap — in: the round's three
+    # new capabilities, so they are driver-gated like every prior
+    # round's additions: text_bpe_encode (tokenizer APPLY),
+    # warehouse_delete_cascade (GDPR cascade pre-flight),
+    # streaming_cumulative_users (fifteenth live family, first-touch
+    # identity state). Out: events_snapshot_diff (the dimension-
+    # history axis stays via events_scd2-family full-sweep gating and
+    # CDC twins), events_pattern_sequences (sequence mining stays
+    # full-sweep-gated; events keeps 4 in-window reps), dedup_clusters
+    # (dedup keeps exact/minhash/cosine/substring/decontamination —
+    # clusters remains the funnel's dependency and full-sweep-gated).)
+    "text_bpe_encode",
+    "warehouse_delete_cascade",
+    "streaming_cumulative_users",
     "events_survival_km",
-    "events_pattern_sequences",
     "events_user_features",
     "interval_overlap_join",
     "embedding_pca_scores",
@@ -148,7 +160,6 @@ _PRIORITY = (
     # in-window via multimodal_phash_pairs/audio_fp_pairs, which share
     # its block-join machinery.)
     "dedup_embedding_cosine",
-    "dedup_clusters",
     # (r6 rotation: dedup_substring_strip → beyond-window — the
     # substring family stays represented by pairs + spans +
     # decontamination; multimodal_phash_pairs joins the window so the
