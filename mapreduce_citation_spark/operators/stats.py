@@ -564,6 +564,57 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_exact_quantiles_distributed",
+    oracle="""
+WITH s AS (
+  SELECT o_totalprice AS v,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+         COUNT(*) OVER () AS n
+  FROM orders
+)
+SELECT '0.5' AS quantile, v AS value FROM s WHERE rk = (n - 1) * 1 // 2 + 1
+UNION ALL
+SELECT '0.9', v FROM s WHERE rk = (n - 1) * 9 // 10 + 1
+UNION ALL
+SELECT '0.99', v FROM s WHERE rk = (n - 1) * 99 // 100 + 1
+""",
+    tags=("stats", "quantile", "exact", "order-statistics", "prefix"),
+)
+def stats_exact_quantiles_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT global quantiles by distributed order statistics — the
+    scale-safe complement to the sketch family (KLL gives bounded
+    error with mergeable state; this gives the exact element when the
+    answer must be exact): ``prefix.with_global_order`` assigns every
+    row its global rank with a range shuffle + local ranks + broadcast
+    offsets (never a single-task sort), and each requested quantile is
+    a pure integer RANK SELECTION — discrete quantile index
+    ``(n-1)·num div den`` (the lower-middle convention), so no float
+    arithmetic touches the gate: the selected values are compared
+    bit-for-bit, and the oracle replays the same integer math rather
+    than quantile_disc (whose float index rounding is
+    engine-internal). A pytest replays numpy's 'lower' method.
+
+    At 100 TB: one range shuffle over the value column, three
+    cache-served filters — contrast an ORDER BY + OFFSET, which plans
+    the SinglePartition sort this helper exists to kill."""
+    from .prefix import with_global_order
+
+    d = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("tb")
+    )
+    g = with_global_order(d, ["v", "tb"], rank="rk", total="n")
+    out = None
+    for label, num, den in (("0.5", 1, 2), ("0.9", 9, 10), ("0.99", 99, 100)):
+        row = g.filter(
+            F.col("rk") == F.expr(f"(n - 1) * {num} div {den} + 1")
+        ).select(F.lit(label).alias("quantile"), F.col("v").alias("value"))
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@register(
     "stats_ks_two_sample",
     oracle="""
 WITH t AS (

@@ -49,7 +49,8 @@ def test_detector_sees_unpartitioned_windows(spark):
 
 @pytest.mark.parametrize(
     "query",
-    ["layout_zorder_stats", "corpus_pps_systematic_sample", "stats_ks_two_sample"],
+    ["layout_zorder_stats", "corpus_pps_systematic_sample",
+     "stats_ks_two_sample", "stats_exact_quantiles_distributed"],
 )
 def test_no_global_window_over_corpus(spark, sf_dir, query):
     """The three queries the r6 verdict marked `weak` (single-task
@@ -97,3 +98,27 @@ def test_ntile_from_rank_matches_ansi_ntile(spark, n, k):
     )
     j = ref.join(got, "r").filter(F.col("want") != F.col("got"))
     assert j.count() == 0
+
+
+def test_exact_quantiles_match_numpy_lower(spark, sf_dir):
+    """The rank-selection quantiles equal numpy's 'lower' (discrete)
+    method on the same data — an independent third implementation
+    beside the Spark plan and the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_citation_spark.operators.stats import (
+        stats_exact_quantiles_distributed,
+    )
+
+    got = {
+        r["quantile"]: r["value"]
+        for r in stats_exact_quantiles_distributed(spark, sf_dir).collect()
+    }
+    v = np.sort(pd.read_parquet(f"{sf_dir}/orders.parquet")["o_totalprice"].values)
+    for q in (0.5, 0.9, 0.99):
+        # integer index math, mirroring the operator exactly
+        num, den = {0.5: (1, 2), 0.9: (9, 10), 0.99: (99, 100)}[q]
+        idx = (len(v) - 1) * num // den
+        assert got[str(q)] == v[idx]
+        assert got[str(q)] == np.quantile(v, q, method="lower")
