@@ -1335,3 +1335,39 @@ def test_bpe_encode_matches_classic_python_bpe(spark):
         for r in bpe_encode_counts(docs, 4).collect()
     }
     assert got == expected
+
+
+def test_incremental_ingest_planted_reasons(spark):
+    """Planted delta-vs-base corpus: an exact duplicate of a base doc,
+    a near-duplicate (one word changed in a long doc), a doc that
+    duplicates only ANOTHER DELTA doc (must pass — the base is the
+    only authority), and a clean doc."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.dedup import (
+        incremental_ingest_report,
+    )
+
+    long = " ".join(f"w{i}" for i in range(60))
+    near = " ".join((f"w{i}" if i != 59 else "CHANGED") for i in range(60))
+    rows = [
+        # base (odd ids)
+        (1, long),
+        (3, "completely different base text here"),
+        # delta (even ids)
+        (2, long),                     # exact dup of base 1
+        (4, near),                     # near dup of base 1 (J ≈ 57/61)
+        (6, "unique delta text one two three"),   # clean
+        (8, "unique delta text one two three"),   # dup of DELTA 6 only
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in incremental_ingest_report(
+            docs, F.col("doc_id") % 2 == 0
+        ).collect()
+    }
+    # J(long, near) = |∩| / |∪| = 55/61? compute: 58 shingles each,
+    # changing the last word alters the last 3 shingles → ∩ = 55,
+    # ∪ = 61 → 0.901 ≥ 0.8
+    assert got == {2: "exact", 4: "near"}
