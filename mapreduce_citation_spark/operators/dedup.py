@@ -328,16 +328,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH exact AS (
   SELECT DISTINCT d.doc_id
   FROM documents d JOIN documents b
-    ON b.doc_id % 7 <> 0 AND md5(d.text) = md5(b.text)
-  WHERE d.doc_id % 7 = 0
+    ON b.doc_id % 8 <> 0 AND md5(d.text) = md5(b.text)
+  WHERE d.doc_id % 8 = 0
 ),
 shd AS (
   SELECT doc_id, {_SH_DUCK} AS shingles FROM documents
-  WHERE doc_id % 7 = 0
+  WHERE doc_id % 8 = 0
 ),
 shb AS (
   SELECT doc_id, {_SH_DUCK} AS shingles FROM documents
-  WHERE doc_id % 7 <> 0
+  WHERE doc_id % 8 <> 0
 ),
 near AS (
   SELECT DISTINCT a.doc_id
@@ -355,8 +355,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM exact)
 def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL ingest dedup — the shape a production pipeline
     actually runs when a new batch arrives: the BASE corpus (here
-    ``doc_id % 7 != 0``) is already deduplicated and must never be
-    re-paired with itself; only the DELTA batch (``% 7 == 0``) is
+    ``doc_id % 8 != 0``) is already deduplicated and must never be
+    re-paired with itself; only the DELTA batch (``% 8 == 0`` — a
+    divisor of the corpus-expansion stride, so the split is
+    replica-stable under tools/gen_corpus.py; the first cut used % 7
+    and the scaling tool's K-linearity assertion caught the rotating
+    cohort before it could masquerade as an engine curve) is
     checked, against the base, for exact duplicates (digest
     equi-join) and near-duplicates (word-3-gram Jaccard ≥ 0.8).
     Output: one row per REJECTED delta doc with its reason ('exact'
@@ -375,7 +379,7 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-filter theorem, pair-symmetric, so no true ≥0.8 pair is
     missed — the oracle is the O(delta×base) brute force."""
     return incremental_ingest_report(
-        _docs(spark, sf_dir), F.col("doc_id") % 7 == 0
+        _docs(spark, sf_dir), F.col("doc_id") % 8 == 0
     )
 
 

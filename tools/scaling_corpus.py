@@ -63,6 +63,11 @@ FAMILIES = (
     # measures the new candidate generation (rarest-first prefixes)
     # instead of the old sum-of-df-squared shingle join.
     "dedup_ngram_jaccard",
+    # r7b: incremental ingest (delta %7 vs base) — within-replica
+    # rejections are bijection-invariant and replicas share neither
+    # digests nor shingles, so rejections scale exactly x K while the
+    # runtime measures the delta-to-base prefix join at corpus scale.
+    "dedup_incremental_ingest",
 )
 #: embeddings families run over the signed-permutation expansion
 #: (2k → 20k → 200k vectors; queries stay the 10 base vectors, the
@@ -93,6 +98,7 @@ EXACT_LINEAR = {
     # per-replica jaccard pairs are bijection-invariant; no
     # cross-replica shingles exist, so pairs scale exactly x K
     "dedup_ngram_jaccard",
+    "dedup_incremental_ingest",
 }
 NEAR_LINEAR = {"dedup_minhash_lsh", "multimodal_audio_minhash_pairs"}
 #: the funnel emits 5 accounting rows; only stage 0 (total docs) is
