@@ -399,3 +399,50 @@ def test_sql_dialect_portable_is_verbatim(spark, sf_dir):
     ranks = sorted(r["spend_rank"] for r in rows)
     assert ranks == list(range(1, len(rows) + 1))
     assert sum(r["n_customers"] for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# prefix-offset global order (operators/prefix.py) — the r7 centerpiece
+# ---------------------------------------------------------------------------
+
+_weighted_keys = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),   # order key
+        st.integers(min_value=-50, max_value=50),       # summed weight
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_weighted_keys, n_parts=st.sampled_from([1, 3, 32]))
+def test_with_global_order_properties(spark, rows, n_parts):
+    """with_global_order must equal the single-node definition for ANY
+    key multiset (duplicates included — a unique tiebreaker column is
+    appended, as every production caller does), any weights (negative
+    included), and any partition count (1, mid, > distinct keys):
+    rank is the 1-based sorted position, cumsum the inclusive running
+    sum, total the row count."""
+    from mapreduce_citation_spark.operators.prefix import with_global_order
+
+    data = [(k, w, i) for i, (k, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k INT, w INT, tb INT").repartition(4)
+    out = with_global_order(
+        df, ["k", "tb"], rank="r", cumsum={"cw": "w"}, total="n",
+        n_parts=n_parts,
+    )
+    got = sorted(out.collect(), key=lambda x: (x.k, x.tb))
+    expected = sorted(data, key=lambda t: (t[0], t[2]))
+    run = 0
+    assert len(got) == len(expected)
+    for i, (g, (k, w, tb)) in enumerate(zip(got, expected)):
+        run += w
+        assert (g.k, g.tb) == (k, tb)
+        assert g.r == i + 1
+        assert g.cw == run
+        assert g.n == len(expected)
