@@ -446,3 +446,62 @@ def test_with_global_order_properties(spark, rows, n_parts):
         assert g.r == i + 1
         assert g.cw == run
         assert g.n == len(expected)
+
+
+_tiny_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=3,
+    max_size=10,
+)
+_tiny_corpus = st.lists(_tiny_words, min_size=2, max_size=14)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_tiny_corpus)
+def test_prefix_filter_jaccard_is_exact(spark, corpus):
+    """The PPJoin prefix filter + pair-keyed verify must find EXACTLY
+    the >= 0.8 word-3-gram Jaccard delta-base pairs a python brute
+    force finds — on adversarial corpora drawn from a 5-word alphabet
+    (maximal shingle collisions, so prefixes are as uninformative as
+    they get). A missed pair would mean the prefix theorem was applied
+    wrong; an extra pair a broken verify."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.dedup import (
+        incremental_ingest_report,
+    )
+
+    texts = [" ".join(ws) for ws in corpus]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    expected = set()
+    for d in range(0, len(texts), 2):          # delta = even ids
+        for b in range(1, len(texts), 2):      # base = odd ids
+            if texts[d] == texts[b]:
+                expected.add((d, "exact"))
+                break
+        else:
+            a, bb = sh(texts[d]), set()
+            for b in range(1, len(texts), 2):
+                bb = sh(texts[b])
+                if a and bb and len(a & bb) / len(a | bb) >= 0.8:
+                    expected.add((d, "near"))
+                    break
+
+    got = {
+        (r["doc_id"], r["reason"])
+        for r in incremental_ingest_report(
+            docs, F.col("doc_id") % 2 == 0
+        ).collect()
+    }
+    assert got == expected
