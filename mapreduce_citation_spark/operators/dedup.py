@@ -340,9 +340,13 @@ shb AS (
   WHERE doc_id % 8 <> 0
 ),
 near AS (
+  -- integer guards per the repo's 0/0 rule: two sub-3-word docs have
+  -- empty shingle lists, and DuckDB's 0.0/0 is NaN with NaN >= 0.8
+  -- TRUE — such pairs must not count as 'near'
   SELECT DISTINCT a.doc_id
   FROM shd a JOIN shb b
-    ON len(list_intersect(a.shingles, b.shingles)) * 1.0
+    ON len(a.shingles) > 0 AND len(b.shingles) > 0
+   AND len(list_intersect(a.shingles, b.shingles)) * 1.0
          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
 )
 SELECT doc_id, 'exact' AS reason FROM exact
@@ -385,8 +389,9 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def incremental_ingest_report(d: DataFrame, delta_pred) -> DataFrame:
     """Delta-vs-base dedup report: see ``dedup_incremental_ingest``
-    (the registered %7 instance) for semantics and scale notes; pytest
-    drives this on a planted corpus."""
+    (the registered %8 instance — %7 was the rejected first cut, see
+    its docstring) for semantics and scale notes; pytest drives this
+    on a planted corpus."""
     from pyspark.sql import Window
 
     # exact: digest semi-join, delta probes base

@@ -73,6 +73,18 @@ def with_global_order(
     - ``rank``: name for a global 1-based ``row_number`` over
       ``order_cols`` (ties impossible when the caller's key is unique,
       which every caller in this repo guarantees with id tiebreakers).
+
+    **``order_cols`` MUST be globally unique** — for ``rank`` AND for
+    ``cumsum``. Determinism under cache eviction depends on it: if a
+    persisted partition is evicted and recomputed, the
+    ``monotonically_increasing_id`` projection re-runs over the
+    recomputed partition, and only a total (tie-free) order guarantees
+    ``sortWithinPartitions`` reproduces the identical physical row
+    order — with ties, the recomputed local ranks could permute tied
+    rows, so per-row ``cumsum`` values (and rank assignments among the
+    tied rows) would differ between the offsets aggregate and the
+    final join. Callers with a non-unique sort key must append an id
+    tiebreaker (every caller in this repo does).
     - ``cumsum``: ``{out_col: in_col}`` — global INCLUSIVE running
       ``sum(in_col)`` in ``order_cols`` order.
     - ``total``: name for a column carrying the global row count
@@ -162,12 +174,18 @@ def ntile_from_rank(rank: str, total: str, k: int) -> Column:
     """SQL ``NTILE(k) OVER (ORDER BY ...)`` computed from a global
     rank + total count — pure integer arithmetic, no window: the first
     ``total % k`` buckets take ``total div k + 1`` rows, the rest
-    ``total div k`` (the ANSI NTILE distribution). Requires
-    ``total >= k`` (the ELSE branch divides by ``total div k``)."""
+    ``total div k`` (the ANSI NTILE distribution). When ``total < k``
+    the ELSE divisor ``total div k`` is 0 and Spark's ``div 0`` yields
+    NULL silently — so that case is handled explicitly: ANSI NTILE on
+    a short input gives row *i* bucket *i*, which is exactly ``rank``
+    (every row is then in the ``rank <= (q+1)*r`` branch with q=0, but
+    the guard keeps the short-input semantics from depending on that
+    coincidence and makes the division-by-zero path unreachable)."""
     q = f"({total} div {k})"
     r = f"({total} % {k})"
     return F.expr(
-        f"CASE WHEN {rank} <= ({q} + 1) * {r} "
+        f"CASE WHEN {total} < {k} THEN {rank} "
+        f"WHEN {rank} <= ({q} + 1) * {r} "
         f"THEN ({rank} - 1) div ({q} + 1) + 1 "
         f"ELSE {r} + ({rank} - ({q} + 1) * {r} - 1) div {q} + 1 END"
     )

@@ -87,7 +87,12 @@ def test_global_rank_and_cumsum_exact(spark):
         assert [r.cw for r in got] == [exp_cum[r.k] for r in got]
 
 
-@pytest.mark.parametrize("n,k", [(97, 16), (16, 16), (160, 16), (1001, 7)])
+@pytest.mark.parametrize(
+    "n,k",
+    # the n < k rows pin the short-input guard (Spark `div 0` is a
+    # silent NULL; ANSI NTILE gives row i bucket i)
+    [(97, 16), (16, 16), (160, 16), (1001, 7), (5, 16), (1, 7), (15, 16)],
+)
 def test_ntile_from_rank_matches_ansi_ntile(spark, n, k):
     df = spark.range(1, n + 1).select(F.col("id").alias("r"))
     ref = df.select(

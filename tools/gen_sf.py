@@ -53,7 +53,6 @@ FAMILIES = {
     "partkey": ("part", "p_partkey"),
     "orderkey": ("orders", "o_orderkey"),
     "eventid": ("events", "event_id"),
-    "userid": ("events", "user_id"),
 }
 
 TABLES = {
@@ -67,7 +66,14 @@ TABLES = {
          "l_suppkey": "suppkey"},
         True,
     ),
-    "events": ({"event_id": "eventid", "user_id": "userid"}, True),
+    # events.user_id is an FK into customer.c_custkey (and transitively
+    # orders.o_custkey) — it MUST shift by the custkey family's stride,
+    # not its own max-derived one. r7's generator gave user_id its own
+    # 10^4 stride while custkey used 10^5, so replica-1 users collided
+    # with BASE customers and replicas 2..9 matched nothing: the sf1
+    # events<->customer/orders joins were semantically broken (r8
+    # ADVICE, medium). The post-generation assertion below pins this.
+    "events": ({"event_id": "eventid", "user_id": "custkey"}, True),
 }
 
 
@@ -126,6 +132,38 @@ COPY (
         assert n == k * n_src, f"{t}: wrote {n}, expected {k * n_src}"
         os.rename(tmp, dst)
         print(f"wrote {n} rows to {dst}", file=sys.stderr)
+
+    # FK-consistency assertions: every equi-join used by the bench set
+    # must grow EXACTLY ×K (replica keys collide iff both sides shifted
+    # by the same family stride). This catches any stride-family
+    # mismatch like r7's user_id bug at generation time.
+    joins = [
+        ("events", "user_id", "customer", "c_custkey"),
+        ("events", "user_id", "orders", "o_custkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    for lt, lc, rt, rc in joins:
+        def _glob(d: str, t: str) -> str:
+            p = os.path.join(d, f"{t}.parquet")
+            return f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        base = con.execute(
+            f"SELECT COUNT(*) FROM '{src_dir}/{lt}.parquet' a "
+            f"JOIN '{src_dir}/{rt}.parquet' b ON a.{lc} = b.{rc}"
+        ).fetchone()[0]
+        big = con.execute(
+            f"SELECT COUNT(*) FROM {_glob(out_dir, lt)} a "
+            f"JOIN {_glob(out_dir, rt)} b ON a.{lc} = b.{rc}"
+        ).fetchone()[0]
+        assert big == k * base, (
+            f"{lt}.{lc} = {rt}.{rc}: expanded join has {big} rows, "
+            f"expected {k}x{base} = {k * base} — a key family's stride "
+            f"is inconsistent between the two tables"
+        )
+        print(f"join {lt}.{lc}={rt}.{rc}: {base} -> {big} (x{k} OK)",
+              file=sys.stderr)
 
     gen_corpus.generate(out_dir, k, src_dir)
     gen_corpus.generate_embeddings(out_dir, k, src_dir)

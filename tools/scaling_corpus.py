@@ -63,7 +63,8 @@ FAMILIES = (
     # measures the new candidate generation (rarest-first prefixes)
     # instead of the old sum-of-df-squared shingle join.
     "dedup_ngram_jaccard",
-    # r7b: incremental ingest (delta %7 vs base) — within-replica
+    # r7b: incremental ingest (delta %8 vs base; %7 was the rejected
+    # rotating-cohort first cut) — within-replica
     # rejections are bijection-invariant and replicas share neither
     # digests nor shingles, so rejections scale exactly x K while the
     # runtime measures the delta-to-base prefix join at corpus scale.
