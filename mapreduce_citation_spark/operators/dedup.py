@@ -141,6 +141,24 @@ pairs AS (
 )"""
 
 
+#: dedup_minhash_lsh's signature-table materialization strategy —
+#: injectable so tools/ab_minhash.py can A/B the r6 ``localCheckpoint``
+#: variant against the r7 ``persist`` rule within ONE session (the
+#: repo's drift discipline: cross-window numbers never prove a
+#: regression). Production default stays ``persist`` — the measured
+#: 500k-doc scale choice (NOTES r7 #2/#4: localCheckpoint pins
+#: deserialized rows on-heap; persist is columnar and evictable).
+SIG_MATERIALIZE = "persist"
+
+
+def _materialize_sig(sig: DataFrame) -> DataFrame:
+    if SIG_MATERIALIZE == "localCheckpoint":
+        return sig.localCheckpoint()
+    if SIG_MATERIALIZE == "none":
+        return sig
+    return sig.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -177,7 +195,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the signature table once: the band self-join below
     # would otherwise evaluate the whole shingle+hash pipeline twice
     # (self-join sides only share work up to the last exchange)
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _materialize_sig(sig)
     band_cols = [
         F.concat(
             F.lit(f"{b}:"),
