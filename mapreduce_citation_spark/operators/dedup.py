@@ -252,6 +252,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppjoin_pair_filters(num: int = 4, den: int = 5) -> "F.Column":
+    """PPJoin's length + positional filters as an integer-exact join
+    predicate over two prefix-row aliases ``a``/``b`` (columns ``rk``,
+    ``n_sh``), for Jaccard threshold t = num/den (default 0.8 = 4/5).
+    Both prune candidates with ZERO recall loss (Xiao et al., PPJoin,
+    WWW'08 — same theorem family as the prefix filter, so the
+    brute-force oracle is unchanged):
+
+    - LENGTH: J ≤ min/max, so J ≥ t needs den·min(|A|,|B|) ≥
+      num·max(|A|,|B|).
+    - POSITIONAL: ranks are positions in ONE global shingle order
+      (df asc, text tie-break), so a common shingle at ranks (i, j)
+      bounds the overlap by min(i−1, j−1) common shingles before it
+      (each earlier common shingle is earlier in BOTH docs), itself,
+      and min(|A|−i, |B|−j) after: O ≤ min(i,j) + min(|A|−i, |B|−j).
+      J ≥ t needs O ≥ ⌈num·(|A|+|B|)/(num+den)⌉; since the bound
+      holds for EVERY common shingle of a pair, a qualifying pair's
+      matches all survive — pruning is per-match but lossless.
+    """
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    ra, rb = F.col("a.rk"), F.col("b.rk")
+    alpha = (
+        F.lit(num) * (na + nb) + F.lit(num + den - 1)
+    ) .cast("long") / F.lit(num + den)
+    alpha = F.floor(alpha)  # = ceil(num·(na+nb)/(num+den)) in integers
+    length_ok = F.least(na, nb) * den >= F.greatest(na, nb) * num
+    positional_ok = (
+        F.least(ra, rb) + F.least(na - ra, nb - rb) >= alpha
+    )
+    return length_ok & positional_ok
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -282,7 +314,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
        intersect — candidate generation equi-joins PREFIX shingles
        only, and frequent shingles (the df² blowup this query paid
        before; the audio family measured the same fix at 5.1×) almost
-       never sit in a rarest-first prefix.
+       never sit in a rarest-first prefix. Since r8 the candidate
+       join also applies PPJoin's LENGTH and POSITIONAL filters
+       (``_ppjoin_pair_filters`` — lossless, so the oracle is still
+       the brute force) inside the join predicate, pruning before
+       the distinct's shuffle.
     2. PAIR-KEYED verify (the audio-family restructure): intersections
        are counted by joining each candidate pair's own shingles on
        (pair, shingle) — linear in |cand|·shingles-per-doc, immune to
@@ -308,14 +344,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(sizes, "doc_id")
         # ceil(0.8·n) = (4n+4) div 5, exact in integers
         .filter(F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1)
-        .select("doc_id", "s", "n_sh")
+        .select("doc_id", "s", "rk", "n_sh")
     )
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & _ppjoin_pair_filters(),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -438,11 +475,14 @@ def incremental_ingest_report(d: DataFrame, delta_pred) -> DataFrame:
     pref = (
         ranked.join(sizes, "doc_id")
         .filter(F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1)
-        .select("doc_id", "s", "n_sh")
+        .select("doc_id", "s", "rk", "n_sh")
     )
     cand = (
         pref.filter(delta_pred).alias("a")
-        .join(pref.filter(~delta_pred).alias("b"), F.col("a.s") == F.col("b.s"))
+        .join(
+            pref.filter(~delta_pred).alias("b"),
+            (F.col("a.s") == F.col("b.s")) & _ppjoin_pair_filters(),
+        )
         .select(
             F.col("a.doc_id").alias("doc_d"),
             F.col("b.doc_id").alias("doc_b"),
