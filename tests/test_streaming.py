@@ -1156,3 +1156,149 @@ def test_streaming_cumulative_users_state_does_work_and_matches_batch(
     ).count()
     assert n_planted > n_pairs
     assert sum(n for n, _ in got.values()) == ev.select("user_id").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# Hard-kill + fresh-JVM resume (r7 verdict #7): the other half of
+# exactly-once. Mid-batch TASK retry is pinned above; this pins QUERY
+# restart from a checkpoint after a hard process kill (os._exit — no
+# graceful stop, no commit-log entry for the dying epoch).
+
+_KILL_RESUME_CHILD = """
+import json, os, sys
+repo, topic_dir, mv_root, ckpt, mode, k = sys.argv[1:7]
+k = int(k)
+sys.path.insert(0, repo)
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from mapreduce_citation_spark.sources.kafka_shim import read_topic_stream
+from mapreduce_citation_spark.operators.streaming_queries import make_mv_merge
+
+spark = (SparkSession.builder.appName("kill-resume")
+         .master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+os.makedirs(mv_root, exist_ok=True)
+merge, latest = make_mv_merge(mv_root)
+
+
+def merge_or_die(bdf, epoch_id):
+    merge(bdf, epoch_id)
+    if mode == "kill" and epoch_id >= k:
+        # die AFTER the MV write for epoch k but BEFORE structured
+        # streaming's commit-log entry: the strongest recovery window
+        # (on restart, epoch k MUST be replayed from the offsets WAL
+        # and the idempotent merge must rewrite v_k, not double-count)
+        os._exit(7)
+
+
+raw = read_topic_stream(spark, topic_dir, "ev", max_files_per_trigger=1)
+parsed = raw.select(
+    F.from_json(F.col("value").cast("string"),
+                "user_id BIGINT, value STRING, ts TIMESTAMP").alias("e")
+).select("e.user_id", "e.value", "e.ts")
+
+q = (parsed.writeStream.option("checkpointLocation", ckpt)
+     .foreachBatch(merge_or_die).start())
+q.processAllAvailable()
+q.stop()
+print(json.dumps({"latest": latest()}), flush=True)
+"""
+
+
+def test_hard_kill_and_resume_from_checkpoint_fresh_jvm(spark, sf_dir, tmp_path):
+    """Kill after batch k (hard exit inside foreachBatch, post-MV-write,
+    pre-commit), restart the SAME query from the SAME checkpoint in a
+    FRESH JVM, drain; the final MV state must equal (a) an
+    uninterrupted run in its own fresh JVM and (b) the batch aggregate
+    over the full topic. Uses the kafka shim's replayable
+    (partition, offset) positions — the restart must resume from the
+    offsets WAL (continuous epoch ids), replay the uncommitted epoch,
+    and the idempotent snapshot merge must not double-count it."""
+    import subprocess
+    import sys as _sys
+
+    from mapreduce_citation_spark.sources.kafka_shim import (
+        read_topic_batch,
+        write_topic,
+    )
+
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(400)
+    payload = ev.select(
+        "user_id",
+        F.to_json(F.struct("user_id", "value", "ts")).alias("v"),
+        "ts",
+    )
+    topic_dir = str(tmp_path / "topic")
+    # four produces → ≥4 JSON files → ≥4 single-file micro-batches
+    for m in range(4):
+        write_topic(
+            payload.filter(F.col("user_id") % 4 == m),
+            topic_dir, "ev", "user_id", "v", "ts",
+        )
+    n_files = len(
+        [f for f in os.listdir(os.path.join(topic_dir, "ev"))
+         if not f.startswith(("_", "."))]
+    )
+    assert n_files >= 4
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mv, ckpt = str(tmp_path / "mv"), str(tmp_path / "ckpt")
+
+    def run(mode, mv_root, ck, k=1):
+        return subprocess.run(
+            [_sys.executable, "-c", _KILL_RESUME_CHILD,
+             repo, topic_dir, mv_root, ck, mode, str(k)],
+            capture_output=True, text=True, timeout=420,
+        )
+
+    p1 = run("kill", mv, ckpt)
+    assert p1.returncode == 7, (p1.returncode, p1.stderr[-3000:])
+    killed_at = max(int(d[1:]) for d in os.listdir(mv))
+    assert killed_at == 1  # died right after writing v1
+
+    p2 = run("drain", mv, ckpt)
+    assert p2.returncode == 0, p2.stderr[-3000:]
+    final_v = json.loads(p2.stdout.strip().splitlines()[-1])["latest"]
+    # the resume processed the remaining batches with CONTINUOUS epoch
+    # ids (came from the checkpoint, not a fresh batch-0 restart)
+    assert final_v > killed_at
+
+    mv2, ckpt2 = str(tmp_path / "mv2"), str(tmp_path / "ckpt2")
+    p3 = run("drain", mv2, ckpt2)
+    assert p3.returncode == 0, p3.stderr[-3000:]
+    ref_v = json.loads(p3.stdout.strip().splitlines()[-1])["latest"]
+
+    def rows(df):
+        return sorted(
+            (r["user_id"], r["_n"], str(r["_sv"]), r["_f"], r["_l"])
+            for r in df.collect()
+        )
+
+    snap = spark.read.parquet(os.path.join(mv, f"v{final_v}"))
+    ref = spark.read.parquet(os.path.join(mv2, f"v{ref_v}"))
+    batch = (
+        read_topic_batch(spark, topic_dir, "ev")
+        .select(
+            F.from_json(
+                F.col("value").cast("string"),
+                "user_id BIGINT, value STRING, ts TIMESTAMP",
+            ).alias("e")
+        )
+        .select("e.*")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+            ).alias("_sv"),
+            F.min("ts").alias("_f"),
+            F.max("ts").alias("_l"),
+        )
+    )
+    assert rows(snap) == rows(ref)
+    assert rows(snap) == rows(batch)
