@@ -62,33 +62,98 @@ _QUERY_MODULES = (
 #: the custom-operator showcases) is pinned to the first 50 slots.
 #: Names not listed here follow in registration order; names listed
 #: here but not (yet) registered are skipped.
+#:
+#: ROTATION LOG (r8 consolidation of five rounds of inline narration —
+#: the next rotation edits THIS table plus the tuple, nothing else).
+#: Rotations are all-or-nothing swaps; the invariant — every operator
+#: family keeps an in-window representative — is pinned by
+#: tests/test_registry.py::test_priority_window_covers_every_family
+#: (with a negative control). "in" = round the query entered the
+#: window ("r1" = founding set, rounds 1-4). Displaced queries stay
+#: registered, benched where flagged, and full-sweep-gated.
+#:
+#: rotated OUT (round → query → family kept in-window via):
+#:   r5   scalar_datetime_funcs      → scalar_string_funcs
+#:   r5   dedup_ngram_jaccard        → dedup_minhash_lsh (its oracle twin)
+#:   r5   embedding_label_stats      → embedding_kmeans + pca_scores
+#:   r5   doc_fingerprint            → text_token_stats (fingerprint fam.)
+#:   r5   token_count_regex          → text_token_stats
+#:   r5   stats_variance             → stats_approx
+#:   r5   window_topk_per_group      → sessionize_events (window fam.)
+#:   r5   join_salted_skew           → join_hot_key_aqe
+#:   r5   events_json_struct/props   → events_user_features (events fam.)
+#:   r5b  stats_correlation          → stats_approx
+#:   r5b  events_funnel_join         → streaming_funnel_left_outer
+#:   r6   dedup_substring_strip      → dedup_exact_substring_pairs
+#:   r6   events_tumbling_hourly     → streaming_tumbling_counts (live twin)
+#:   r6b  scalar_math_funcs          → scalar_string_funcs
+#:   r6b  q3_shipping_priority       → q1_pricing_summary + join block
+#:   r6b  dedup_simhash_pairs        → multimodal_phash_pairs (pigeonhole)
+#:   r6b  knn_pq_ann                 → knn_ivf_ann
+#:   r6b  text_unigram_rarity        → text_token_stats/quality/bpe/pmi
+#:   r6b  multimodal_decode_features → multimodal_phash_pairs
+#:   r6b  corpus_mixture_weights     → pipeline_filter_funnel
+#:   r6b  events_session_window      → sessionize_events
+#:   r6c  multimodal_audio_fp_pairs  → multimodal_audio_minhash_pairs
+#:   r6c  knn_lsh_ann                → knn_ivf_ann (+ cosine bands)
+#:   r6c  streaming_stream_stream_funnel → streaming_funnel_left_outer
+#:   r6c  stats_percentiles          → stats_approx (claims-gated)
+#:   r6c  doc_winnowing_fingerprints → text_pmi_collocations (text fam.)
+#:   r6c  join_hot_key_salted        → join_hot_key_aqe
+#:   r6c  text_tfidf_top_terms       → text_token_stats/quality
+#:   r6c  citation_components        → citation_label_propagation
+#:   r6c2 citation_pagerank (gate)   → citation_pagerank_scale
+#:   r6c2 citation_triangles         → citation_hits/LPA/link-prediction
+#:   r6c2 orders_retention_cohorts   → events_survival_km
+#:   r6c2 dedup_substring_spans      → dedup_exact_substring_pairs
+#:   r6c2 multimodal_ingest_stats    → multimodal_phash_pairs
+#:   r6c2 text_lang_id               → text block (confusion twin gated)
+#:   r6c2 knn_brute_cosine           → knn_ivf_ann
+#:   r6c2 streaming_session_counts   → sessionize_events
+#:   r6c2 events_scd2_history        → CDC twins (dimension history)
+#:   r6c2 embedding_kcenter_coreset  → embedding_kmeans + power iteration
+#:   r6c2 join_partition_pruned      → join block (DPP twin gated)
+#:   r7   citation_bfs_depths        → citation_hits/LPA/pagerank-scale
+#:   r7   events_holt_forecast       → events_daily_acf + trailing_rates
+#:   r7b  events_snapshot_diff       → CDC twins
+#:   r7b  events_pattern_sequences   → events block (4 in-window reps)
+#:   r7b  dedup_clusters             → dedup exact/minhash/cosine/substr
+#:
+#: currently IN (position = tuple order below; "in" round):
+#:   r1:  citation_counts, top_cited, citing_papers, scalar_string_funcs,
+#:        q1_pricing_summary, dedup_exact, dedup_minhash_lsh,
+#:        dedup_embedding_cosine, dedup_exact_substring_pairs,
+#:        decontaminate_eval_overlap, knn_ivf_ann, text_token_stats,
+#:        text_quality_scores, pipeline_filter_funnel,
+#:        streaming_tumbling_counts, streaming_dedup_watermark,
+#:        streaming_kafka_topic_counts, streaming_running_user_counts,
+#:        stats_approx, sessionize_events, asof_join_events_orders,
+#:        join_bucketed_fact_fact, join_hot_key_aqe
+#:   r5:  citation_pagerank_scale, join_bloom_prefilter
+#:   r5b: embedding_kmeans
+#:   r6:  multimodal_phash_pairs
+#:   r6b: basket_brand_pairs, text_bpe_merges, citation_counts_datasource
+#:   r6c: multimodal_audio_minhash_pairs, citation_link_prediction,
+#:        streaming_funnel_left_outer, events_daily_acf,
+#:        embedding_power_iteration, layout_zorder_stats,
+#:        text_pmi_collocations, citation_label_propagation
+#:   r6c2: citation_hits, events_trailing_rates, stats_ks_two_sample,
+#:        events_survival_km, events_user_features, interval_overlap_join,
+#:        embedding_pca_scores
+#:   r7:  warehouse_integrity_audit, pivot_status_by_priority
+#:   r7b: text_bpe_encode, warehouse_delete_cascade,
+#:        streaming_cumulative_users
 _PRIORITY = (
-    # SURVEY §2: the reference's citation pipeline.
+    # SURVEY §2: the reference's citation pipeline + scalar family.
     "citation_counts",
     "top_cited",
     "citing_papers",
-    # SURVEY §2.2 scalar functions.
-    # (r5 rotation: scalar_datetime_funcs → beyond-window; r6b:
-    # scalar_math_funcs follows — the scalar family stays represented
-    # by scalar_string_funcs.)
     "scalar_string_funcs",
-    # Core relational representatives (r6b rotation:
-    # q3_shipping_priority → beyond-window, still benched +
-    # full-sweep-gated; the agg family stays via q1, and the join+topk
-    # shape is covered by the join block below).
+    # Core relational/aggregate representative.
     "q1_pricing_summary",
-    # r6b NEW capabilities joining the window (all-or-nothing swap —
-    # out: scalar_math_funcs, q3_shipping_priority, dedup_simhash_pairs,
-    # knn_pq_ann, text_unigram_rarity, multimodal_decode_features,
-    # corpus_mixture_weights; every displaced family keeps an in-window
-    # representative, see each block's comment):
+    # Mining / association.
     "basket_brand_pairs",
-    # r6c NEW capabilities joining the window (all-or-nothing swap —
-    # out: multimodal_audio_fp_pairs, knn_lsh_ann,
-    # streaming_stream_stream_funnel, stats_percentiles,
-    # doc_winnowing_fingerprints, join_hot_key_salted,
-    # text_tfidf_top_terms, citation_components; every displaced
-    # family keeps an in-window representative, see each block):
+    # Round-capability representatives (see rotation log).
     "multimodal_audio_minhash_pairs",
     "citation_link_prediction",
     "streaming_funnel_left_outer",
@@ -97,38 +162,11 @@ _PRIORITY = (
     "layout_zorder_stats",
     "text_pmi_collocations",
     "citation_label_propagation",
-    # r6c SECOND batch (all-or-nothing swap — out: citation_pagerank
-    # (gate mode; the fixed-point scale mode stays), citation_triangles,
-    # orders_retention_cohorts, dedup_substring_spans,
-    # multimodal_ingest_stats, text_lang_id, knn_brute_cosine,
-    # streaming_session_counts, events_scd2_history,
-    # embedding_kcenter_coreset, join_partition_pruned; every displaced
-    # family keeps an in-window representative, see each block):
     "citation_hits",
     "events_trailing_rates",
     "stats_ks_two_sample",
-    # (r7 rotation, all-or-nothing swap — out: citation_bfs_depths
-    # (graph stays via link prediction, LPA, HITS, pagerank-scale) and
-    # events_holt_forecast (forecast/timeseries stays via daily_acf +
-    # trailing_rates; holt remains full-sweep-gated); in: the two
-    # families the window never carried — dq (the single-pass
-    # integrity audit, reworked this round to one scan per table) and
-    # the relational-shape block (pivot as its representative). The
-    # family-coverage invariant is now pinned by
-    # tests/test_registry.py::test_priority_window_covers_every_family.)
     "warehouse_integrity_audit",
     "pivot_status_by_priority",
-    # (r7 second batch, all-or-nothing swap — in: the round's three
-    # new capabilities, so they are driver-gated like every prior
-    # round's additions: text_bpe_encode (tokenizer APPLY),
-    # warehouse_delete_cascade (GDPR cascade pre-flight),
-    # streaming_cumulative_users (fifteenth live family, first-touch
-    # identity state). Out: events_snapshot_diff (the dimension-
-    # history axis stays via events_scd2-family full-sweep gating and
-    # CDC twins), events_pattern_sequences (sequence mining stays
-    # full-sweep-gated; events keeps 4 in-window reps), dedup_clusters
-    # (dedup keeps exact/minhash/cosine/substring/decontamination —
-    # clusters remains the funnel's dependency and full-sweep-gated).)
     "text_bpe_encode",
     "warehouse_delete_cascade",
     "streaming_cumulative_users",
@@ -137,146 +175,39 @@ _PRIORITY = (
     "interval_overlap_join",
     "embedding_pca_scores",
     "text_bpe_merges",
-    # (r6c: multimodal_audio_fp_pairs → beyond-window — the audio
-    # dedup family stays via the stronger gram-sketch
-    # multimodal_audio_minhash_pairs; the pigeonhole Hamming pairing
-    # stays in-window via multimodal_phash_pairs. r6c second batch:
-    # embedding_kcenter_coreset → beyond-window (embedding selection
-    # stays via kmeans + power iteration + the PCA apply),
-    # citation_triangles → beyond-window (graph stays via LPA, link
-    # prediction, HITS, BFS, pagerank-scale), events_scd2_history →
-    # beyond-window (the dimension-history axis stays via
-    # events_snapshot_diff).)
     "join_bloom_prefilter",
-    # LLM-pipeline: deduplication — every family in-window, including
-    # the full suffix-array-style substring trio and decontamination.
-    # (r5 rotation: dedup_ngram_jaccard — minhash's ground-truth twin
-    # — moved beyond-window to make room.)
+    # LLM-pipeline: deduplication.
     "dedup_exact",
     "dedup_minhash_lsh",
-    # (dedup_simhash / knn_brute_cosine_pandas: beyond-window — their
-    # stronger siblings stay. r6b: dedup_simhash_pairs also rotates
-    # beyond-window — the pigeonhole Hamming-pairing strategy stays
-    # in-window via multimodal_phash_pairs/audio_fp_pairs, which share
-    # its block-join machinery.)
     "dedup_embedding_cosine",
-    # (r6 rotation: dedup_substring_strip → beyond-window — the
-    # substring family stays represented by pairs + spans +
-    # decontamination; multimodal_phash_pairs joins the window so the
-    # new image near-dup capability is driver-gated.)
     "dedup_exact_substring_pairs",
-    # (r6c second batch: dedup_substring_spans → beyond-window — the
-    # substring family stays via pairs + decontamination.)
     "decontaminate_eval_overlap",
-    # LLM-pipeline: similarity search (all four ANN strategies) +
-    # clustering (r5b: embedding_kmeans joins the window — a new
-    # family: fixed-point Lloyd's with a hash-exact oracle; in
-    # exchange stats_correlation rotates beyond-window, the stats
-    # family staying represented by percentiles + approx).
-    # (r5 rotation: embedding_label_stats → beyond-window.)
-    # (r6b: knn_pq_ann → beyond-window — ANN stays represented by
-    # brute + LSH + IVF; PQ remains benched + full-sweep-gated.)
-    # (r6c: knn_lsh_ann → beyond-window — ANN stays via brute + IVF,
-    # and the sign-LSH banding strategy stays in-window via
-    # dedup_embedding_cosine, which shares its band machinery;
-    # embedding_power_iteration joins above. Second batch:
-    # knn_brute_cosine follows — ANN stays via IVF, brute remains
-    # benched + full-sweep-gated.)
+    # LLM-pipeline: similarity search + clustering.
     "knn_ivf_ann",
     "embedding_kmeans",
-    # LLM-pipeline: text analysis.
-    # (r5 rotation: doc_fingerprint / token_count_regex →
-    # beyond-window — winnowing and token_stats cover those families;
-    # unigram rarity joins the window.)
-    # (r6b: text_unigram_rarity → beyond-window; the text family
-    # stays represented by the four below + text_bpe_merges above.)
+    # LLM-pipeline: text analysis + compositions.
     "text_token_stats",
     "text_quality_scores",
-    # (r6c second batch: text_lang_id → beyond-window — the text
-    # family stays via token_stats/quality/bpe/pmi; lang-ID remains
-    # full-sweep-gated with its confusion-matrix pipeline twin.)
-    # (r6c: text_tfidf_top_terms and doc_winnowing_fingerprints →
-    # beyond-window — the text family stays via token_stats/quality/
-    # lang_id/bpe + the new text_pmi_collocations; winnowing remains
-    # full-sweep-gated with its pairing twin.)
-    # LLM-pipeline: end-to-end compositions (r6b:
-    # corpus_mixture_weights → beyond-window; the pipeline family
-    # stays via pipeline_filter_funnel).
     "pipeline_filter_funnel",
-    # LLM-pipeline: multimodal plumbing + image near-dup (r6:
-    # multimodal_phash_pairs joins the window; r6b:
-    # multimodal_decode_features → beyond-window — the codec loop
-    # stays represented by ingest + phash + the new audio pairs).
-    # (r6c second batch: multimodal_ingest_stats → beyond-window —
-    # the multimodal family stays via phash pairs + the audio
-    # gram-sketch.)
+    # LLM-pipeline: multimodal.
     "multimodal_phash_pairs",
-    # Event analytics (batch twins of the streaming surface).
-    # (r5 rotation: events_json_struct → beyond-window with its
-    # sibling events_json_props. r6: events_tumbling_hourly →
-    # beyond-window — the tumbling family stays represented by
-    # streaming_tumbling_counts, its live twin; the r5b analytics
-    # family gets its first in-window representative,
-    # orders_retention_cohorts.)
-    # (r6c second batch: orders_retention_cohorts → beyond-window —
-    # the cohort/lifecycle family stays via events_survival_km.)
-    # (r6b second micro-swap: events_session_window → beyond-window —
-    # the session family stays via sessionize_events +
-    # streaming_session_counts; the custom python DataSource connector
-    # joins the window so the new connector capability is driver-gated.)
+    # Custom python DataSource connector.
     "citation_counts_datasource",
-    # (r5b rotation: events_funnel_join → beyond-window — the funnel
-    # family stays represented by streaming_stream_stream_funnel;
-    # join_partition_pruned joins the window so the DPP capability is
-    # driver-gated alongside the bucketed warehouse join.)
-    # (r6c second batch: join_partition_pruned → beyond-window — the
-    # join family stays via bloom prefilter, bucketed, hot-key AQE,
-    # z-order, and the interval-overlap join; DPP remains benched +
-    # full-sweep-gated with its flat twin.)
-    # Structured Streaming, driver-visible: six live families in the
-    # window (three more — CDC compaction, stream-static join, sliding
-    # windows — are registered beyond it, full-sweep-gated) —
-    # windowed agg, session windows, stateful dedup, kafka-shaped
-    # source, stream-stream join, custom applyInPandasWithState.
+    # Structured Streaming: six live families in-window (ten more
+    # registered beyond it, full-sweep-gated).
     "streaming_tumbling_counts",
-    # (r6c second batch: streaming_session_counts → beyond-window —
-    # the session family stays via sessionize_events, and five live
-    # families remain in-window.)
     "streaming_dedup_watermark",
     "streaming_kafka_topic_counts",
-    # (r6c: streaming_stream_stream_funnel → beyond-window — the
-    # stream-stream join family stays via the LEFT OUTER variant
-    # above, a strictly richer state machine over the same
-    # funnel_join core; the inner funnel remains full-sweep-gated.)
     "streaming_running_user_counts",
-    # Graph / iterative: gate mode + the fixed-point scale mode.
-    # (r6c second batch: citation_pagerank (gate mode) →
-    # beyond-window — the pagerank family stays via the fixed-point
-    # scale mode, which is the benched at-scale strategy.)
+    # Graph / iterative (fixed-point scale mode).
     "citation_pagerank_scale",
-    # (r6c: citation_components → beyond-window — connectivity/
-    # community coverage stays via pagerank + triangles +
-    # citation_label_propagation; components remains
-    # full-sweep-gated with its union-find pytest.)
-    # Statistics.
-    # (r5 rotation: stats_variance → beyond-window; r5b:
-    # stats_correlation follows it, making room for embedding_kmeans.)
-    # (r6c: stats_percentiles → beyond-window — the stats family
-    # stays via stats_approx, whose claims gate the sketch
-    # percentiles against exact ranks in the same query.)
+    # Statistics (sketches, claims-gated).
     "stats_approx",
-    # Custom-operator showcases + the engine-level bench pairs.
-    # (r5 rotation: window_topk_per_group and join_salted_skew →
-    # beyond-window; the skew family is now represented by the
-    # stronger hot-key torture pair, and the bucketed warehouse join
-    # is driver-gated.)
+    # Custom-operator showcases + engine-level bench pairs.
     "sessionize_events",
     "asof_join_events_orders",
     "join_bucketed_fact_fact",
     "join_hot_key_aqe",
-    # (r6c: join_hot_key_salted → beyond-window — the skew family
-    # stays via join_hot_key_aqe; the salted twin remains benched +
-    # full-sweep-gated, the q3 rotation framing.)
 )
 
 
