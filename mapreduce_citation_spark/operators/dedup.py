@@ -428,14 +428,22 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near candidates come from the same rarest-first PPJoin prefix as
     ``dedup_ngram_jaccard`` — document frequencies over the FULL
     corpus give one global shingle order, both sides keep only their
-    ``|A| − ⌈0.8·|A|⌉ + 1`` rarest shingles, and candidate generation
-    joins DELTA prefixes to BASE prefixes only: cost scales with the
-    batch, never with base², which is what makes nightly ingest
-    affordable at a 100 TB base (in production the base's prefixes
-    and digests are precomputed artifacts of previous runs; here both
-    derive from the one persisted shingle stream). Verify is
-    pair-keyed (popularity-immune). The exactness argument is the
-    prefix-filter theorem, pair-symmetric, so no true ≥0.8 pair is
+    ``|A| − ⌈0.8·|A|⌉ + 1`` rarest shingles (plus PPJoin's length and
+    positional filters in the join predicate since r8), and candidate
+    generation joins DELTA prefixes to BASE prefixes only: cost
+    scales with the batch, never with base², which is what makes
+    nightly ingest affordable at a 100 TB base. The bound: pair work
+    is O(|delta-prefix matches|) — delta-proportional — plus ONE
+    linear base scan for digests/document-frequencies, and that scan
+    exists only because this self-contained query derives the base's
+    artifacts from the corpus (in production they are precomputed
+    outputs of previous runs). Measured (tools/scaling_ingest.py,
+    SCALING_INGEST_r08.json): a FIXED 625-doc delta against base
+    5k → 50k → 500k runs 4.6/7.3/30.4 s — 1.6×/4.1× per 10× decade,
+    sub-linear in base, with the rejection set byte-identical at all
+    three points (the construction falsifier). Verify is pair-keyed
+    (popularity-immune). The exactness argument is the prefix-filter
+    + PPJoin theorems, pair-symmetric, so no true ≥0.8 pair is
     missed — the oracle is the O(delta×base) brute force."""
     return incremental_ingest_report(
         _docs(spark, sf_dir), F.col("doc_id") % 8 == 0
