@@ -308,17 +308,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. PREFIX FILTER (Chaudhuri et al. SSJoin / PPJoin): order every
        doc's shingle set by one global total order (ascending document
-       frequency, shingle text as tie-break) and keep only the first
-       ``|A| − ⌈0.8·|A|⌉ + 1`` shingles. Any pair with J ≥ 0.8 shares
-       ≥ 0.8·max(|A|,|B|) shingles, so its rarest-first prefixes must
-       intersect — candidate generation equi-joins PREFIX shingles
-       only, and frequent shingles (the df² blowup this query paid
-       before; the audio family measured the same fix at 5.1×) almost
-       never sit in a rarest-first prefix. Since r8 the candidate
-       join also applies PPJoin's LENGTH and POSITIONAL filters
-       (``_ppjoin_pair_filters`` — lossless, so the oracle is still
-       the brute force) inside the join predicate, pruning before
-       the distinct's shuffle.
+       frequency, shingle text as tie-break). Any pair with J ≥ 0.8
+       shares ≥ 0.8·max(|A|,|B|) shingles, so its rarest-first
+       prefixes must intersect — candidate generation equi-joins
+       PREFIX shingles only, and frequent shingles (the df² blowup
+       this query paid before; the audio family measured the same fix
+       at 5.1×) almost never sit in a rarest-first prefix. Since r8
+       the prefixes are ASYMMETRIC (PPJoin's index/probe split: the
+       pair's larger doc probes with ``|x| − ⌈0.8·|x|⌉ + 1`` shingles,
+       the smaller is indexed under only ``|y| − ⌈8·|y|/9⌉ + 1``) and
+       the join predicate also applies PPJoin's LENGTH and POSITIONAL
+       filters (``_ppjoin_pair_filters``) — all lossless, so the
+       oracle is still the brute force, and all pruning happens
+       before the distinct's shuffle.
     2. PAIR-KEYED verify (the audio-family restructure): intersections
        are counted by joining each candidate pair's own shingles on
        (pair, shingle) — linear in |cand|·shingles-per-doc, immune to
@@ -340,25 +342,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("doc_id").orderBy("df", "s"))
         .alias("rk"),
     )
-    pref = (
-        ranked.join(sizes, "doc_id")
-        # ceil(0.8·n) = (4n+4) div 5, exact in integers
-        .filter(F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1)
-        .select("doc_id", "s", "rk", "n_sh")
+    # Asymmetric index/probe prefixes (PPJoin's indexing theorem): for
+    # a pair with J ≥ t the FIRST common shingle in the one global
+    # order lies within the PROBE prefix |x| − ⌈t·|x|⌉ + 1 of the
+    # LARGER doc x (O ≥ t·|x|) and within the shorter INDEX prefix
+    # |y| − ⌈(2t/(1+t))·|y|⌉ + 1 of the SMALLER doc y (with the length
+    # filter, O ≥ (2t/(1+t))·|y|). At t = 0.8 the index side keeps
+    # ~|y|/9 shingles vs the probe side's ~|y|/5 — the candidate join's
+    # smaller input, lossless. "Smaller" is the (n_sh, doc_id) total
+    # order, so each pair is generated exactly once (probe = greater).
+    prefixed = ranked.join(sizes, "doc_id")
+    # ceil(0.8·n) = (4n+4) div 5; ceil(8·n/9) = (8n+8) div 9
+    probe = prefixed.filter(
+        F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1
+    ).select("doc_id", "s", "rk", "n_sh")
+    index = prefixed.filter(
+        F.col("rk") <= F.col("n_sh") - F.expr("(8 * n_sh + 8) div 9") + 1
+    ).select("doc_id", "s", "rk", "n_sh")
+    a_gt_b = (F.col("a.n_sh") > F.col("b.n_sh")) | (
+        (F.col("a.n_sh") == F.col("b.n_sh"))
+        & (F.col("a.doc_id") > F.col("b.doc_id"))
     )
     cand = (
-        pref.alias("a")
+        probe.alias("a")
         .join(
-            pref.alias("b"),
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & _ppjoin_pair_filters(),
+            index.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & a_gt_b & _ppjoin_pair_filters(),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.n_sh"))
+            .otherwise(F.col("b.n_sh")).alias("n_a"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.n_sh"))
+            .otherwise(F.col("a.n_sh")).alias("n_b"),
         )
         .distinct()
     )
