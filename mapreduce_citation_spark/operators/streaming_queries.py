@@ -867,6 +867,77 @@ def streaming_quality_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "streaming_ingest_dedup",
+    oracle="""
+WITH base AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 8 <> 0
+),
+delta AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 8 = 0
+)
+SELECT d.h AS digest, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(d.doc_id) AS first_doc_id
+FROM delta d LEFT JOIN base b ON d.h = b.h
+WHERE b.h IS NULL
+GROUP BY d.h
+""",
+    tags=("streaming", "stream-static-join", "dedup", "ingest", "llm"),
+)
+def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE ingest dedup (seventeenth streaming family) — the shape a
+    production LLM pipeline actually runs when documents ARRIVE AS A
+    STREAM: each incoming doc's digest is anti-joined against the
+    authoritative BASE corpus's digest set (here ``doc_id % 8 != 0``,
+    the same replica-stable cohort as the batch
+    ``dedup_incremental_ingest``), and survivors are aggregated per
+    digest (count + first doc id), so intra-stream duplicates collapse
+    too. Plan: parquet file source → stream-static LEFT ANTI join on
+    the digest (static side built once per query and reused every
+    micro-batch) → complete-mode aggregation whose state is bounded by
+    the DELTA's distinct digests, never the base.
+
+    At 100 TB the static side is the precomputed digest table of
+    previous ingest runs (columnar, pruned to one 32-byte column);
+    the anti-join shuffles only the STREAM side when the digest table
+    exceeds broadcast size, and the per-digest state is batch-sized by
+    construction. The batch twin (``dedup_incremental_ingest``) adds
+    the near-dup half; exact-digest rejection is the streaming-safe
+    part because it needs no cross-row candidate generation."""
+    docs = read_documents_parquet_stream(spark, sf_dir)
+    delta = docs.filter(F.col("doc_id") % 8 == 0).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
+    )
+    from .dedup import _docs
+
+    base = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 8 != 0)
+        .select(F.md5(F.col("text").cast("binary")).alias("digest"))
+        .distinct()
+    )
+    agg = (
+        delta.join(base, "digest", "left_anti")
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+    name = f"streaming_ingest_dedup_{next(_SINK_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 #: Multi-file event staging for the incremental-MV family: fixture →
 #: 4 parquet chunks so maxFilesPerTrigger=1 yields REAL multi-batch
 #: ingestion (one shared staging per source realpath per process).
