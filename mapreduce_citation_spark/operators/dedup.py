@@ -351,14 +351,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~|y|/9 shingles vs the probe side's ~|y|/5 — the candidate join's
     # smaller input, lossless. "Smaller" is the (n_sh, doc_id) total
     # order, so each pair is generated exactly once (probe = greater).
-    prefixed = ranked.join(sizes, "doc_id")
-    # ceil(0.8·n) = (4n+4) div 5; ceil(8·n/9) = (8n+8) div 9
-    probe = prefixed.filter(
-        F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1
-    ).select("doc_id", "s", "rk", "n_sh")
-    index = prefixed.filter(
+    # ceil(0.8·n) = (4n+4) div 5; ceil(8·n/9) = (8n+8) div 9. The
+    # index prefix is a SUBSET of the probe prefix (ℓi ≤ ℓp for all
+    # n), so only the probe stream is computed from the ranked join —
+    # and persisted (corpus-proportional ~n/5 of the shingle stream,
+    # read by both join sides; without it the index branch re-runs the
+    # whole df-join + ranking window, and the two sides' differing
+    # filters defeat ReusedExchange — measured 98.7 s vs 73.8 s at
+    # 500k docs for the recompute variant).
+    probe = (
+        ranked.join(sizes, "doc_id")
+        .filter(
+            F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1
+        )
+        .select("doc_id", "s", "rk", "n_sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    index = probe.filter(
         F.col("rk") <= F.col("n_sh") - F.expr("(8 * n_sh + 8) div 9") + 1
-    ).select("doc_id", "s", "rk", "n_sh")
+    )
     a_gt_b = (F.col("a.n_sh") > F.col("b.n_sh")) | (
         (F.col("a.n_sh") == F.col("b.n_sh"))
         & (F.col("a.doc_id") > F.col("b.doc_id"))
