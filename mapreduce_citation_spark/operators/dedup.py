@@ -508,23 +508,59 @@ def incremental_ingest_report(d: DataFrame, delta_pred) -> DataFrame:
         .over(Window.partitionBy("doc_id").orderBy("df", "s"))
         .alias("rk"),
     )
+    # Asymmetric index/probe prefixes (same theorem as
+    # dedup_ngram_jaccard): each true pair's SMALLER doc (under the
+    # (n_sh, doc_id) total order) only needs its ~|y|/9 index prefix.
+    # The sides here are FIXED (delta vs base), so the split becomes
+    # two complementary branches — delta-probe × base-index where the
+    # base doc is smaller, delta-index × base-probe otherwise — each
+    # pair lands in exactly one. Both branches read ONE persisted
+    # probe-prefix cache (the index prefix is a further rank filter
+    # over the same rows — persisting avoids recomputing the
+    # df-join + ranking window per branch, the ReusedExchange lesson
+    # from the self-join variant).
     pref = (
         ranked.join(sizes, "doc_id")
         .filter(F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1)
         .select("doc_id", "s", "rk", "n_sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    idx_filter = (
+        F.col("rk") <= F.col("n_sh") - F.expr("(8 * n_sh + 8) div 9") + 1
+    )
+    a_ge_b = (F.col("a.n_sh") > F.col("b.n_sh")) | (
+        (F.col("a.n_sh") == F.col("b.n_sh"))
+        & (F.col("a.doc_id") >= F.col("b.doc_id"))
+    )
+    delta_probe, delta_index = (
+        pref.filter(delta_pred),
+        pref.filter(delta_pred).filter(idx_filter),
+    )
+    base_probe, base_index = (
+        pref.filter(~delta_pred),
+        pref.filter(~delta_pred).filter(idx_filter),
+    )
+
+    def _pairs(a_side: DataFrame, b_side: DataFrame, a_bigger) -> DataFrame:
+        return (
+            a_side.alias("a")
+            .join(
+                b_side.alias("b"),
+                (F.col("a.s") == F.col("b.s"))
+                & a_bigger
+                & _ppjoin_pair_filters(),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_d"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n_sh").alias("n_d"),
+                F.col("b.n_sh").alias("n_b"),
+            )
+        )
+
     cand = (
-        pref.filter(delta_pred).alias("a")
-        .join(
-            pref.filter(~delta_pred).alias("b"),
-            (F.col("a.s") == F.col("b.s")) & _ppjoin_pair_filters(),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_d"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_d"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        _pairs(delta_probe, base_index, a_ge_b)
+        .unionAll(_pairs(delta_index, base_probe, ~a_ge_b))
         .distinct()
     )
     common = (
