@@ -505,3 +505,50 @@ def test_prefix_filter_jaccard_is_exact(spark, corpus):
         ).collect()
     }
     assert got == expected
+
+
+def test_ppjoin_pair_filters_match_python_reference(spark):
+    """The integer-exact PPJoin length/positional predicate equals a
+    float reference over an exhaustive small grid of (|A|, |B|, i, j)
+    — pins the ceil/div arithmetic at the threshold boundaries (e.g.
+    5·min ≥ 4·max exactly at |A|=4,|B|=5; α exactly at multiples of
+    9), where an off-by-one would silently prune a true pair."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.dedup import (
+        _ppjoin_pair_filters,
+    )
+
+    grid = [
+        (na, nb, ra, rb)
+        for na in range(1, 13)
+        for nb in range(1, 13)
+        for ra in range(1, na + 1)
+        for rb in range(1, nb + 1)
+    ]
+    a = spark.createDataFrame(
+        [(i, na, ra) for i, (na, nb, ra, rb) in enumerate(grid)],
+        "id long, n_sh long, rk long",
+    ).alias("a")
+    b = spark.createDataFrame(
+        [(i, nb, rb) for i, (na, nb, ra, rb) in enumerate(grid)],
+        "id long, n_sh long, rk long",
+    ).alias("b")
+    got = {
+        r["id"]
+        for r in a.join(b, (F.col("a.id") == F.col("b.id")))
+        .filter(_ppjoin_pair_filters())
+        .select(F.col("a.id").alias("id"))
+        .collect()
+    }
+    t = 0.8
+    want = set()
+    for i, (na, nb, ra, rb) in enumerate(grid):
+        length_ok = min(na, nb) >= t * max(na, nb) - 1e-12
+        alpha = math.ceil(t / (1 + t) * (na + nb) - 1e-12)
+        positional_ok = min(ra, rb) + min(na - ra, nb - rb) >= alpha
+        if length_ok and positional_ok:
+            want.add(i)
+    assert got == want
