@@ -405,9 +405,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_incremental_ingest",
-    oracle=f"""
+#: Shared by the batch operator and its foreachBatch streaming twin
+#: (streaming_queries.streaming_ingest_dedup_near): the rejection set
+#: is batching-independent (a delta doc is rejected iff a base doc
+#: matches it — the prefix/filter machinery affects cost, never the
+#: output), so both run against the SAME brute-force oracle.
+INGEST_ORACLE = f"""
 WITH exact AS (
   SELECT DISTINCT d.doc_id
   FROM documents d JOIN documents b
@@ -436,7 +439,12 @@ SELECT doc_id, 'exact' AS reason FROM exact
 UNION ALL
 SELECT doc_id, 'near' AS reason FROM near
 WHERE doc_id NOT IN (SELECT doc_id FROM exact)
-""",
+"""
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle=INGEST_ORACLE,
     tags=("dedup", "incremental", "ingest", "llm"),
 )
 def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -938,6 +938,98 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+#: Documents staged as 4 parquet chunks (by doc_id range) so the
+#: near-dup ingest family runs REAL multi-batch ingestion under
+#: maxFilesPerTrigger=1 (shared per source realpath per process).
+_DOCS_CHUNK_STAGE: dict[str, str] = {}
+
+
+def _staged_doc_chunks(spark: SparkSession, sf_dir: str) -> str:
+    from .dedup import _docs
+
+    key = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    if key not in _DOCS_CHUNK_STAGE:
+        d = tempfile.mkdtemp(prefix="docs_chunks_")
+        (
+            _docs(spark, sf_dir)
+            .repartitionByRange(4, "doc_id")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _DOCS_CHUNK_STAGE[key] = d
+    return _DOCS_CHUNK_STAGE[key]
+
+
+from .dedup import INGEST_ORACLE as _INGEST_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_ingest_dedup_near",
+    oracle=_INGEST_ORACLE,
+    tags=("streaming", "foreachBatch", "dedup", "ingest", "near-dup",
+          "llm"),
+)
+def streaming_ingest_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE near-dup ingest (eighteenth streaming family) — the FULL
+    incremental-ingest semantics (exact digests + word-3-gram Jaccard
+    ≥ 0.8 vs the authoritative base) running per micro-batch: the
+    delta cohort streams in 4 real micro-batches (chunked staging +
+    maxFilesPerTrigger=1) and each batch runs the batch operator's own
+    ``incremental_ingest_report`` against base ∪ batch inside
+    ``foreachBatch``, appending rejections to an epoch-keyed parquet
+    MV (``write_epoch`` — idempotent under replay, and epochs are
+    disjoint because each delta doc arrives exactly once).
+
+    Why the oracle is the SAME brute force as the batch twin: the
+    REJECTION SET is batching-independent — a delta doc is rejected
+    iff some base doc matches it, a pairwise predicate the
+    prefix/PPJoin machinery can only accelerate, never change — so
+    the union over micro-batches equals the one-shot result no matter
+    how the stream is chopped. (Delta-vs-delta pairs are out of scope
+    on BOTH sides by the operator's definition.)
+
+    At 100 TB: the base's digests and prefix artifacts are precomputed
+    outputs of previous runs (here each batch re-derives them, the
+    same self-containment note as the batch twin), per-batch cost is
+    delta-proportional plus one base scan, and the MV append is the
+    exactly-once epoch-keyed sink the MV/checkpoint-restart tests pin."""
+    from ..streaming.events import write_epoch
+    from .dedup import _docs, incremental_ingest_report
+
+    chunks = _staged_doc_chunks(spark, sf_dir)
+    schema = spark.read.parquet(chunks).schema
+    delta_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+        .filter(F.col("doc_id") % 8 == 0)
+    )
+    base = _docs(spark, sf_dir).filter(F.col("doc_id") % 8 != 0)
+    out = tempfile.mkdtemp(prefix="ingest_near_out_")
+    ckpt = tempfile.mkdtemp(prefix="ingest_near_ckpt_")
+
+    def merge(bdf: DataFrame, epoch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        d = base.select(*bdf.columns).unionByName(bdf)
+        write_epoch(
+            incremental_ingest_report(d, F.col("doc_id") % 8 == 0),
+            epoch_id,
+            out,
+        )
+
+    q = (
+        delta_stream.writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(merge)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).select("doc_id", "reason")
+
+
 #: Multi-file event staging for the incremental-MV family: fixture →
 #: 4 parquet chunks so maxFilesPerTrigger=1 yields REAL multi-batch
 #: ingestion (one shared staging per source realpath per process).

@@ -1371,3 +1371,43 @@ def test_incremental_ingest_planted_reasons(spark):
     # changing the last word alters the last 3 shingles → ∩ = 55,
     # ∪ = 61 → 0.901 ≥ 0.8
     assert got == {2: "exact", 4: "near"}
+
+
+def test_ingest_rejections_are_batching_independent(spark):
+    """The theorem the streaming twin's oracle rests on
+    (streaming_ingest_dedup_near reuses the BATCH operator's oracle):
+    a delta doc is rejected iff some BASE doc matches it — a pairwise
+    predicate — so chopping the delta into micro-batches and running
+    the report per batch against base ∪ batch yields the same union
+    as the one-shot run, even though per-batch document frequencies
+    (and hence prefixes/candidates) differ."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.dedup import (
+        incremental_ingest_report,
+    )
+
+    long = " ".join(f"w{i}" for i in range(60))
+    near = " ".join((f"w{i}" if i != 59 else "CHANGED") for i in range(60))
+    base_rows = [(1, long), (3, "completely different base text here")]
+    delta_rows = [
+        (2, long),                                # exact dup of base 1
+        (4, near),                                # near dup of base 1
+        (6, "unique delta text one two three"),   # clean
+        (8, "unique delta text one two three"),   # dup of DELTA 6 only
+    ]
+    base = spark.createDataFrame(base_rows, ["doc_id", "text"])
+    delta = spark.createDataFrame(delta_rows, ["doc_id", "text"])
+    pred = F.col("doc_id") % 2 == 0
+
+    def report(d):
+        return {
+            (r["doc_id"], r["reason"])
+            for r in incremental_ingest_report(d, pred).collect()
+        }
+
+    one_shot = report(base.unionByName(delta))
+    per_batch = set()
+    for batch_pred in (F.col("doc_id") <= 4, F.col("doc_id") > 4):
+        per_batch |= report(base.unionByName(delta.filter(batch_pred)))
+    assert per_batch == one_shot == {(2, "exact"), (4, "near")}
