@@ -1027,6 +1027,11 @@ def streaming_ingest_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    if not any(e.startswith("epoch_id=") for e in os.listdir(out)):
+        # zero rejections in every batch (or an all-empty delta):
+        # nothing was written, and a bare parquet read of an empty
+        # dir raises — return the empty report with the right schema
+        return spark.createDataFrame([], "doc_id long, reason string")
     return spark.read.parquet(out).select("doc_id", "reason")
 
 

@@ -94,6 +94,13 @@ def main(args: list[str]) -> int:
         runs: list[float] = []
         batches: list[dict] = []
         for i in range(3):
+            if i == 2:
+                # drain the PREVIOUS run's still-in-flight listener
+                # events before marking, or they land inside this
+                # run's window and inflate its input_rows (seen in the
+                # first committed r8 artifact for the multi-run
+                # families)
+                settle(len(col.events))
             mark = len(col.events)
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
