@@ -486,11 +486,29 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def incremental_ingest_report(d: DataFrame, delta_pred) -> DataFrame:
+def incremental_ingest_report(
+    d: DataFrame, delta_pred, asymmetric: bool | None = None
+) -> DataFrame:
     """Delta-vs-base dedup report: see ``dedup_incremental_ingest``
     (the registered %8 instance — %7 was the rejected first cut, see
     its docstring) for semantics and scale notes; pytest drives this
-    on a planted corpus."""
+    on a planted corpus.
+
+    SIZE-CONDITIONAL candidate join (r8 verdict, next-round #5): the
+    r8c asymmetric index/probe split wins ~20% on the operator's
+    design shape (a small fixed delta against a growing base) but
+    cost ~16% on the synthetic both-sides-grow cohort — the second
+    branch re-streams the delta prefixes and re-joins the base probe
+    prefixes, overhead that only pays off when the delta side is
+    small. Both doc counts are one cheap aggregate away (a pruned
+    doc_id scan), so the plan picks per run: ASYMMETRIC when the
+    delta is small in absolute terms (≤ 2000 docs — the extra probe
+    stream is join-overhead-sized) or relative terms (≤ 1/24 of the
+    base — between the measured win at 1/80 and the measured loss at
+    1/7), SYMMETRIC (the single probe×probe join, the pre-r8c shape)
+    otherwise. Both branches are lossless prefix-filter plans against
+    the same brute-force oracle; ``asymmetric=`` overrides the
+    heuristic (the scaling tools use it to measure each branch)."""
     from pyspark.sql import Window
 
     # exact: digest semi-join, delta probes base
@@ -516,61 +534,60 @@ def incremental_ingest_report(d: DataFrame, delta_pred) -> DataFrame:
         .over(Window.partitionBy("doc_id").orderBy("df", "s"))
         .alias("rk"),
     )
-    # Asymmetric index/probe prefixes (same theorem as
-    # dedup_ngram_jaccard): each true pair's SMALLER doc (under the
-    # (n_sh, doc_id) total order) only needs its ~|y|/9 index prefix.
-    # The sides here are FIXED (delta vs base), so the split becomes
-    # two complementary branches — delta-probe × base-index where the
-    # base doc is smaller, delta-index × base-probe otherwise — each
-    # pair lands in exactly one. Both branches read ONE persisted
-    # probe-prefix cache (the index prefix is a further rank filter
-    # over the same rows — persisting avoids recomputing the
-    # df-join + ranking window per branch, the ReusedExchange lesson
-    # from the self-join variant).
     pref = (
         ranked.join(sizes, "doc_id")
         .filter(F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1)
         .select("doc_id", "s", "rk", "n_sh")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    idx_filter = (
-        F.col("rk") <= F.col("n_sh") - F.expr("(8 * n_sh + 8) div 9") + 1
-    )
-    a_ge_b = (F.col("a.n_sh") > F.col("b.n_sh")) | (
-        (F.col("a.n_sh") == F.col("b.n_sh"))
-        & (F.col("a.doc_id") >= F.col("b.doc_id"))
-    )
-    delta_probe, delta_index = (
-        pref.filter(delta_pred),
-        pref.filter(delta_pred).filter(idx_filter),
-    )
-    base_probe, base_index = (
-        pref.filter(~delta_pred),
-        pref.filter(~delta_pred).filter(idx_filter),
-    )
-
-    def _pairs(a_side: DataFrame, b_side: DataFrame, a_bigger) -> DataFrame:
-        return (
-            a_side.alias("a")
-            .join(
-                b_side.alias("b"),
-                (F.col("a.s") == F.col("b.s"))
-                & a_bigger
-                & _ppjoin_pair_filters(),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_d"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.n_sh").alias("n_d"),
-                F.col("b.n_sh").alias("n_b"),
-            )
+    if asymmetric is None:
+        # one pruned scan (doc_id + the predicate's columns) decides
+        # the branch — see the docstring's measured calibration
+        n = d.select(
+            F.count(F.when(delta_pred, F.lit(1))).alias("n_delta"),
+            F.count(F.when(~delta_pred, F.lit(1))).alias("n_base"),
+        ).first()
+        asymmetric = n.n_delta <= 2000 or n.n_delta * 24 <= n.n_base
+    if asymmetric:
+        # Asymmetric index/probe prefixes (same theorem as
+        # dedup_ngram_jaccard): each true pair's SMALLER doc (under
+        # the (n_sh, doc_id) total order) only needs its ~|y|/9 index
+        # prefix. The sides here are FIXED (delta vs base), so the
+        # split becomes two complementary branches — delta-probe ×
+        # base-index where the base doc is smaller, delta-index ×
+        # base-probe otherwise — each pair lands in exactly one. Both
+        # branches read ONE persisted probe-prefix cache (the index
+        # prefix is a further rank filter over the same rows —
+        # persisting avoids recomputing the df-join + ranking window
+        # per branch, the ReusedExchange lesson from the self-join
+        # variant).
+        pref = pref.persist(StorageLevel.MEMORY_AND_DISK)
+        idx_filter = (
+            F.col("rk") <= F.col("n_sh") - F.expr("(8 * n_sh + 8) div 9") + 1
         )
-
-    cand = (
-        _pairs(delta_probe, base_index, a_ge_b)
-        .unionAll(_pairs(delta_index, base_probe, ~a_ge_b))
-        .distinct()
-    )
+        a_ge_b = (F.col("a.n_sh") > F.col("b.n_sh")) | (
+            (F.col("a.n_sh") == F.col("b.n_sh"))
+            & (F.col("a.doc_id") >= F.col("b.doc_id"))
+        )
+        delta_probe, delta_index = (
+            pref.filter(delta_pred),
+            pref.filter(delta_pred).filter(idx_filter),
+        )
+        base_probe, base_index = (
+            pref.filter(~delta_pred),
+            pref.filter(~delta_pred).filter(idx_filter),
+        )
+        cand = (
+            _ingest_pairs(delta_probe, base_index, a_ge_b)
+            .unionAll(_ingest_pairs(delta_index, base_probe, ~a_ge_b))
+            .distinct()
+        )
+    else:
+        # symmetric probe×probe join (the pre-r8c shape): one join,
+        # no persisted prefix cache (each side is read once — the
+        # shared df-join+window shuffle is reused via ReusedExchange)
+        cand = _ingest_pairs(
+            pref.filter(delta_pred), pref.filter(~delta_pred), F.lit(True)
+        ).distinct()
     common = (
         cand.select("doc_d", "doc_b")
         .join(ex.select(F.col("doc_id").alias("doc_d"), "s"), "doc_d")
@@ -585,6 +602,235 @@ def incremental_ingest_report(d: DataFrame, delta_pred) -> DataFrame:
         .select(F.col("doc_d").alias("doc_id"))
         .distinct()
     )
+    return (
+        exact.select("doc_id", F.lit("exact").alias("reason"))
+        .unionAll(
+            near.join(exact, "doc_id", "left_anti")
+            .select("doc_id", F.lit("near").alias("reason"))
+        )
+    )
+
+
+def _ingest_pairs(a_side: DataFrame, b_side: DataFrame, a_bigger) -> DataFrame:
+    """Delta(a) × base(b) prefix equi-join on the shared shingle, with
+    the pair-orientation predicate and PPJoin's length/positional
+    filters — one branch of the asymmetric index/probe split (see
+    ``incremental_ingest_report``)."""
+    return (
+        a_side.alias("a")
+        .join(
+            b_side.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & a_bigger
+            & _ppjoin_pair_filters(),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_d"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_d"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+    )
+
+
+def _ingest_idx_filter() -> "F.Column":
+    # built lazily — Column construction needs an active SparkContext
+    return F.col("rk") <= F.col("n_sh") - F.expr("(8 * n_sh + 8) div 9") + 1
+
+
+class IngestBase:
+    """Precomputed base-side artifacts for delta-vs-base ingest dedup —
+    the production shape: at a 100 TB base these are outputs of
+    previous ingest runs, derived ONCE and persisted, so every delta
+    micro-batch pays only delta-proportional work plus probe joins
+    against the cached tables (never a per-batch re-derivation of the
+    base's digests/frequencies/prefixes).
+
+    Partitioning is part of the contract: each frame is persisted
+    under the join key the per-batch probes use (``digests`` keeps the
+    distinct's own hash partitioning on ``h``; ``df`` the groupBy's on
+    ``s``; ``prefixes`` is explicitly repartitioned by ``s`` — the
+    candidate join's key; ``shingles`` by ``(doc_id, s)`` — the verify
+    join's key), so each probe join plans an exchange on the BATCH
+    side only and the cached base side is never reshuffled.
+
+    The global shingle order these prefixes embed is (base document
+    frequency, shingle text). Prefix/PPJoin correctness holds for ANY
+    total order applied consistently to both sides, so the per-batch
+    path ranks delta shingles under the SAME key (absent-from-base
+    shingles take df 0) and the rejection set is unchanged — the
+    brute-force oracle stays exact.
+    """
+
+    def __init__(
+        self,
+        digests: DataFrame,
+        df: DataFrame,
+        prefixes: DataFrame,
+        shingles: DataFrame,
+    ) -> None:
+        self.digests = digests
+        self.df = df
+        self.prefixes = prefixes
+        self.shingles = shingles
+        self._frames = (digests, df, prefixes, shingles)
+
+    def materialize(self) -> "IngestBase":
+        """Eagerly fill the persisted frames (one pass over the base)
+        so the first micro-batch doesn't absorb the cache-fill cost.
+        ``count()`` is a fine cache FILLER (InMemoryRelation
+        materializes whole partitions of the cached plan; the r6
+        count-prunes rule is about timing DOWNSTREAM plans)."""
+        for f in self._frames:
+            f.count()
+        return self
+
+    def unpersist(self) -> None:
+        for f in self._frames:
+            f.unpersist()
+
+
+def prepare_ingest_base(base: DataFrame) -> IngestBase:
+    """Derive the base corpus's ingest-dedup artifacts once (digest
+    set, shingle stream, shingle document frequencies, PPJoin probe
+    prefixes), persisted MEMORY_AND_DISK per the corpus-cache rule.
+    Pair with :func:`ingest_report_against_base` for the per-batch
+    side; see :class:`IngestBase` for the partitioning contract."""
+    from pyspark.sql import Window
+
+    # Every frame is cached PARTITIONED AND LOCALLY SORTED under the
+    # join key its per-batch probe uses: InMemoryTableScan propagates
+    # the cached plan's outputPartitioning AND outputOrdering, so a
+    # per-batch sort-merge join plans neither an Exchange nor a Sort
+    # on the base side (verified in the r9 plan audit: without the
+    # repartition, every micro-batch re-shuffled the whole base
+    # shingle table — 26M rows at the 500k-doc point — under
+    # ENSURE_REQUIREMENTS; without the sortWithinPartitions, SMJ
+    # re-sorted it per batch whenever the delta side is too large for
+    # AQE's broadcast conversion). The local sorts run once at prep.
+    digests = (
+        base.select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .sortWithinPartitions("h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex_b = (
+        exploded_word_shingles(base, 3)
+        .repartition(F.col("doc_id"), F.col("s"))
+        .sortWithinPartitions("doc_id", "s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df_b = (
+        ex_b.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .sortWithinPartitions("s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes_b = ex_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ranked_b = ex_b.join(df_b, "s").select(
+        "doc_id",
+        "s",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("df", "s"))
+        .alias("rk"),
+    )
+    prefixes = (
+        ranked_b.join(sizes_b, "doc_id")
+        .filter(F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1)
+        .select("doc_id", "s", "rk", "n_sh")
+        .repartition(F.col("s"))
+        .sortWithinPartitions("s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return IngestBase(digests, df_b, prefixes, ex_b)
+
+
+def ingest_report_against_base(
+    delta: DataFrame, base: IngestBase, caches: list[DataFrame] | None = None
+) -> DataFrame:
+    """The per-batch half of incremental ingest dedup: the same
+    rejection semantics as ``incremental_ingest_report`` (exact digest
+    match wins over word-3-gram Jaccard ≥ 0.8 vs the base) but with
+    the base side read from :class:`IngestBase`'s persisted artifacts
+    — per-batch cost is delta-proportional (delta shingling, ranking
+    against the cached df table) plus probe joins whose base side is
+    pre-partitioned and never reshuffled. This is the fix for the r8
+    verdict's weak #1 (foreachBatch re-deriving O(base) artifacts
+    every epoch).
+
+    Output equality with the self-contained path: the rejection set is
+    a pairwise predicate (a delta doc is rejected iff a base doc
+    matches it), and prefix/PPJoin recall holds under ANY consistent
+    global shingle order — here (base df, shingle text) instead of the
+    one-shot path's full-corpus df — so both paths equal the same
+    brute-force oracle (pytest-pinned on the planted corpus).
+
+    Frames persisted per batch (the delta prefix feeds two join
+    branches; ``exact`` feeds the output branch and the near anti-join)
+    are appended to ``caches`` when given, so a ``foreachBatch`` driver
+    can unpersist them at the end of each epoch (ADVICE r8: per-batch
+    caches must not accumulate for the life of the session)."""
+    from pyspark.sql import Window
+
+    hd = delta.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    exact = (
+        hd.join(base.digests, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex_d = exploded_word_shingles(delta, 3).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes_d = ex_d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ranked_d = (
+        ex_d.join(base.df, "s", "left")
+        .select("doc_id", "s", F.coalesce("df", F.lit(0)).alias("df"))
+        .select(
+            "doc_id",
+            "s",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("df", "s"))
+            .alias("rk"),
+        )
+    )
+    pref_d = (
+        ranked_d.join(sizes_d, "doc_id")
+        .filter(F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1)
+        .select("doc_id", "s", "rk", "n_sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    delta_probe, delta_index = pref_d, pref_d.filter(_ingest_idx_filter())
+    base_probe, base_index = (
+        base.prefixes,
+        base.prefixes.filter(_ingest_idx_filter()),
+    )
+    a_ge_b = (F.col("a.n_sh") > F.col("b.n_sh")) | (
+        (F.col("a.n_sh") == F.col("b.n_sh"))
+        & (F.col("a.doc_id") >= F.col("b.doc_id"))
+    )
+    cand = (
+        _ingest_pairs(delta_probe, base_index, a_ge_b)
+        .unionAll(_ingest_pairs(delta_index, base_probe, ~a_ge_b))
+        .distinct()
+    )
+    common = (
+        cand.select("doc_d", "doc_b")
+        .join(ex_d.select(F.col("doc_id").alias("doc_d"), "s"), "doc_d")
+        .join(
+            base.shingles.select(F.col("doc_id").alias("doc_b"), "s"),
+            ["doc_b", "s"],
+        )
+        .groupBy("doc_d", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_d") + F.col("n_b") - F.col("n_common"))
+    near = (
+        cand.join(common, ["doc_d", "doc_b"])
+        .filter(jac >= 0.8)
+        .select(F.col("doc_d").alias("doc_id"))
+        .distinct()
+    )
+    if caches is not None:
+        caches.extend([exact, ex_d, pref_d])
     return (
         exact.select("doc_id", F.lit("exact").alias("reason"))
         .unionAll(

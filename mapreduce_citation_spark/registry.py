@@ -118,6 +118,11 @@ _QUERY_MODULES = (
 #:   r7b  events_snapshot_diff       → CDC twins
 #:   r7b  events_pattern_sequences   → events block (4 in-window reps)
 #:   r7b  dedup_clusters             → dedup exact/minhash/cosine/substr
+#:   r9   streaming_running_user_counts → streaming_cumulative_users
+#:        (same running-per-user-count shape, r7b twin already
+#:        in-window) — slot given to streaming_ingest_dedup, the r8
+#:        ingest-streaming capability the r8 verdict asked the window
+#:        to carry (next-round #6)
 #:
 #: currently IN (position = tuple order below; "in" round):
 #:   r1:  citation_counts, top_cited, citing_papers, scalar_string_funcs,
@@ -126,7 +131,7 @@ _QUERY_MODULES = (
 #:        decontaminate_eval_overlap, knn_ivf_ann, text_token_stats,
 #:        text_quality_scores, pipeline_filter_funnel,
 #:        streaming_tumbling_counts, streaming_dedup_watermark,
-#:        streaming_kafka_topic_counts, streaming_running_user_counts,
+#:        streaming_kafka_topic_counts,
 #:        stats_approx, sessionize_events, asof_join_events_orders,
 #:        join_bucketed_fact_fact, join_hot_key_aqe
 #:   r5:  citation_pagerank_scale, join_bloom_prefilter
@@ -143,6 +148,7 @@ _QUERY_MODULES = (
 #:   r7:  warehouse_integrity_audit, pivot_status_by_priority
 #:   r7b: text_bpe_encode, warehouse_delete_cascade,
 #:        streaming_cumulative_users
+#:   r9:  streaming_ingest_dedup
 _PRIORITY = (
     # SURVEY §2: the reference's citation pipeline + scalar family.
     "citation_counts",
@@ -193,12 +199,12 @@ _PRIORITY = (
     "multimodal_phash_pairs",
     # Custom python DataSource connector.
     "citation_counts_datasource",
-    # Structured Streaming: six live families in-window (ten more
+    # Structured Streaming: six live families in-window (the rest
     # registered beyond it, full-sweep-gated).
     "streaming_tumbling_counts",
     "streaming_dedup_watermark",
     "streaming_kafka_topic_counts",
-    "streaming_running_user_counts",
+    "streaming_ingest_dedup",
     # Graph / iterative (fixed-point scale mode).
     "citation_pagerank_scale",
     # Statistics (sketches, claims-gated).

@@ -1411,3 +1411,61 @@ def test_ingest_rejections_are_batching_independent(spark):
     for batch_pred in (F.col("doc_id") <= 4, F.col("doc_id") > 4):
         per_batch |= report(base.unionByName(delta.filter(batch_pred)))
     assert per_batch == one_shot == {(2, "exact"), (4, "near")}
+
+
+def test_ingest_precomputed_base_path_matches_one_shot(spark):
+    """The r9 streaming fix's correctness half: the precomputed-base
+    path (prepare_ingest_base + ingest_report_against_base — base
+    artifacts derived once, delta ranked under BASE-df shingle order)
+    yields the same rejection set as the self-contained one-shot
+    report (full-corpus df order), both per-batch and whole-delta.
+    Prefix/PPJoin recall holds under any consistent global order, so
+    the two paths must agree exactly."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.dedup import (
+        incremental_ingest_report,
+        ingest_report_against_base,
+        prepare_ingest_base,
+    )
+
+    long = " ".join(f"w{i}" for i in range(60))
+    near = " ".join((f"w{i}" if i != 59 else "CHANGED") for i in range(60))
+    base_rows = [(1, long), (3, "completely different base text here")]
+    delta_rows = [
+        (2, long),                                # exact dup of base 1
+        (4, near),                                # near dup of base 1
+        (6, "unique delta text one two three"),   # clean
+        (8, "unique delta text one two three"),   # dup of DELTA 6 only
+        (10, "x y"),                              # sub-3-words: no shingles
+    ]
+    base = spark.createDataFrame(base_rows, ["doc_id", "text"])
+    delta = spark.createDataFrame(delta_rows, ["doc_id", "text"])
+
+    one_shot = {
+        (r["doc_id"], r["reason"])
+        for r in incremental_ingest_report(
+            base.unionByName(delta), F.col("doc_id") % 2 == 0
+        ).collect()
+    }
+
+    arts = prepare_ingest_base(base).materialize()
+    try:
+        whole = {
+            (r["doc_id"], r["reason"])
+            for r in ingest_report_against_base(delta, arts).collect()
+        }
+        per_batch = set()
+        for batch_pred in (F.col("doc_id") <= 4, F.col("doc_id") > 4):
+            caches: list = []
+            per_batch |= {
+                (r["doc_id"], r["reason"])
+                for r in ingest_report_against_base(
+                    delta.filter(batch_pred), arts, caches
+                ).collect()
+            }
+            for c in caches:
+                c.unpersist()
+    finally:
+        arts.unpersist()
+    assert whole == per_batch == one_shot == {(2, "exact"), (4, "near")}

@@ -157,6 +157,12 @@ COPY (
             f"SELECT COUNT(*) FROM {_glob(out_dir, lt)} a "
             f"JOIN {_glob(out_dir, rt)} b ON a.{lc} = b.{rc}"
         ).fetchone()[0]
+        # a 0-match base join would make the ratio check vacuous and
+        # let an r7-style dead-stride FK bug pass silently (ADVICE r8)
+        assert base > 0, (
+            f"{lt}.{lc} = {rt}.{rc}: BASE join has 0 matches — fixture "
+            f"FK is broken before expansion even starts"
+        )
         assert big == k * base, (
             f"{lt}.{lc} = {rt}.{rc}: expanded join has {big} rows, "
             f"expected {k}x{base} = {k * base} — a key family's stride "
