@@ -58,6 +58,80 @@ def _calibrate() -> dict[str, float]:
     }
 
 
+def _prior_artifact(sf: float) -> tuple[str, dict] | None:
+    """Latest committed BENCH_r*.json for the SAME scale factor —
+    the baseline for the mechanical drift-envelope block (r8 verdict,
+    next-round #8: stop hand-computing cal-normalized ratios in
+    SCALE.md prose)."""
+    import glob
+    import re
+
+    best: tuple[int, str] | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # driver-recorded rounds wrap the bench line under "parsed";
+        # locally-run artifacts (e.g. the sf1 series) are the raw line
+        data = data.get("parsed", data)
+        if data.get("sf") != sf or "queries" not in data:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, path, data)
+    if best is None:
+        return None
+    return os.path.basename(best[1]), best[2]
+
+
+def _compare_block(
+    timings: dict[str, float], cal: dict[str, float], sf: float
+) -> dict | None:
+    """Per-query raw and cal-normalized ratios vs the prior committed
+    artifact. Normalized ratio scales the raw ratio by the window's
+    measured CPU capacity (time × throughput ≈ work): ``norm_1t``
+    uses the single-thread probe, ``norm_all`` the all-threads probe;
+    a query is flagged ``beyond_envelope`` only when BOTH normalized
+    ratios exceed 1.2 (the house envelope) — a raw ratio alone never
+    proves a regression on this drifting VM (CLAUDE.md)."""
+    prior = _prior_artifact(sf)
+    if prior is None:
+        return None
+    fname, base = prior
+    c1 = cal["cal_1t_mbps"] / base.get("cal_1t_mbps", cal["cal_1t_mbps"])
+    ca = cal["cal_all_mbps"] / base.get("cal_all_mbps", cal["cal_all_mbps"])
+    queries: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name, sec in timings.items():
+        psec = base["queries"].get(name)
+        if not psec:
+            continue
+        raw = sec / psec
+        entry = {
+            "prior_sec": psec,
+            "ratio_raw": round(raw, 3),
+            "ratio_norm_1t": round(raw * c1, 3),
+            "ratio_norm_all": round(raw * ca, 3),
+        }
+        if entry["ratio_norm_1t"] > 1.2 and entry["ratio_norm_all"] > 1.2:
+            entry["beyond_envelope"] = True
+            flagged.append(name)
+        queries[name] = entry
+    return {
+        "baseline": fname,
+        "cal_1t_ratio": round(c1, 3),
+        "cal_all_ratio": round(ca, 3),
+        "beyond_envelope": sorted(flagged),
+        "queries": queries,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -103,18 +177,19 @@ def main() -> None:
         assert len(counts) == 1, f"{name}: unstable row count {counts}"
         timings[name] = round(sorted(runs)[2], 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time at sf" + sf,
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                **_calibrate(),
-            }
-        )
-    )
+    cal = _calibrate()
+    out = {
+        "metric": "headline query wall time at sf" + sf,
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        **cal,
+    }
+    compare = _compare_block(timings, cal, float(sf))
+    if compare is not None:
+        out["compare"] = compare
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

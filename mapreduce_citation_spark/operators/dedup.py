@@ -445,6 +445,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM exact)
 @register(
     "dedup_incremental_ingest",
     oracle=INGEST_ORACLE,
+    # bench since r9 (r8 verdict #7): the LLM-pipeline ingest path is
+    # now tracked round-over-round
+    bench=True,
     tags=("dedup", "incremental", "ingest", "llm"),
 )
 def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,28 +490,27 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def incremental_ingest_report(
-    d: DataFrame, delta_pred, asymmetric: bool | None = None
+    d: DataFrame, delta_pred, asymmetric: bool = True
 ) -> DataFrame:
     """Delta-vs-base dedup report: see ``dedup_incremental_ingest``
     (the registered %8 instance — %7 was the rejected first cut, see
     its docstring) for semantics and scale notes; pytest drives this
     on a planted corpus.
 
-    SIZE-CONDITIONAL candidate join (r8 verdict, next-round #5): the
-    r8c asymmetric index/probe split wins ~20% on the operator's
-    design shape (a small fixed delta against a growing base) but
-    cost ~16% on the synthetic both-sides-grow cohort — the second
-    branch re-streams the delta prefixes and re-joins the base probe
-    prefixes, overhead that only pays off when the delta side is
-    small. Both doc counts are one cheap aggregate away (a pruned
-    doc_id scan), so the plan picks per run: ASYMMETRIC when the
-    delta is small in absolute terms (≤ 2000 docs — the extra probe
-    stream is join-overhead-sized) or relative terms (≤ 1/24 of the
-    base — between the measured win at 1/80 and the measured loss at
-    1/7), SYMMETRIC (the single probe×probe join, the pre-r8c shape)
-    otherwise. Both branches are lossless prefix-filter plans against
-    the same brute-force oracle; ``asymmetric=`` overrides the
-    heuristic (the scaling tools use it to measure each branch)."""
+    The candidate join is ALWAYS the asymmetric index/probe split.
+    r9 first implemented the r8 verdict's size-conditional branch
+    (symmetric probe×probe when the delta side is large, motivated by
+    r8c's cross-window ~16% fraction-cohort regression) — then the
+    same-session interleaved A/B the house rules demand
+    (`tools/ab_ingest_branch.py`, AB_INGEST_BRANCH_r09.json) showed
+    asymmetric strictly faster on BOTH cohort shapes at the 100×
+    point (fixed 625-doc delta: 33.1 → 26.9 s; fraction 62.5k-doc
+    delta: 35.4 → 24.8 s, 1.42×; outputs identical), so the r8c
+    regression was window drift and the heuristic was retired before
+    it could ship the slower plan. ``asymmetric=False`` keeps the
+    symmetric single-join shape reachable for measurement; both
+    branches are lossless prefix-filter plans against the same
+    brute-force oracle."""
     from pyspark.sql import Window
 
     # exact: digest semi-join, delta probes base
@@ -539,14 +541,6 @@ def incremental_ingest_report(
         .filter(F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1)
         .select("doc_id", "s", "rk", "n_sh")
     )
-    if asymmetric is None:
-        # one pruned scan (doc_id + the predicate's columns) decides
-        # the branch — see the docstring's measured calibration
-        n = d.select(
-            F.count(F.when(delta_pred, F.lit(1))).alias("n_delta"),
-            F.count(F.when(~delta_pred, F.lit(1))).alias("n_base"),
-        ).first()
-        asymmetric = n.n_delta <= 2000 or n.n_delta * 24 <= n.n_base
     if asymmetric:
         # Asymmetric index/probe prefixes (same theorem as
         # dedup_ngram_jaccard): each true pair's SMALLER doc (under
@@ -582,9 +576,10 @@ def incremental_ingest_report(
             .distinct()
         )
     else:
-        # symmetric probe×probe join (the pre-r8c shape): one join,
-        # no persisted prefix cache (each side is read once — the
-        # shared df-join+window shuffle is reused via ReusedExchange)
+        # symmetric probe×probe join (the pre-r8c shape, kept
+        # measurable): one join, no persisted prefix cache (each side
+        # is read once — the shared df-join+window shuffle is reused
+        # via ReusedExchange)
         cand = _ingest_pairs(
             pref.filter(delta_pred), pref.filter(~delta_pred), F.lit(True)
         ).distinct()

@@ -394,6 +394,10 @@ UNION ALL SELECT '4_decontaminated', COUNT(*),
 @register(
     "corpus_curation_funnel",
     oracle=_curation_funnel_oracle(),
+    # bench since r9 (r8 verdict #7): the north-star's end-to-end
+    # composite is now tracked round-over-round alongside the
+    # relational/graph/dedup primitives
+    bench=True,
     tags=("pipeline", "funnel", "dedup", "decontamination", "quality", "composition"),
 )
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
