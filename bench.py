@@ -163,6 +163,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():
+        # r9: clear the SQL cache registry before each query's timed
+        # block, then re-warm the query once (untimed) so its timed
+        # runs still see their own warm cache (CacheManager dedups by
+        # analyzed plan, so this matches every earlier round's
+        # semantics). Without the clear, the global warmup pass left
+        # ALL queries' persisted frames co-resident — several bench
+        # operators persist corpus-sized frames a lazy query function
+        # cannot unpersist itself (minhash signatures, ingest shingle
+        # streams/prefixes) — and at sf1 that co-residency pressure
+        # contaminated unrelated queries' timings (7 spurious
+        # beyond-envelope flags in the first r9 sf1 run).
+        spark.catalog.clearCache()
+        drain(spec.fn(spark, sf_dir))
         runs: list[float] = []
         counts: set[int] = set()
         for i in range(5):
