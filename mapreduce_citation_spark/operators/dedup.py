@@ -476,9 +476,11 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear base scan for digests/document-frequencies, and that scan
     exists only because this self-contained query derives the base's
     artifacts from the corpus (in production they are precomputed
-    outputs of previous runs). Measured (tools/scaling_ingest.py,
-    SCALING_INGEST_r08.json): a FIXED 625-doc delta against base
-    5k → 50k → 500k runs 4.6/7.3/30.4 s — 1.6×/4.1× per 10× decade,
+    outputs of previous runs — ``prepare_ingest_base`` +
+    ``ingest_report_against_base`` are exactly that split, used by
+    the streaming twin). Measured (tools/scaling_ingest.py,
+    SCALING_INGEST_r09.json): a FIXED 625-doc delta against base
+    5k → 50k → 500k runs 3.3/7.8/25.6 s — 2.4×/3.3× per 10× decade,
     sub-linear in base, with the rejection set byte-identical at all
     three points (the construction falsifier). Verify is pair-keyed
     (popularity-immune). The exactness argument is the prefix-filter

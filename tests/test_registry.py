@@ -42,3 +42,47 @@ def test_no_orphan_oracles_and_unique_names():
     assert set(oracles) <= set(specs)
     assert len(specs) == len(set(specs))  # dict, but double-check count
     assert len(specs) >= 100
+
+
+def test_bench_compare_block_mechanics(tmp_path, monkeypatch):
+    """The r9 mechanical drift envelope: _prior_artifact picks the
+    highest committed round at the SAME sf (unwrapping driver-style
+    'parsed' wrappers), and _compare_block flags beyond_envelope only
+    when BOTH cal-normalized ratios exceed 1.2."""
+    import json
+
+    import bench
+
+    # isolated artifact dir: bench._prior_artifact scans bench.py's dir
+    (tmp_path / "bench.py").write_text("")
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({
+        "parsed": {"sf": 0.1, "queries": {"q": 1.0, "r": 1.0},
+                   "cal_1t_mbps": 1000, "cal_all_mbps": 8000}}))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps({
+        "sf": 0.1, "queries": {"q": 9.0}, "cal_1t_mbps": 1000,
+        "cal_all_mbps": 8000}))
+    (tmp_path / "BENCH_r9_sf1.json").write_text(json.dumps({
+        "sf": 1.0, "queries": {"q": 5.0}, "cal_1t_mbps": 1000,
+        "cal_all_mbps": 8000}))
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda p: str(tmp_path / "bench.py"))
+
+    cal = {"cal_1t_mbps": 1000, "cal_all_mbps": 8000,
+           "cal_effective_cores": 8}
+    # picks r03 (not r02) for sf 0.1, unwraps "parsed"
+    blk = bench._compare_block({"q": 2.0, "r": 1.1, "new": 3.0}, cal, 0.1)
+    assert blk["baseline"] == "BENCH_r03.json"
+    assert blk["queries"]["q"]["ratio_raw"] == 2.0
+    assert blk["queries"]["q"]["beyond_envelope"] is True
+    assert blk["beyond_envelope"] == ["q"]
+    assert "beyond_envelope" not in blk["queries"]["r"]  # 1.1 < 1.2
+    assert "new" not in blk["queries"]  # no prior entry, no ratio
+    # same raw ratio survives when the window is FASTER (cal up) ...
+    fast = dict(cal, cal_1t_mbps=2000, cal_all_mbps=16000)
+    blk2 = bench._compare_block({"q": 0.7}, fast, 0.1)
+    assert blk2["queries"]["q"]["ratio_norm_1t"] == 1.4  # 0.7 * 2
+    # ... and the sf filter routes to the sf1 artifact
+    blk3 = bench._compare_block({"q": 5.0}, cal, 1.0)
+    assert blk3["baseline"] == "BENCH_r9_sf1.json"
+    # no artifact at this sf -> no block
+    assert bench._compare_block({"q": 1.0}, cal, 0.005) is None
