@@ -1260,3 +1260,150 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(20)
     )
+
+
+#: Training context length for the packing operator. Chosen so the
+#: fixture corpus packs several documents per window AND a visible
+#: fraction of documents straddle a boundary — both branches of the
+#: spans arithmetic stay exercised at every SF.
+PACK_CONTEXT_LEN = 512
+
+
+@register(
+    "corpus_sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOK_D}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {PACK_CONTEXT_LEN} AS BIGINT) AS window_id,
+       CAST((cum - n_tokens) % {PACK_CONTEXT_LEN} AS BIGINT) AS offset_in_window,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (cum - 1) // {PACK_CONTEXT_LEN}
+                 - (cum - n_tokens) // {PACK_CONTEXT_LEN} + 1 END
+            AS BIGINT) AS windows_spanned
+FROM c
+""",
+    tags=("text", "packing", "llm", "training"),
+)
+def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING — the GPT-style pretraining batch layout:
+    concatenate every document's tokens in one global (doc_id) order
+    and slice the stream into fixed ``PACK_CONTEXT_LEN``-token
+    training windows. Per document: the window its first token lands
+    in, the offset inside that window, and how many windows it spans
+    (boundary documents span ≥ 2 — the rows a packing loader must
+    split). This is the token-accounting half of batch construction;
+    the actual token materialization is the trivial gather that
+    follows it.
+
+    Spark-first at 100 TB: the global running token count is the
+    textbook unpartitioned-window trap (``Exchange SinglePartition``
+    — one core regardless of cluster size), so it runs on the repo's
+    prefix-offset decomposition (``prefix.with_global_order``: range
+    shuffle + per-partition scan + an ≤n_partitions-row offsets
+    broadcast — the same machinery as the exact global quantiles).
+    All arithmetic is BIGINT (cross-engine exact; ``div``/``//`` and
+    ``%`` agree on the nonnegative operands here), so the DuckDB
+    window-cumsum oracle is a hard hash match."""
+    from .prefix import with_global_order
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.expr(_TOK_S)).cast("long").alias("n_tokens"),
+    )
+    g = with_global_order(t, ["doc_id"], cumsum={"cum": "n_tokens"})
+    L = PACK_CONTEXT_LEN
+    before = F.col("cum") - F.col("n_tokens")
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {L}").cast("long").alias("window_id"),
+        (before % L).cast("long").alias("offset_in_window"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.expr(f"(cum - 1) div {L} - (cum - n_tokens) div {L} + 1")
+        )
+        .cast("long")
+        .alias("windows_spanned"),
+    )
+
+
+#: Chunking geometry: 64-token chunks, 16-token overlap (stride 48).
+CHUNK_LEN, CHUNK_OVERLAP = 64, 16
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOK_D}) AS BIGINT) AS n_tokens FROM documents
+),
+ks AS (
+  -- scalar generate_series returns a LIST, so column arguments are
+  -- fine here (the table-function form rejects lateral columns)
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(0, CAST(
+           CASE WHEN n_tokens <= {CHUNK_LEN} THEN 0
+                ELSE (n_tokens - {CHUNK_OVERLAP} - 1)
+                     // {CHUNK_LEN - CHUNK_OVERLAP}
+           END AS BIGINT))) AS k
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       CAST(k * {CHUNK_LEN - CHUNK_OVERLAP} AS BIGINT) AS start_tok,
+       CAST(LEAST(k * {CHUNK_LEN - CHUNK_OVERLAP} + {CHUNK_LEN}, n_tokens)
+            AS BIGINT) AS end_tok
+FROM ks
+""",
+    tags=("text", "chunking", "llm", "rag"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING CHUNK WINDOWS — the RAG/embedding-pipeline
+    pre-pass: each document is cut into ``CHUNK_LEN``-token chunks
+    with ``CHUNK_OVERLAP``-token overlap (stride = len − overlap).
+    Emits (doc_id, chunk_id, start_tok, end_tok) per chunk; the last
+    chunk clamps to the document end, and the chunk count is the
+    smallest k covering every token with the overlap honored:
+    1 + ⌈(n − len) / stride⌉ for n > len, exactly 1 otherwise (empty
+    documents emit nothing).
+
+    Pure MAP-SIDE plan at any scale: token count + an
+    ``explode(sequence(...))`` — no shuffle, no window, no UDF; one
+    whole-stage-codegen span over the documents scan. The integer
+    chunk-count expression ⌈(n−o−…)⌉ is shared with the DuckDB
+    ``generate_series`` oracle via the same BIGINT arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    stride = CHUNK_LEN - CHUNK_OVERLAP
+    t = d.select(
+        "doc_id",
+        F.size(F.expr(_TOK_S)).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    last_k = F.when(F.col("n_tokens") <= CHUNK_LEN, F.lit(0).cast("long")).otherwise(
+        F.expr(f"(n_tokens - {CHUNK_OVERLAP} - 1) div {stride}")
+    )
+    return (
+        t.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0).cast("long"), last_k)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("long").alias("start_tok"),
+            F.least(
+                F.col("chunk_id") * stride + CHUNK_LEN, F.col("n_tokens")
+            )
+            .cast("long")
+            .alias("end_tok"),
+        )
+    )

@@ -1469,3 +1469,93 @@ def test_ingest_precomputed_base_path_matches_one_shot(spark):
     finally:
         arts.unpersist()
     assert whole == per_batch == one_shot == {(2, "exact"), (4, "near")}
+
+
+def _py_tokens(text):
+    import re
+
+    return [t for t in re.split(r"\s+", text or "") if t]
+
+
+def test_sequence_packing_matches_python_replay(spark):
+    """corpus_sequence_packing vs a pure-python replay over the same
+    fixture: global doc_id-ordered token cumsum, window = cum_before
+    div L, offset = cum_before mod L, spans = windows touched. Also
+    exercises prefix.with_global_order's cumsum path end-to-end."""
+    from mapreduce_citation_spark.operators.text import (
+        PACK_CONTEXT_LEN,
+        corpus_sequence_packing,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = sorted(
+        (r["doc_id"], len(_py_tokens(r["text"])))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    expected, cum = {}, 0
+    for doc_id, n in docs:
+        before, cum = cum, cum + n
+        spans = 0 if n == 0 else (cum - 1) // PACK_CONTEXT_LEN - before // PACK_CONTEXT_LEN + 1
+        expected[doc_id] = (
+            n, before // PACK_CONTEXT_LEN, before % PACK_CONTEXT_LEN, spans
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["window_id"], r["offset_in_window"],
+            r["windows_spanned"],
+        )
+        for r in corpus_sequence_packing(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the geometry is meaningful at this SF: multiple windows and at
+    # least one boundary-straddling document (replay-confirmed first)
+    assert max(v[1] for v in expected.values()) >= 2
+    assert any(v[3] >= 2 for v in expected.values())
+
+
+def test_chunk_windows_match_python_replay(spark):
+    """doc_chunk_windows vs a python replay: per doc, chunks at
+    stride (len − overlap), last chunk clamped to the doc end, empty
+    docs absent; consecutive chunks overlap exactly CHUNK_OVERLAP."""
+    from mapreduce_citation_spark.operators.text import (
+        CHUNK_LEN,
+        CHUNK_OVERLAP,
+        doc_chunk_windows,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    stride = CHUNK_LEN - CHUNK_OVERLAP
+    expected = set()
+    for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ):
+        n = len(_py_tokens(r["text"]))
+        if n == 0:
+            continue
+        last_k = 0 if n <= CHUNK_LEN else (n - CHUNK_OVERLAP - 1) // stride
+        for k in range(last_k + 1):
+            expected.add(
+                (r["doc_id"], k, k * stride, min(k * stride + CHUNK_LEN, n))
+            )
+    got = {
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["end_tok"])
+        for r in doc_chunk_windows(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # invariants on the replayed geometry: full coverage, exact overlap
+    by_doc: dict = {}
+    for doc_id, k, s, e in expected:
+        by_doc.setdefault(doc_id, []).append((k, s, e))
+    saw_multi = False
+    for chunks in by_doc.values():
+        chunks.sort()
+        assert chunks[0][1] == 0
+        for (_, s1, e1), (_, s2, e2) in zip(chunks, chunks[1:]):
+            saw_multi = True
+            assert s2 == s1 + stride and e1 - s2 >= CHUNK_OVERLAP - stride
+            assert s2 < e1  # overlap is real
+    assert saw_multi  # fixture long docs exist
