@@ -50,7 +50,10 @@ def test_detector_sees_unpartitioned_windows(spark):
 @pytest.mark.parametrize(
     "query",
     ["layout_zorder_stats", "corpus_pps_systematic_sample",
-     "stats_ks_two_sample", "stats_exact_quantiles_distributed"],
+     "stats_ks_two_sample", "stats_exact_quantiles_distributed",
+     # r9: sequence packing's global token cumsum rides the same
+     # decomposition — pin it to the same no-SinglePartition guarantee
+     "corpus_sequence_packing"],
 )
 def test_no_global_window_over_corpus(spark, sf_dir, query):
     """The three queries the r6 verdict marked `weak` (single-task

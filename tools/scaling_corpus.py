@@ -69,6 +69,13 @@ FAMILIES = (
     # digests nor shingles, so rejections scale exactly x K while the
     # runtime measures the delta-to-base prefix join at corpus scale.
     "dedup_incremental_ingest",
+    # r9: sequence packing (one row per doc — exactly ×K; the curve
+    # measures the prefix-offset global cumsum's range shuffle) and
+    # chunk windows (bijections preserve whitespace, so per-doc token
+    # counts and hence chunk counts are replica-invariant — exactly
+    # ×K; the curve measures a zero-shuffle map-side plan).
+    "corpus_sequence_packing",
+    "doc_chunk_windows",
 )
 #: embeddings families run over the signed-permutation expansion
 #: (2k → 20k → 200k vectors; queries stay the 10 base vectors, the
@@ -100,6 +107,10 @@ EXACT_LINEAR = {
     # cross-replica shingles exist, so pairs scale exactly x K
     "dedup_ngram_jaccard",
     "dedup_incremental_ingest",
+    # r9: packing emits one row per doc; chunk counts are whitespace-
+    # preserving-bijection-invariant
+    "corpus_sequence_packing",
+    "doc_chunk_windows",
 }
 NEAR_LINEAR = {"dedup_minhash_lsh", "multimodal_audio_minhash_pairs"}
 #: the funnel emits 5 accounting rows; only stage 0 (total docs) is
