@@ -7,13 +7,17 @@ Runs the registry's bench-flagged headline queries on
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
 
-Each query is executed to completion (results drained via count or a
-bounded collect) — timings measure the full distributed plan, not lazy
-construction. A warmup pass primes the JVM/codegen caches, then each
-query is timed THREE times and the MEDIAN reported — a single GC
+Each query is executed to completion (results drained via the noop
+sink) — timings measure the full distributed plan, not lazy
+construction. Each query gets a cache-isolated block: clearCache, one
+untimed rewarm (primes JVM/codegen AND the query's own persisted
+frames), then FIVE timed runs with the MEDIAN reported — a single GC
 pause or compilation stall on a contended 32-thread local JVM must
 not masquerade as a plan regression (round 1: the driver measured
 q3 at 31.3s single-shot; it reproduces at 1.1s warm).
+
+Usage: python bench.py [--json PATH]  (writes the same JSON to PATH
+for per-round committing — the driver preserves only a stdout tail).
 """
 
 from __future__ import annotations
@@ -58,15 +62,24 @@ def _calibrate() -> dict[str, float]:
     }
 
 
-def _prior_artifact(sf: float) -> tuple[str, dict] | None:
+def _prior_artifact(sf: float) -> tuple[str, dict, list[str]] | None:
     """Latest committed BENCH_r*.json for the SAME scale factor —
     the baseline for the mechanical drift-envelope block (r8 verdict,
     next-round #8: stop hand-computing cal-normalized ratios in
-    SCALE.md prose)."""
+    SCALE.md prose).
+
+    Driver-recorded artifacts can be unusable — r9's had
+    ``parsed: null`` plus a truncated 2 KB stdout tail — so the loader
+    tolerates any malformed shape and falls back to the newest USABLE
+    artifact at the same SF (typically the locally committed
+    ``BENCH_r{N}_sf*.json``), returning the unusable newer files so
+    the compare block can say which baselines were skipped (r9
+    verdict #8)."""
     import glob
     import re
 
-    best: tuple[int, str] | None = None
+    best: tuple[int, str, dict] | None = None
+    candidates: list[tuple[int, str, dict | None]] = []
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.match(r"BENCH_r(\d+)", os.path.basename(path))
@@ -75,19 +88,30 @@ def _prior_artifact(sf: float) -> tuple[str, dict] | None:
         try:
             with open(path) as fh:
                 data = json.load(fh)
-        except (OSError, json.JSONDecodeError):
+        except (OSError, json.JSONDecodeError, ValueError):
+            candidates.append((int(m.group(1)), path, None))
             continue
-        # driver-recorded rounds wrap the bench line under "parsed";
-        # locally-run artifacts (e.g. the sf1 series) are the raw line
-        data = data.get("parsed", data)
-        if data.get("sf") != sf or "queries" not in data:
+        # driver-recorded rounds wrap the bench line under "parsed"
+        # (possibly null); locally-run artifacts are the raw line
+        if isinstance(data, dict):
+            data = data.get("parsed", data)
+        if not isinstance(data, dict) or "queries" not in data:
+            candidates.append((int(m.group(1)), path, None))
             continue
-        rnd = int(m.group(1))
-        if best is None or rnd > best[0]:
+        if data.get("sf") != sf:
+            continue
+        candidates.append((int(m.group(1)), path, data))
+    for rnd, path, data in candidates:
+        if data is not None and (best is None or rnd > best[0]):
             best = (rnd, path, data)
     if best is None:
         return None
-    return os.path.basename(best[1]), best[2]
+    skipped = [
+        os.path.basename(p)
+        for rnd, p, data in candidates
+        if data is None and rnd >= best[0]
+    ]
+    return os.path.basename(best[1]), best[2], sorted(skipped)
 
 
 def _compare_block(
@@ -103,7 +127,7 @@ def _compare_block(
     prior = _prior_artifact(sf)
     if prior is None:
         return None
-    fname, base = prior
+    fname, base, skipped = prior
     c1 = cal["cal_1t_mbps"] / base.get("cal_1t_mbps", cal["cal_1t_mbps"])
     ca = cal["cal_all_mbps"] / base.get("cal_all_mbps", cal["cal_all_mbps"])
     queries: dict[str, dict] = {}
@@ -123,13 +147,19 @@ def _compare_block(
             entry["beyond_envelope"] = True
             flagged.append(name)
         queries[name] = entry
-    return {
+    block = {
         "baseline": fname,
         "cal_1t_ratio": round(c1, 3),
         "cal_all_ratio": round(ca, 3),
         "beyond_envelope": sorted(flagged),
         "queries": queries,
     }
+    if skipped:
+        # newer artifacts that existed but were unusable (truncated
+        # driver tail / parsed: null) — the baseline above is the
+        # newest USABLE one at this SF
+        block["skipped_unusable"] = skipped
+    return block
 
 
 def main() -> None:
@@ -152,28 +182,21 @@ def main() -> None:
         # timed only the eager cache fill — and in r5, ONLY that fill).
         df.write.format("noop").mode("overwrite").save()
 
-    # Warmup: run every query once so timings measure steady-state
-    # execution (JIT + whole-stage-codegen compile amortized), then
-    # time five full executions of each and keep the MEDIAN — the
-    # heavy iterative entries (6-iteration pageranks) dominate the
-    # headline and their per-run variance on this drifting VM would
-    # otherwise swamp the other entries' signal (r5 verdict #6).
-    for spec in specs.values():
-        drain(spec.fn(spark, sf_dir))
-
     timings: dict[str, float] = {}
     for name, spec in specs.items():
-        # r9: clear the SQL cache registry before each query's timed
-        # block, then re-warm the query once (untimed) so its timed
-        # runs still see their own warm cache (CacheManager dedups by
-        # analyzed plan, so this matches every earlier round's
-        # semantics). Without the clear, the global warmup pass left
-        # ALL queries' persisted frames co-resident — several bench
-        # operators persist corpus-sized frames a lazy query function
-        # cannot unpersist itself (minhash signatures, ingest shingle
-        # streams/prefixes) — and at sf1 that co-residency pressure
-        # contaminated unrelated queries' timings (7 spurious
-        # beyond-envelope flags in the first r9 sf1 run).
+        # Per-query isolation (r9): clear the SQL cache registry before
+        # each query's timed block, then re-warm the query once
+        # (untimed) so its timed runs see their own warm cache AND a
+        # JIT/codegen-warm JVM (CacheManager dedups by analyzed plan).
+        # Several bench operators persist corpus-sized frames a lazy
+        # query function cannot unpersist itself (minhash signatures,
+        # ingest shingle streams/prefixes); letting them sit
+        # co-resident contaminated unrelated sf1 timings (7 spurious
+        # beyond-envelope flags in the first r9 sf1 run). The old
+        # GLOBAL all-queries warmup pass is gone (r10, r9 ADVICE): the
+        # per-query rewarm already provides its JIT benefit, and the
+        # global pass only doubled bench runtime while briefly
+        # recreating the exact co-residency the clear exists to remove.
         spark.catalog.clearCache()
         drain(spec.fn(spark, sf_dir))
         runs: list[float] = []
@@ -203,6 +226,11 @@ def main() -> None:
     if compare is not None:
         out["compare"] = compare
     print(json.dumps(out))
+    # optional local artifact (r9 verdict #4: the driver keeps only a
+    # 2 KB stdout tail, so commit the full JSON alongside it)
+    if "--json" in sys.argv:
+        with open(sys.argv[sys.argv.index("--json") + 1], "w") as fh:
+            json.dump(out, fh, indent=1)
 
 
 if __name__ == "__main__":

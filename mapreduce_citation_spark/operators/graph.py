@@ -269,16 +269,29 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     Each node starts labeled with itself; every iteration each node
     takes the min label among itself and its neighbors (edges treated
     undirected); stop when no label changes. Iterations are join+agg
-    on node id; lineage broken per iteration (localCheckpoint); the
-    fixpoint check is a cheap count on the changed set — the standard
-    loop-until-converged pattern on DataFrames. Returns (node,
-    component) where component is the smallest node label in the
-    component."""
+    on node id; lineage broken per iteration (localCheckpoint on the
+    O(nodes) label table only). Returns (node, component) where
+    component is the smallest node label in the component.
+
+    The undirected edge list is the loop's corpus-sized invariant and
+    is probed on ``b`` every iteration, so it pays its shuffle ONCE:
+    repartition + sortWithinPartitions on the join key, then persist
+    (MEMORY_AND_DISK, columnar, evictable — the r6 cache rule). The
+    cached relation keeps its outputPartitioning and ordering, so each
+    iteration's sort-merge join exchanges/sorts only the node-sized
+    label table — the same loop-invariant layout every PageRank-family
+    loop here uses (see pagerank_fixed_point). Label monotonicity
+    (min-fold never raises a label) lets the fixpoint check ride the
+    step itself: a label changed iff some neighbor's label undercut
+    it, so the changed flag is computed inline and counted from the
+    checkpointed rows — no extra old×new join per iteration."""
     und = (
         edges.select(F.col("from_paper").alias("a"), F.col("to_paper").alias("b"))
         .union(edges.select(F.col("to_paper"), F.col("from_paper")))
         .distinct()
-        .localCheckpoint()
+        .repartition(F.col("b"))
+        .sortWithinPartitions("b")
+        .persist()
     )
     labels = (
         und.select(F.col("a").alias("node"))
@@ -292,25 +305,24 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     "component", F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_min", F.col("component")) < F.col("component")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("_changed")).count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
+    und.unpersist()
     return labels
 
 

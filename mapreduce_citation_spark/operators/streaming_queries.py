@@ -1016,30 +1016,36 @@ def streaming_ingest_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _docs(spark, sf_dir).filter(F.col("doc_id") % 8 != 0)
     arts = prepare_ingest_base(base).materialize()
-    out = tempfile.mkdtemp(prefix="ingest_near_out_")
-    ckpt = tempfile.mkdtemp(prefix="ingest_near_ckpt_")
-
-    def merge(bdf: DataFrame, epoch_id: int) -> None:
-        if bdf.isEmpty():
-            return
-        caches: list[DataFrame] = []
-        try:
-            write_epoch(
-                ingest_report_against_base(bdf, arts, caches), epoch_id, out
-            )
-        finally:
-            for c in caches:
-                c.unpersist()
-
-    q = (
-        delta_stream.writeStream.option("checkpointLocation", ckpt)
-        .foreachBatch(merge)
-        .start()
-    )
+    # everything after materialize() sits under try/finally: the base
+    # caches are corpus-sized eager persists, and a failure anywhere
+    # in sink/checkpoint setup or stream construction/start would
+    # otherwise leak them for the session (r9 ADVICE)
     try:
-        q.processAllAvailable()
+        out = tempfile.mkdtemp(prefix="ingest_near_out_")
+        ckpt = tempfile.mkdtemp(prefix="ingest_near_ckpt_")
+
+        def merge(bdf: DataFrame, epoch_id: int) -> None:
+            if bdf.isEmpty():
+                return
+            caches: list[DataFrame] = []
+            try:
+                write_epoch(
+                    ingest_report_against_base(bdf, arts, caches), epoch_id, out
+                )
+            finally:
+                for c in caches:
+                    c.unpersist()
+
+        q = (
+            delta_stream.writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(merge)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
         arts.unpersist()
     if not any(e.startswith("epoch_id=") for e in os.listdir(out)):
         # zero rejections in every batch (or an all-empty delta):

@@ -1290,6 +1290,9 @@ SELECT doc_id, n_tokens,
             AS BIGINT) AS windows_spanned
 FROM c
 """,
+    # bench since r10 (r9 verdict #5): round-over-round tracking for
+    # the prefix-offset global cumsum under bench conditions
+    bench=True,
     tags=("text", "packing", "llm", "training"),
 )
 def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1364,6 +1367,8 @@ SELECT doc_id,
             AS BIGINT) AS end_tok
 FROM ks
 """,
+    # bench since r10 (r9 verdict #5)
+    bench=True,
     tags=("text", "chunking", "llm", "rag"),
 )
 def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,6 +123,11 @@ _QUERY_MODULES = (
 #:        in-window) — slot given to streaming_ingest_dedup, the r8
 #:        ingest-streaming capability the r8 verdict asked the window
 #:        to carry (next-round #6)
+#:   r10  text_bpe_merges             → text_bpe_encode (the BPE
+#:        family's apply half stays in-window; the train half is
+#:        full-sweep-gated + benched) — slot given to
+#:        corpus_sequence_packing, the r9 LLM-pipeline capability the
+#:        r9 verdict asked the window to showcase (next-round #6)
 #:
 #: currently IN (position = tuple order below; "in" round):
 #:   r1:  citation_counts, top_cited, citing_papers, scalar_string_funcs,
@@ -137,7 +142,7 @@ _QUERY_MODULES = (
 #:   r5:  citation_pagerank_scale, join_bloom_prefilter
 #:   r5b: embedding_kmeans
 #:   r6:  multimodal_phash_pairs
-#:   r6b: basket_brand_pairs, text_bpe_merges, citation_counts_datasource
+#:   r6b: basket_brand_pairs, citation_counts_datasource
 #:   r6c: multimodal_audio_minhash_pairs, citation_link_prediction,
 #:        streaming_funnel_left_outer, events_daily_acf,
 #:        embedding_power_iteration, layout_zorder_stats,
@@ -149,6 +154,7 @@ _QUERY_MODULES = (
 #:   r7b: text_bpe_encode, warehouse_delete_cascade,
 #:        streaming_cumulative_users
 #:   r9:  streaming_ingest_dedup
+#:   r10: corpus_sequence_packing
 _PRIORITY = (
     # SURVEY §2: the reference's citation pipeline + scalar family.
     "citation_counts",
@@ -180,7 +186,7 @@ _PRIORITY = (
     "events_user_features",
     "interval_overlap_join",
     "embedding_pca_scores",
-    "text_bpe_merges",
+    "corpus_sequence_packing",
     "join_bloom_prefilter",
     # LLM-pipeline: deduplication.
     "dedup_exact",

@@ -13,8 +13,11 @@ the first r9 curves re-measured both 100× points worse than their
 best-to-date numbers at comparable cal probes — exactly the situation
 CLAUDE.md says only an interleaved same-session A/B can adjudicate.
 Modes alternate run-by-run (sym/asym/sym/asym...), cold per run
-(clearCache), median of 3 per mode per cohort; outputs are asserted
-identical across modes (both branches are lossless by theorem).
+(clearCache), median of 3 per mode per cohort; the full output SET
+(every row, collected untimed after the drain — rejection reports are
+delta-bounded) is asserted identical across modes (both branches are
+lossless by theorem). Row-count-only equality would pass two branches
+rejecting DIFFERENT sets of equal size (r9 ADVICE).
 
 Usage: python tools/ab_ingest_branch.py [--json PATH]
 """
@@ -55,35 +58,41 @@ def main(args: list[str]) -> int:
         "fraction_62k_delta": F.col("doc_id") % 8 == 0,
     }
 
-    def one_run(pred, asym: bool) -> tuple[float, int]:
+    def one_run(pred, asym: bool) -> tuple[float, frozenset]:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = incremental_ingest_report(_docs(spark, CORPUS), pred,
                                        asymmetric=asym)
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0, df.count()
+        sec = time.perf_counter() - t0
+        # full output set, collected UNTIMED after the drain: rejection
+        # reports are delta-bounded, and set-level (not count-level)
+        # equality is what the lossless theorem actually claims
+        out = frozenset(tuple(r) for r in df.collect())
+        return sec, out
 
     report: dict = {"corpus": CORPUS, "cal_before": _calibrate(),
                     "cohorts": {}}
     for name, pred in cohorts.items():
         runs: dict[str, list[float]] = {"sym": [], "asym": []}
-        rows: dict[str, set[int]] = {"sym": set(), "asym": set()}
+        outs: dict[str, set[frozenset]] = {"sym": set(), "asym": set()}
         one_run(pred, False)  # warmup (either mode warms the JVM)
         for i in range(6):
             mode = "sym" if i % 2 == 0 else "asym"
-            sec, n = one_run(pred, mode == "asym")
+            sec, out = one_run(pred, mode == "asym")
             runs[mode].append(round(sec, 3))
-            rows[mode].add(n)
-            print(f"  {name} {mode}: {sec:.2f}s ({n} rows)", file=sys.stderr)
-        assert rows["sym"] == rows["asym"], (
-            f"{name}: branch outputs differ {rows} — lossless theorem violated"
+            outs[mode].add(out)
+            print(f"  {name} {mode}: {sec:.2f}s ({len(out)} rows)",
+                  file=sys.stderr)
+        assert len(outs["sym"]) == 1 and outs["sym"] == outs["asym"], (
+            f"{name}: branch output SETS differ — lossless theorem violated"
         )
         report["cohorts"][name] = {
             "sym_runs": runs["sym"],
             "asym_runs": runs["asym"],
             "sym_median": sorted(runs["sym"])[1],
             "asym_median": sorted(runs["asym"])[1],
-            "rows": sorted(rows["sym"])[0],
+            "rows": len(next(iter(outs["sym"]))),
         }
     report["cal_after"] = _calibrate()
     print(json.dumps(report, indent=1))
