@@ -742,6 +742,99 @@ def prepare_ingest_base(base: DataFrame) -> IngestBase:
     return IngestBase(digests, df_b, prefixes, ex_b)
 
 
+#: IngestBase frame names and the join-key layout each is cached
+#: under — the load path re-applies exactly the partitioning contract
+#: :class:`IngestBase` documents (digests probe on h; df and the
+#: candidate-join prefixes on s; the verify-join shingles on
+#: (doc_id, s)).
+_INGEST_BASE_PARTS = (
+    ("digests", ("h",)),
+    ("df", ("s",)),
+    ("prefixes", ("s",)),
+    ("shingles", ("doc_id", "s")),
+)
+
+
+def ingest_base_fingerprint(base: DataFrame) -> str:
+    """Content fingerprint of the base corpus: row count plus the
+    order-independent sum of each row's 60-bit md5 prefix over
+    ``doc_id || NUL || text``. ONE cheap column scan — the disk
+    index exists to skip the expensive prep (shingle explode, df
+    aggregation, per-doc ranking window), not the linear read.
+    Deterministic across sessions and partitionings; any row edit,
+    insert, or delete moves it."""
+    row = (
+        base.select(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("\x00", F.col("doc_id"), F.col("text"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("decimal(38,0)")
+            .alias("dg")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dg").alias("csum"))
+        .collect()[0]
+    )
+    return f"{row['n']}_{row['csum']}"
+
+
+def load_or_build_ingest_base(
+    spark: SparkSession, base: DataFrame, index_dir: str
+) -> IngestBase:
+    """Disk-backed load-or-build around :func:`prepare_ingest_base`
+    (r9 verdict #7): the base artifacts are written ONCE as parquet
+    under a content-fingerprint-keyed directory, and a restarted
+    ingest stream (or a new process) loads them instead of re-running
+    prep — at the 500k-doc corpus prep costs ~18 s of shingle/rank
+    work per process, while the load path pays only four columnar
+    reads plus the layout shuffles of already-derived tables. The
+    fingerprint key (not an mtime guard — the base here is a
+    DataFrame, not a file) makes staleness structural: a changed base
+    corpus fingerprints to a different directory and simply builds
+    fresh, the `join_bucketed_fact_fact` load-or-build discipline
+    adapted to content addressing. Writes go to a ``.tmp`` sibling
+    and are renamed into place, so a crash mid-write never half-loads.
+
+    The loaded frames get the SAME repartition + sortWithinPartitions
+    + persist(MEMORY_AND_DISK) treatment the build path applies, so
+    the :class:`IngestBase` partitioning contract (per-batch probe
+    joins plan no Exchange/Sort on the base side) holds identically
+    on both paths. On a real cluster the parquet directories would be
+    bucketed warehouse tables; the layout step is where that swap
+    lands."""
+    import os
+
+    fp = ingest_base_fingerprint(base)
+    root = os.path.join(index_dir, f"ingest_base_{fp}")
+    if not os.path.isdir(root):
+        arts = prepare_ingest_base(base).materialize()
+        tmp = root + ".tmp"
+        for name, _keys in _INGEST_BASE_PARTS:
+            getattr(arts, name).write.mode("overwrite").parquet(
+                os.path.join(tmp, f"{name}.parquet")
+            )
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            if not os.path.isdir(root):  # not a concurrent-build race
+                raise
+        return arts
+    frames = {}
+    for name, keys in _INGEST_BASE_PARTS:
+        loaded = spark.read.parquet(os.path.join(root, f"{name}.parquet"))
+        frames[name] = (
+            loaded.repartition(*[F.col(k) for k in keys])
+            .sortWithinPartitions(*keys)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return IngestBase(**frames).materialize()
+
+
 def ingest_report_against_base(
     delta: DataFrame, base: IngestBase, caches: list[DataFrame] | None = None
 ) -> DataFrame:

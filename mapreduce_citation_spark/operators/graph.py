@@ -393,6 +393,127 @@ def citation_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014) — the O(log n)-round alternative to
+    min-label propagation's O(diameter) loop, the trade the r9
+    verdict asked to be considered for 100 TB graphs:
+
+    - min-label (:func:`connected_components`) keeps the edge list
+      LOOP-INVARIANT — cached partitioned once, never rewritten — but
+      runs one round per unit of graph diameter. Right when diameter
+      is small (co-citation/social graphs) or the edge table dwarfs
+      memory.
+    - star contraction REWRITES the edge table every round (each
+      round's output is a new child→parent pair set, so there is no
+      loop-invariant side to cache — rounds pay edge-sized shuffles
+      and a per-round lineage break), but converges in O(log n)
+      rounds regardless of diameter. Right when the graph is
+      long-stringy (diameter ≫ log n), where the label loop's round
+      count — not its per-round cost — is the bottleneck.
+
+    Per round: large-star points every node v that is LARGER than a
+    neighbor u at the minimum m of Γ(u) ∪ {u} (emit (v, m) for
+    v ∈ Γ(u), v > u over the symmetric neighborhood); small-star
+    orients pairs large→small and points each node's smaller
+    neighborhood (plus itself) at its minimum. Both halves emit
+    child→parent pairs with parent < child, so from round one the
+    pair set is canonical and the fixpoint test is plain set
+    equality. At the fixpoint the pairs form star forests whose
+    centers are exactly the component minima — the same (node,
+    component) labeling min-label converges to. Raises on
+    non-convergence within ``max_rounds`` (a partially contracted
+    forest is NOT a valid labeling, unlike min-label's monotone
+    intermediate states, so a silent cap would return wrong
+    answers)."""
+    pairs = edges.select(
+        F.col("from_paper").alias("a"), F.col("to_paper").alias("b")
+    )
+    # full node set up front: star rounds run on proper pairs only
+    # (self-loops carry no connectivity), but a node whose ONLY edge
+    # is a self-loop must still come back as its own singleton
+    # component — the final left join restores it
+    nodes = (
+        pairs.select(F.col("a").alias("node"))
+        .union(pairs.select("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = (
+        pairs.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # large-star over the symmetric neighborhood view
+        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            cur.select(F.col("b"), F.col("a"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star over the large→small orientation: every smaller
+        # neighbor is ≤ u, so min(N ∪ {u}) = min(N)
+        directed = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (
+            directed.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(smins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
+        same = nxt.count() == cur.count() and nxt.join(
+            cur, ["a", "b"], "left_anti"
+        ).isEmpty()
+        cur = nxt
+        if same:
+            stars = cur.select(
+                F.col("a").alias("node"), F.col("b").alias("component")
+            )
+            return nodes.join(stars, "node", "left").select(
+                "node", F.coalesce("component", F.col("node")).alias("component")
+            )
+    raise RuntimeError(
+        f"star contraction did not converge within {max_rounds} rounds"
+    )
+
+
+@register(
+    "citation_components_star",
+    oracle=_components_oracle(20),
+    tags=("graph", "components", "iterative", "star-contraction"),
+)
+def citation_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component sizes via large-star/small-star contraction
+    (:func:`connected_components_star`) — same top-20 report and same
+    unrolled min-label DuckDB oracle as ``citation_components``: both
+    algorithms converge to the identical (node, min-label-of-component)
+    fixpoint on this graph, so the hash gate pins algorithm-level
+    agreement, and pytest separately pins the star path against a
+    union-find replay on a long-path graph where 20 min-label rounds
+    would NOT converge (the shape star contraction exists for)."""
+    labels = connected_components_star(_edges(spark, sf_dir))
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), F.col("component").asc())
+        .limit(20)
+    )
+
+
 def _pagerank_oracle(iters: int = 6) -> str:
     """Iteration-unrolled DuckDB mirror of :func:`pagerank`.
 

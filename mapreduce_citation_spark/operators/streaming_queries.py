@@ -1004,7 +1004,7 @@ def streaming_ingest_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch). The MV append is the exactly-once epoch-keyed sink
     the MV/checkpoint-restart tests pin."""
     from ..streaming.events import write_epoch
-    from .dedup import _docs, ingest_report_against_base, prepare_ingest_base
+    from .dedup import _docs, ingest_report_against_base, load_or_build_ingest_base
 
     chunks = _staged_doc_chunks(spark, sf_dir)
     schema = spark.read.parquet(chunks).schema
@@ -1015,7 +1015,15 @@ def streaming_ingest_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 8 == 0)
     )
     base = _docs(spark, sf_dir).filter(F.col("doc_id") % 8 != 0)
-    arts = prepare_ingest_base(base).materialize()
+    # load-or-build the base artifacts from the warehouse-local disk
+    # index (r9 verdict #7): a restarted stream — or any later process
+    # over the same base — skips the O(base) shingle/rank prep and
+    # pays only the columnar load (content-fingerprint keyed, so a
+    # changed base builds fresh; pinned by the checkpoint-restart test)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    arts = load_or_build_ingest_base(
+        spark, base, os.path.join(wh, "ingest_base_index")
+    )
     # everything after materialize() sits under try/finally: the base
     # caches are corpus-sized eager persists, and a failure anywhere
     # in sink/checkpoint setup or stream construction/start would

@@ -85,6 +85,50 @@ def test_connected_components_vs_union_find(spark):
     assert len(set(got.values())) == 4
 
 
+def test_star_components_match_union_find_and_label_prop(spark):
+    """Large-star/small-star contraction must produce the exact
+    labeling min-label propagation converges to — same union-find
+    oracle and same fixture as the min-label test, including the
+    self-loop-only singleton (which the star rounds drop from the
+    pair set and the final node join must restore)."""
+    from mapreduce_citation_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"),
+        ("d", "e"),
+        ("f", "f"),
+        ("g", "h"), ("i", "h"), ("i", "j"),
+    ]
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    star = {r["node"]: r["component"]
+            for r in connected_components_star(df).collect()}
+    label = {r["node"]: r["component"]
+             for r in connected_components(df).collect()}
+    assert star == label
+    assert star["f"] == "f" and len(set(star.values())) == 4
+
+
+def test_star_components_converge_on_long_path(spark):
+    """The shape star contraction exists for: a 60-node path has
+    diameter 59, so min-label propagation needs 59 rounds (its
+    default cap is 20 — it would return a PARTIAL labeling), while
+    star contraction must fully converge in O(log n) rounds within
+    its default cap and label every node with the path's minimum."""
+    from mapreduce_citation_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    ids = [f"n{i:03d}" for i in range(60)]  # zero-padded: lex == numeric
+    edges = [(ids[i], ids[i + 1]) for i in range(59)]
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(df).collect()}
+    assert got == {v: "n000" for v in ids}
+
+
 def test_cocitation_counts_on_fixture(spark, sf_dir):
     from mapreduce_citation_spark.operators.graph import citation_cocitation
 

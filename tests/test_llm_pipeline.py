@@ -1471,6 +1471,119 @@ def test_ingest_precomputed_base_path_matches_one_shot(spark):
     assert whole == per_batch == one_shot == {(2, "exact"), (4, "near")}
 
 
+def test_ingest_base_disk_index_restart_skips_prep(spark, tmp_path, monkeypatch):
+    """r10 (r9 verdict #7): the near-dup ingest base artifacts persist
+    to a content-fingerprint-keyed parquet index, and a RESTARTED
+    stream — new query, same checkpoint, same base — resumes by
+    LOADING them (prepare_ingest_base must not run again), with the
+    union of rejections across both runs identical to the one-shot
+    report over the whole delta."""
+    from pyspark.sql import functions as F
+
+    import mapreduce_citation_spark.operators.dedup as dd
+    from mapreduce_citation_spark.streaming.events import write_epoch
+
+    long = " ".join(f"w{i}" for i in range(60))
+    near = " ".join((f"w{i}" if i != 59 else "CHANGED") for i in range(60))
+    base = spark.createDataFrame(
+        [(1, long), (3, "completely different base text here")],
+        ["doc_id", "text"],
+    )
+    chunk1 = [(2, long), (4, near), (6, "unique delta text one two three")]
+    chunk2 = [(12, long), (14, "another clean delta document entirely")]
+
+    prep_calls: list[int] = []
+    real_prep = dd.prepare_ingest_base
+
+    def counting_prep(b):
+        prep_calls.append(1)
+        return real_prep(b)
+
+    monkeypatch.setattr(dd, "prepare_ingest_base", counting_prep)
+
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    src = tmp_path / "chunks"
+    src.mkdir()
+
+    def run_stream():
+        arts = dd.load_or_build_ingest_base(spark, base, index_dir)
+        try:
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+
+            def merge(bdf, epoch_id):
+                if bdf.isEmpty():
+                    return
+                caches: list = []
+                try:
+                    write_epoch(
+                        dd.ingest_report_against_base(bdf, arts, caches),
+                        epoch_id,
+                        out,
+                    )
+                finally:
+                    for c in caches:
+                        c.unpersist()
+
+            q = (
+                stream.writeStream.option("checkpointLocation", ckpt)
+                .foreachBatch(merge)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            arts.unpersist()
+        return {
+            (r["doc_id"], r["reason"])
+            for r in spark.read.parquet(out)
+            .select("doc_id", "reason")
+            .collect()
+        }
+
+    spark.createDataFrame(chunk1, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    got1 = run_stream()
+    assert prep_calls == [1], "first run must BUILD the index (one prep)"
+    assert got1 == {(2, "exact"), (4, "near")}
+
+    # restart: new chunk arrives, new query on the SAME checkpoint —
+    # only the new chunk is processed, and the base artifacts load
+    # from the disk index (no second prep)
+    spark.createDataFrame(chunk2, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    got2 = run_stream()
+    assert prep_calls == [1], "restart must LOAD the index, not re-prep"
+    one_shot = {
+        (r["doc_id"], r["reason"])
+        for r in dd.incremental_ingest_report(
+            base.unionByName(
+                spark.createDataFrame(chunk1 + chunk2, ["doc_id", "text"])
+            ),
+            F.col("doc_id") % 2 == 0,
+        ).collect()
+    }
+    assert got2 == one_shot == {(2, "exact"), (4, "near"), (12, "exact")}
+
+    # the index key is content-addressed: any base edit re-keys it
+    fp = dd.ingest_base_fingerprint(base)
+    assert dd.ingest_base_fingerprint(base) == fp  # deterministic
+    edited = spark.createDataFrame(
+        [(1, long + " tail"), (3, "completely different base text here")],
+        ["doc_id", "text"],
+    )
+    assert dd.ingest_base_fingerprint(edited) != fp
+
+
 def _py_tokens(text):
     import re
 
