@@ -394,7 +394,7 @@ def citation_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components_star(
-    edges: DataFrame, max_rounds: int = 25
+    edges: DataFrame, max_rounds: int = 25, stats: dict | None = None
 ) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR
     contraction (Kiveris et al., "Connected Components in MapReduce
@@ -445,7 +445,7 @@ def connected_components_star(
     cur = (
         pairs.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
     )
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # large-star over the symmetric neighborhood view
         sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             cur.select(F.col("b"), F.col("a"))
@@ -480,6 +480,10 @@ def connected_components_star(
         ).isEmpty()
         cur = nxt
         if same:
+            if stats is not None:
+                # rounds to reach the fixpoint (the detecting round
+                # re-derived an unchanged pair set)
+                stats["rounds"] = rnd + 1
             stars = cur.select(
                 F.col("a").alias("node"), F.col("b").alias("component")
             )
