@@ -62,7 +62,9 @@ def _calibrate() -> dict[str, float]:
     }
 
 
-def _prior_artifact(sf: float) -> tuple[str, dict, list[str]] | None:
+def _prior_artifact(
+    sf: float, here: str | None = None
+) -> tuple[str, dict, list[str]] | None:
     """Latest committed BENCH_r*.json for the SAME scale factor —
     the baseline for the mechanical drift-envelope block (r8 verdict,
     next-round #8: stop hand-computing cal-normalized ratios in
@@ -80,7 +82,8 @@ def _prior_artifact(sf: float) -> tuple[str, dict, list[str]] | None:
 
     best: tuple[int, str, dict] | None = None
     candidates: list[tuple[int, str, dict | None]] = []
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.match(r"BENCH_r(\d+)", os.path.basename(path))
         if not m:

@@ -86,3 +86,36 @@ def test_bench_compare_block_mechanics(tmp_path, monkeypatch):
     assert blk3["baseline"] == "BENCH_r9_sf1.json"
     # no artifact at this sf -> no block
     assert bench._compare_block({"q": 1.0}, cal, 0.005) is None
+
+
+def test_bench_prior_artifact_skips_unusable_driver_files(tmp_path):
+    """r10 (r9 verdict #8): driver-recorded artifacts can be unusable
+    — truncated stdout tails (invalid JSON) or 'parsed: null' wrappers
+    — and the loader must fall back to the newest USABLE artifact at
+    the same SF, reporting the skipped newer files so the compare
+    block can say which baselines were passed over."""
+    import json
+
+    import bench
+
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps({
+        "sf": 0.1, "queries": {"q": 1.0},
+        "cal_1t_mbps": 1000, "cal_all_mbps": 8000}))
+    # newer but unusable: parsed is null (the r9 driver shape)
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(
+        {"parsed": None, "stdout_tail": "..."}))
+    # newer but unusable: truncated tail = invalid JSON
+    (tmp_path / "BENCH_r08.json").write_text('{"parsed": {"sf": 0.1, "que')
+
+    fname, data, skipped = bench._prior_artifact(0.1, here=str(tmp_path))
+    assert fname == "BENCH_r07.json"
+    assert data["queries"] == {"q": 1.0}
+    assert skipped == ["BENCH_r08.json", "BENCH_r09.json"]
+
+    # an OLDER unusable file is not worth reporting (it lost anyway)
+    (tmp_path / "BENCH_r01.json").write_text("garbage")
+    _, _, skipped2 = bench._prior_artifact(0.1, here=str(tmp_path))
+    assert "BENCH_r01.json" not in skipped2
+
+    # nothing usable at all -> None
+    assert bench._prior_artifact(7.7, here=str(tmp_path)) is None
