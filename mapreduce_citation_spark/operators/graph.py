@@ -1677,3 +1677,145 @@ def citation_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node")
     )
     return bfs_depths(proj, seed)
+
+
+#: Random-walk geometry: one 4-hop walk per start node.
+WALK_LEN = 4
+
+
+def _walk_pick_spark(start: str, cur: str, step: int) -> str:
+    """Deterministic next-hop index (1-based): 60-bit md5 integer of
+    (start, current node, step) mod degree — the cross-engine md5
+    idiom used by the exact-substring family."""
+    return (
+        f"1 + CAST(conv(substr(md5(concat({start}, '|', {cur}, '|', "
+        f"'{step}')), 1, 15), 16, 10) AS BIGINT) % _deg"
+    )
+
+
+def _walk_pick_duck(start: str, cur: str, step: int) -> str:
+    return (
+        f"1 + CAST(('0x' || substr(md5({start} || '|' || {cur} || '|' || "
+        f"'{step}'), 1, 15)) AS BIGINT) % d.deg"
+    )
+
+
+def _random_walks_oracle() -> str:
+    """Unrolled DuckDB mirror of :func:`citation_random_walks`: one
+    CTE per hop, each picking the row_number-indexed neighbor whose
+    index is the shared md5 hash mod degree."""
+    stages = []
+    prev_cols = "f.start, f.start AS cur"
+    for k in range(1, WALK_LEN + 1):
+        carry = ", ".join(f"f.v{j}" for j in range(1, k))
+        carry = carry + ", " if carry else ""
+        stages.append(f"""
+s{k} AS (
+  SELECT f.start, {carry}n.b AS v{k}
+  FROM s{k - 1} f
+  JOIN deg d ON d.a = f.{"v" + str(k - 1) if k > 1 else "start"}
+  JOIN adj n ON n.a = f.{"v" + str(k - 1) if k > 1 else "start"}
+            AND n.idx = {_walk_pick_duck("f.start", 'f.' + ("v" + str(k - 1) if k > 1 else "start"), k)}
+)""")
+    return (
+        _EDGES_CTE
+        + """,
+und AS MATERIALIZED (
+  SELECT from_paper AS a, to_paper AS b FROM edges
+  UNION
+  SELECT to_paper, from_paper FROM edges
+),
+deg AS MATERIALIZED (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
+adj AS MATERIALIZED (
+  SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS idx
+  FROM und
+),
+s0 AS (SELECT DISTINCT a AS start FROM und),"""
+        + ",".join(stages)
+        + f"""
+SELECT start, {", ".join(f"v{k}" for k in range(1, WALK_LEN + 1))}
+FROM s{WALK_LEN}
+"""
+    )
+
+
+@register(
+    "citation_random_walks",
+    oracle=_random_walks_oracle(),
+    tags=("graph", "walks", "embedding", "llm"),
+)
+def citation_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC RANDOM WALKS — the DeepWalk/node2vec corpus
+    generator: one ``WALK_LEN``-hop walk from every node of the
+    undirected citation graph, next hop chosen by a 60-bit md5 hash
+    of (start, current node, step) mod degree over the
+    neighbor-rank-indexed adjacency. Hash-driven selection makes the
+    walk corpus REPRODUCIBLE (the property that lets a 100 TB
+    embedding pipeline regenerate identical training data) and gives
+    the DuckDB oracle an exact unrolled mirror; conditioning the hash
+    on the start node decorrelates walks that pass through the same
+    node at the same step.
+
+    Scale shape: the adjacency (edge-sized, with per-node neighbor
+    ranks) is the loop invariant — built once, repartitioned +
+    locally sorted under the probe key (a, idx), persisted
+    MEMORY_AND_DISK (the PageRank-family layout). Each hop joins the
+    NODE-sized frontier against the node-sized degree table to
+    compute its target index, then probes the adjacency on
+    (node, idx) — one row per walker per hop, never a
+    neighborhood expansion, so per-hop cost is O(walkers) probes
+    regardless of degree skew. Every node has degree >= 1 in the
+    undirected view, so walks never die: output rows = node count."""
+    e = _edges(spark, sf_dir)
+    und = (
+        e.select(F.col("from_paper").alias("a"), F.col("to_paper").alias("b"))
+        .union(e.select(F.col("to_paper"), F.col("from_paper")))
+        .distinct()
+    )
+    from pyspark.sql import Window
+    from pyspark import StorageLevel
+
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    adj = (
+        und.select(
+            "a",
+            "b",
+            F.row_number()
+            .over(Window.partitionBy("a").orderBy("b"))
+            .alias("idx"),
+        )
+        .repartition(F.col("a"), F.col("idx"))
+        .sortWithinPartitions("a", "idx")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    fr = und.select(F.col("a").alias("start")).distinct()
+    cols: list[str] = []
+    cur = "start"
+    # deg and adj are re-joined every hop, and from hop 2 on they are
+    # already in the frontier's own lineage — an unaliased self-join
+    # would let `adj.a` resolve INSIDE the frontier (measured: every
+    # hop-2 pick wrong). Fresh string aliases per hop keep each join
+    # side unambiguous.
+    for k in range(1, WALK_LEN + 1):
+        dk, ak = f"_d{k}", f"_a{k}"
+        want = fr.join(
+            deg.alias(dk), fr[cur] == F.col(f"{dk}.a")
+        ).select(
+            "start",
+            *cols,
+            F.col(cur).alias("_cur"),
+            F.col(f"{dk}.deg").alias("_deg"),
+        ).select(
+            "start",
+            *cols,
+            "_cur",
+            F.expr(_walk_pick_spark("start", "_cur", k)).alias("_widx"),
+        )
+        fr = want.join(
+            adj.alias(ak),
+            (F.col("_cur") == F.col(f"{ak}.a"))
+            & (F.col("_widx") == F.col(f"{ak}.idx")),
+        ).select("start", *cols, F.col(f"{ak}.b").alias(f"v{k}"))
+        cols.append(f"v{k}")
+        cur = f"v{k}"
+    return fr.select("start", *cols)

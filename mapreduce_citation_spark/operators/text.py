@@ -1412,3 +1412,219 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("end_tok"),
         )
     )
+
+
+#: Boilerplate geometry: non-overlapping 8-token segments (the
+#: fixture's text has no newlines, so fixed token segments stand in
+#: for CCNet's lines); a segment is boilerplate when it appears
+#: verbatim in >= 2 distinct documents.
+BOILER_SEG, BOILER_MIN_DOCS = 8, 2
+
+
+@register(
+    "text_boilerplate_strip",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_D} AS t FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+         CASE WHEN len(t) >= {BOILER_SEG} THEN
+           list_transform(range(0, CAST(len(t) // {BOILER_SEG} AS BIGINT)),
+             i -> array_to_string(
+               t[CAST(i * {BOILER_SEG} + 1 AS INT):CAST(i * {BOILER_SEG} + {BOILER_SEG} AS INT)],
+               ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS segs
+  FROM toks
+),
+ph AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, unnest(list_transform(segs, s -> md5(s))) AS h FROM base
+  )
+),
+bad AS (SELECT h FROM ph GROUP BY h HAVING count(*) >= {BOILER_MIN_DOCS}),
+hits AS (
+  SELECT p.doc_id, list(p.h) AS bad_list
+  FROM ph p JOIN bad USING (h) GROUP BY p.doc_id
+),
+stripped AS (
+  SELECT b.doc_id, b.n_tok, b.segs,
+         CASE WHEN h.bad_list IS NULL THEN b.segs
+              ELSE list_filter(b.segs,
+                               s -> NOT list_contains(h.bad_list, md5(s)))
+         END AS kept
+  FROM base b LEFT JOIN hits h USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(segs) AS BIGINT) AS n_segs,
+       CAST(len(segs) - len(kept) AS BIGINT) AS n_removed,
+       CAST(len(kept) * {BOILER_SEG} + n_tok % {BOILER_SEG} AS BIGINT)
+         AS kept_tokens,
+       -- DuckDB array_to_string([]) is NULL where Spark array_join is ''
+       md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_digest
+FROM stripped
+""",
+    tags=("text", "dedup", "boilerplate", "llm"),
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOC BOILERPLATE REMOVAL — the CCNet/RefinedWeb line-dedup
+    pass: segments that appear verbatim in ``BOILER_MIN_DOCS``+
+    distinct documents (headers, footers, licence blocks, scraped nav
+    chrome) are stripped from EVERY document, and the cleaned text is
+    re-emitted with per-doc accounting (segment counts, surviving
+    token count, md5 digest of the cleaned text — the digest makes the
+    APPLY half hash-gated, not just the stats). The fixture's text has
+    no newline structure, so CCNet's "line" is stood in by
+    non-overlapping ``BOILER_SEG``-token segments; the pipeline is
+    segmentation-agnostic.
+
+    Scale shape (100 TB): the document frequency count runs on
+    (doc_id, segment-hash) pairs deduped INSIDE the row
+    (``array_distinct`` — the r6 rule: never partial-aggregate a
+    near-unique key stream) and explicitly repartitioned by the hash
+    so the planner gets one complete-mode, spill-capable aggregate.
+    Only 16-byte hashes cross the wire for counting; the corpus-sized
+    token data moves once, in the final doc_id-keyed apply join. The
+    per-doc strip itself is a row-local higher-order filter against
+    that doc's (tiny) boilerplate set — never a token-level join."""
+    d = _docs(spark, sf_dir)
+    seg = BOILER_SEG
+    base = d.select("doc_id", F.expr(_TOK_S).alias("t")).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tok"),
+        F.expr(
+            f"CASE WHEN size(t) >= {seg} THEN "
+            f"transform(sequence(0, size(t) div {seg} - 1), "
+            f"i -> array_join(slice(t, i * {seg} + 1, {seg}), ' ')) "
+            f"ELSE array() END"
+        ).alias("segs"),
+    )
+    ph = base.select(
+        "doc_id",
+        F.explode(F.expr("array_distinct(transform(segs, s -> md5(s)))")).alias(
+            "h"
+        ),
+    ).repartition(F.col("h"))
+    bad = (
+        ph.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DOCS)
+        .select("h")
+    )
+    hits = ph.join(bad, "h").groupBy("doc_id").agg(
+        F.collect_set("h").alias("bad_list")
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            "segs",
+            F.expr(
+                "CASE WHEN bad_list IS NULL THEN segs "
+                "ELSE filter(segs, s -> NOT array_contains(bad_list, md5(s))) "
+                "END"
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            F.size("segs").cast("long").alias("n_segs"),
+            (F.size("segs") - F.size("kept")).cast("long").alias("n_removed"),
+            (F.size("kept") * seg + F.col("n_tok") % seg)
+            .cast("long")
+            .alias("kept_tokens"),
+            F.md5(F.array_join("kept", " ")).alias("cleaned_digest"),
+        )
+    )
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOK_D} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+  FROM t WHERE len(toks) >= 2
+),
+p AS (
+  SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2
+),
+pref AS (
+  SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_pref FROM p GROUP BY w1
+),
+sc AS (
+  SELECT g.doc_id,
+         CAST(length(bin(CAST(f.n_pref AS BIGINT)))
+              - length(bin(CAST(p.n_pair AS BIGINT))) AS BIGINT) AS sbits
+  FROM bg g
+  JOIN p ON g.b.w1 = p.w1 AND g.b.w2 = p.w2
+  JOIN pref f ON g.b.w1 = f.w1
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(sbits) AS BIGINT) AS sum_surprisal_bits,
+       CAST(SUM(sbits) AS DOUBLE) / COUNT(*) AS mean_surprisal_bits
+FROM sc
+GROUP BY doc_id
+""",
+    tags=("text", "lm", "perplexity-proxy", "llm"),
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM-LM PERPLEXITY SCORING — the APPLY half of
+    ``text_bigram_lm`` (train/apply symmetry, like kmeans→assign and
+    BPE train→encode): every document is scored under the corpus's
+    own bigram model, surprisal of each adjacent pair quantized to
+    integer bits as bits(n_prefix) − bits(n_pair) =
+    ⌊log2 n_prefix⌋ − ⌊log2 n_pair⌋ ≈ −log2 P(w2|w1). High mean
+    surprisal = improbable word transitions — the KenLM-perplexity
+    axis a quality filter ranks on, with the same integer-exact
+    quantization convention as ``text_unigram_rarity`` (no libm
+    ``log``, bit-identical cross-engine).
+
+    Scale shape: the corpus tokenizes exactly twice (once to build
+    the pair-count table, once to score); the prefix table derives
+    from the VOCAB-SIZED pair table, never a third corpus pass. Both
+    count tables are Zipf-small, so at 100 TB the scoring joins are
+    AQE broadcast candidates; every aggregation is map-side
+    combinable."""
+    d = _docs(spark, sf_dir)
+    bg = (
+        d.select("doc_id", F.expr(_TOK_S).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    p = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    pref = p.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_pref"))
+    sc = (
+        bg.join(p, ["w1", "w2"])
+        .join(pref, ["w1"])
+        .select(
+            "doc_id",
+            (
+                F.length(F.expr("bin(n_pref)")) - F.length(F.expr("bin(n_pair)"))
+            )
+            .cast("long")
+            .alias("sbits"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("sbits").cast("long").alias("sum_surprisal_bits"),
+        (F.sum("sbits").cast("double") / F.count(F.lit(1))).alias(
+            "mean_surprisal_bits"
+        ),
+    )

@@ -456,3 +456,51 @@ def test_bfs_depths_on_planted_graph(spark):
     assert got == want
     assert "x" not in got and "y" not in got
     assert got == {"h": 0, "a": 1, "b": 1, "c": 2, "d": 3}
+
+
+def test_random_walks_match_python_replay(spark):
+    """citation_random_walks vs a full python replay of the hash-walk
+    on sf0.001: identical (start, v1..v4) for every node, one walk
+    per node of the undirected graph (walks never die: deg >= 1)."""
+    import hashlib
+
+    from mapreduce_citation_spark.operators.graph import (
+        WALK_LEN,
+        citation_random_walks,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "CAST(l_orderkey AS STRING) AS a", "CAST(l_partkey AS STRING) AS b"
+        )
+        .distinct()
+        .collect()
+    )
+    adj: dict = {}
+    for r in edges:
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    nbrs = {k: sorted(v) for k, v in adj.items()}
+
+    def pick(start, cur, step):
+        h = int(
+            hashlib.md5(f"{start}|{cur}|{step}".encode()).hexdigest()[:15], 16
+        )
+        ns = nbrs[cur]
+        return ns[h % len(ns)]
+
+    expected = {}
+    for s in nbrs:
+        cur, path = s, []
+        for k in range(1, WALK_LEN + 1):
+            cur = pick(s, cur, k)
+            path.append(cur)
+        expected[s] = tuple(path)
+    got = {
+        r["start"]: tuple(r[f"v{k}"] for k in range(1, WALK_LEN + 1))
+        for r in citation_random_walks(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) == len(nbrs)

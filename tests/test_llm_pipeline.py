@@ -1672,3 +1672,131 @@ def test_chunk_windows_match_python_replay(spark):
             assert s2 == s1 + stride and e1 - s2 >= CHUNK_OVERLAP - stride
             assert s2 < e1  # overlap is real
     assert saw_multi  # fixture long docs exist
+
+
+def test_boilerplate_strip_removes_planted_cross_doc_segments(spark):
+    """text_boilerplate_strip on a planted corpus: an 8-token footer
+    shared (segment-aligned) by two docs is stripped from BOTH; a
+    segment repeated only WITHIN one doc survives (the rule is
+    cross-doc df, not repetition); sub-segment docs pass through with
+    md5('') digests; digests replay exactly in python."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_citation_spark.operators.text import (
+        BOILER_MIN_DOCS,
+        BOILER_SEG,
+        text_boilerplate_strip,
+    )
+
+    assert BOILER_SEG == 8 and BOILER_MIN_DOCS == 2  # planted layout
+    footer = "foot1 foot2 foot3 foot4 foot5 foot6 foot7 foot8"
+    ua = "a1 a2 a3 a4 a5 a6 a7 a8"
+    ub = "b1 b2 b3 b4 b5 b6 b7 b8"
+    ud = "d1 d2 d3 d4 d5 d6 d7 d8"
+    docs = [
+        (1, f"{footer} {ua}"),          # footer at segment 0
+        (2, f"{ub} {footer} tail1 tail2"),  # footer at segment 1 + tail
+        (3, "tiny doc here"),           # < 8 tokens: no segments
+        (4, f"{ud} {ud}"),              # internal repeat only: df = 1
+        (5, f"{footer} {footer}"),      # boilerplate twice in one doc
+    ]
+
+    def replay():
+        segs = {
+            did: [
+                " ".join(toks[i * 8 : i * 8 + 8])
+                for i in range(len(toks) // 8)
+            ]
+            for did, text in docs
+            for toks in [_py_tokens(text)]
+        }
+        df: dict = {}
+        for did, ss in segs.items():
+            for s in set(ss):
+                df[s] = df.get(s, 0) + 1
+        out = {}
+        for did, text in docs:
+            toks = _py_tokens(text)
+            ss = segs[did]
+            kept = [s for s in ss if df[s] < 2]
+            out[did] = (
+                len(ss),
+                len(ss) - len(kept),
+                len(kept) * 8 + len(toks) % 8,
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        return out
+
+    with tempfile.TemporaryDirectory() as td:
+        (
+            spark.createDataFrame(docs, ["doc_id", "text"])
+            .withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("s"))
+            .withColumn("n_chars", F.length("text"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(td, "documents.parquet"))
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_segs"],
+                r["n_removed"],
+                r["kept_tokens"],
+                r["cleaned_digest"],
+            )
+            for r in text_boilerplate_strip(spark, td).collect()
+        }
+    expected = replay()
+    assert got == expected
+    # the planted semantics, spelled out
+    assert got[1][1] == 1 and got[2][1] == 1      # footer stripped from both
+    assert got[4][1] == 0                          # internal-only repeat kept
+    assert got[5][1] == 2                          # both copies stripped
+    assert got[3] == (0, 0, 3, hashlib.md5(b"").hexdigest())
+
+
+def test_bigram_surprisal_matches_python_replay(spark):
+    """text_bigram_surprisal vs a python replay of the quantized
+    bits(n_prefix) - bits(n_pair) scoring over the corpus's own
+    bigram counts (sf0.001): exact integer sums, IEEE-exact means."""
+    from collections import Counter
+
+    from mapreduce_citation_spark.operators.text import text_bigram_surprisal
+
+    sf_dir = "/root/testdata/sf0.001"
+    toks_by_doc = {
+        r["doc_id"]: _py_tokens(r["text"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    pair: Counter = Counter()
+    for toks in toks_by_doc.values():
+        pair.update(zip(toks, toks[1:]))
+    pref: Counter = Counter()
+    for (w1, _), c in pair.items():
+        pref[w1] += c
+    expected = {}
+    for did, toks in toks_by_doc.items():
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        sbits = [
+            pref[w1].bit_length() - pair[(w1, w2)].bit_length()
+            for w1, w2 in bgs
+        ]
+        expected[did] = (len(bgs), sum(sbits), sum(sbits) / len(bgs))
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["sum_surprisal_bits"],
+            r["mean_surprisal_bits"],
+        )
+        for r in text_bigram_surprisal(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert all(s >= 0 for _, s, _ in got.values())  # n_pair <= n_prefix
