@@ -1775,7 +1775,13 @@ def citation_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark import StorageLevel
 
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # node-sized degree table probed every hop: checkpointed once
+    # (the PageRank convention for small per-iteration tables); the
+    # start frontier derives from it — deg.a IS the distinct node
+    # set, so und is computed exactly twice (deg build + adj build)
+    deg = (
+        und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    )
     adj = (
         und.select(
             "a",
@@ -1788,7 +1794,7 @@ def citation_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("a", "idx")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    fr = und.select(F.col("a").alias("start")).distinct()
+    fr = deg.select(F.col("a").alias("start"))
     cols: list[str] = []
     cur = "start"
     # deg and adj are re-joined every hop, and from hop 2 on they are
@@ -1819,3 +1825,76 @@ def citation_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append(f"v{k}")
         cur = f"v{k}"
     return fr.select("start", *cols)
+
+
+#: Skip-gram window over the 5-node walk sequence (start, v1..v4):
+#: directed (center, context) pairs with |i - j| <= 2, i != j.
+_SKIPGRAM_IDX = [
+    (i, j)
+    for i in range(WALK_LEN + 1)
+    for j in range(WALK_LEN + 1)
+    if i != j and abs(i - j) <= 2
+]
+
+
+def _walk_skipgrams_oracle() -> str:
+    """DuckDB mirror: the full unrolled walks oracle as a subquery,
+    then the fixed 14-pair skip-gram explode and the count rollup."""
+    walk_cols = ["start"] + [f"v{k}" for k in range(1, WALK_LEN + 1)]
+    pairs = ", ".join(
+        f"struct_pack(center := w.{walk_cols[i]}, context := w.{walk_cols[j]})"
+        for i, j in _SKIPGRAM_IDX
+    )
+    walks_sql = _random_walks_oracle().rstrip()
+    return f"""
+WITH walks AS (
+{walks_sql}
+),
+pg AS (
+  SELECT unnest([{pairs}]) AS p FROM walks w
+)
+SELECT p.center AS center, p.context AS context,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pg
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, center ASC, context ASC
+LIMIT 100
+"""
+
+
+@register(
+    "citation_walk_skipgrams",
+    oracle=_walk_skipgrams_oracle(),
+    tags=("graph", "walks", "embedding", "llm"),
+)
+def citation_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKIP-GRAM PAIR EXTRACTION over the deterministic walk corpus —
+    the word2vec-style training-data step that follows
+    :func:`citation_random_walks` in a DeepWalk pipeline: every walk
+    (start, v1..v4) emits directed (center, context) pairs within a
+    2-hop window (the fixed 14 index pairs), counted corpus-wide;
+    top-100 by count with a deterministic tie-break. Composing the
+    two operators keeps the whole graph-embedding data path (walks →
+    co-occurrence pairs) hash-gated end to end.
+
+    Scale shape: the pair explode is a row-local map over the
+    node-count-sized walk table (14× fan-out, no shuffle), followed
+    by one map-side-combinable count aggregation and TakeOrdered —
+    the same count/normalize shape as the bigram LM, on walk space
+    instead of token space."""
+    walks = citation_random_walks(spark, sf_dir)
+    walk_cols = ["start"] + [f"v{k}" for k in range(1, WALK_LEN + 1)]
+    pairs = ", ".join(
+        f"struct({walk_cols[i]} AS center, {walk_cols[j]} AS context)"
+        for i, j in _SKIPGRAM_IDX
+    )
+    return (
+        walks.select(F.explode(F.expr(f"array({pairs})")).alias("p"))
+        .select("p.center", "p.context")
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(
+            F.col("n_pairs").desc(), F.col("center").asc(), F.col("context").asc()
+        )
+        .limit(100)
+    )

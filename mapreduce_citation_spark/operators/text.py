@@ -1499,12 +1499,20 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE array() END"
         ).alias("segs"),
     )
-    ph = base.select(
-        "doc_id",
-        F.explode(F.expr("array_distinct(transform(segs, s -> md5(s)))")).alias(
-            "h"
-        ),
-    ).repartition(F.col("h"))
+    # (doc_id, h) pair stream has two consumers (the df count and the
+    # hits join) — persisted columnar/evictable so the segment hashes
+    # compute once (r7 cache rule: same projection, no distinguishing
+    # pushdown)
+    ph = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr("array_distinct(transform(segs, s -> md5(s)))")
+            ).alias("h"),
+        )
+        .repartition(F.col("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bad = (
         ph.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1607,7 +1615,14 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    p = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    # vocab-sized count table, referenced twice (scoring join + the
+    # prefix rollup) — checkpointed so the corpus tokenizes exactly
+    # twice, the PMI-collocation convention for small count tables
+    p = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint()
+    )
     pref = p.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_pref"))
     sc = (
         bg.join(p, ["w1", "w2"])
@@ -1627,4 +1642,102 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("sbits").cast("double") / F.count(F.lit(1))).alias(
             "mean_surprisal_bits"
         ),
+    )
+
+
+#: Linear quality-classifier model (fastText-filter shape): integer
+#: weights over integer doc features, bias folded in as a feature
+#: with constant value 1. Kept as DATA (a weights table), not code —
+#: the apply is an unpivot + join + rollup, the same plan a learned
+#: model with thousands of features would use.
+CLF_WEIGHTS: tuple[tuple[str, int], ...] = (
+    ("f_tok", 2),
+    ("f_stop", 10),
+    ("f_dig", -3),
+    ("bias", -60),
+)
+
+
+@register(
+    "corpus_classifier_scores",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len({_TOK_D}) AS BIGINT) AS f_tok,
+         CAST(len(list_filter({_TOK_D},
+              x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT) AS f_stop,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS f_dig,
+         CAST(1 AS BIGINT) AS bias
+  FROM documents
+),
+unp AS (
+  SELECT doc_id, 'f_tok' AS feature, f_tok AS value FROM feats
+  UNION ALL SELECT doc_id, 'f_stop', f_stop FROM feats
+  UNION ALL SELECT doc_id, 'f_dig', f_dig FROM feats
+  UNION ALL SELECT doc_id, 'bias', bias FROM feats
+),
+w AS (
+  SELECT * FROM (VALUES {", ".join(f"('{f}', {wt})" for f, wt in CLF_WEIGHTS)})
+  AS t(feature, weight)
+)
+SELECT u.doc_id,
+       CAST(SUM(u.value * w.weight) AS BIGINT) AS score,
+       CAST(CASE WHEN SUM(u.value * w.weight) >= 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS passed
+FROM unp u JOIN w USING (feature)
+GROUP BY u.doc_id
+""",
+    tags=("text", "quality", "classifier", "llm"),
+)
+def corpus_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR QUALITY-CLASSIFIER APPLY — the fastText/DCLM-style
+    learned-filter inference pass, with the model held as a WEIGHTS
+    TABLE rather than hard-coded arithmetic: per-doc integer features
+    (token count, marker-stopword count, digit-char count, constant
+    bias) unpivot to (doc_id, feature, value), join the 4-row model,
+    and roll up to the dot-product score and the >= 0 decision. The
+    unpivot + model-join + rollup is exactly the plan a real learned
+    model with a large sparse feature space would use — swapping in
+    trained weights changes data, not the query.
+
+    Scale shape: feature extraction is one codegen'd scan projection;
+    the unpivot is a row-local 4x expand; the model join is a
+    broadcast against a constant-size table; the rollup re-keys on
+    doc_id. Integer features x integer weights keep the score (and
+    the decision boundary) bit-identical cross-engine."""
+    d = _docs(spark, sf_dir)
+    feats = d.select(
+        "doc_id",
+        F.expr(f"CAST(size({_TOK_S}) AS BIGINT)").alias("f_tok"),
+        F.expr(
+            f"CAST(size(filter({_TOK_S}, "
+            f"x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT)"
+        ).alias("f_stop"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", ""))
+        )
+        .cast("long")
+        .alias("f_dig"),
+        F.lit(1).cast("long").alias("bias"),
+    )
+    unp = feats.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 'f_tok', f_tok, 'f_stop', f_stop, "
+            "'f_dig', f_dig, 'bias', bias) AS (feature, value)"
+        ),
+    )
+    w = spark.createDataFrame(list(CLF_WEIGHTS), ["feature", "weight"])
+    return (
+        unp.join(w, "feature")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("value") * F.col("weight")).cast("long").alias("score"),
+            F.when(F.sum(F.col("value") * F.col("weight")) >= 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("passed"),
+        )
     )

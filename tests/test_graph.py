@@ -504,3 +504,56 @@ def test_random_walks_match_python_replay(spark):
     }
     assert got == expected
     assert len(got) == len(nbrs)
+
+
+def test_walk_skipgrams_match_python_replay(spark):
+    """citation_walk_skipgrams vs a python replay: walks replayed with
+    the same md5 hash-walk, the fixed 14-index-pair window applied,
+    counts rolled up, top-100 under the deterministic tie-break."""
+    import hashlib
+    from collections import Counter
+
+    from mapreduce_citation_spark.operators.graph import (
+        _SKIPGRAM_IDX,
+        WALK_LEN,
+        citation_walk_skipgrams,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "CAST(l_orderkey AS STRING) AS a", "CAST(l_partkey AS STRING) AS b"
+        )
+        .distinct()
+        .collect()
+    )
+    adj: dict = {}
+    for r in edges:
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    nbrs = {k: sorted(v) for k, v in adj.items()}
+
+    def pick(start, cur, step):
+        h = int(
+            hashlib.md5(f"{start}|{cur}|{step}".encode()).hexdigest()[:15], 16
+        )
+        ns = nbrs[cur]
+        return ns[h % len(ns)]
+
+    cnt: Counter = Counter()
+    for s in nbrs:
+        walk = [s]
+        for k in range(1, WALK_LEN + 1):
+            walk.append(pick(s, walk[-1], k))
+        for i, j in _SKIPGRAM_IDX:
+            cnt[(walk[i], walk[j])] += 1
+    expected = sorted(
+        ((n, c[0], c[1]) for c, n in cnt.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:100]
+    got = [
+        (r["n_pairs"], r["center"], r["context"])
+        for r in citation_walk_skipgrams(spark, sf_dir).collect()
+    ]
+    assert got == expected

@@ -1800,3 +1800,39 @@ def test_bigram_surprisal_matches_python_replay(spark):
     }
     assert got == expected
     assert all(s >= 0 for _, s, _ in got.values())  # n_pair <= n_prefix
+
+
+def test_classifier_scores_match_python_replay(spark):
+    """corpus_classifier_scores vs a python replay of the integer
+    dot product over (token count, marker stopwords, digit chars,
+    bias) with the CLF_WEIGHTS model; decision = score >= 0."""
+    import re
+
+    from mapreduce_citation_spark.operators.text import (
+        CLF_WEIGHTS,
+        corpus_classifier_scores,
+    )
+
+    w = dict(CLF_WEIGHTS)
+    sf_dir = "/root/testdata/sf0.001"
+    expected = {}
+    for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ):
+        toks = _py_tokens(r["text"])
+        feats = {
+            "f_tok": len(toks),
+            "f_stop": sum(t in ("the", "a", "of") for t in toks),
+            "f_dig": len(re.findall(r"[0-9]", r["text"] or "")),
+            "bias": 1,
+        }
+        score = sum(v * w[f] for f, v in feats.items())
+        expected[r["doc_id"]] = (score, 1 if score >= 0 else 0)
+    got = {
+        r["doc_id"]: (r["score"], r["passed"])
+        for r in corpus_classifier_scores(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert {p for _, p in got.values()} <= {0, 1}

@@ -76,6 +76,15 @@ FAMILIES = (
     # ×K; the curve measures a zero-shuffle map-side plan).
     "corpus_sequence_packing",
     "doc_chunk_windows",
+    # r10 extension: boilerplate strip (one row per doc — exactly ×K;
+    # per-replica bijections keep within-replica segment identity and
+    # share no cross-replica segments, so df counts replicate and the
+    # curve measures the hash-df shuffle + doc-keyed apply join) and
+    # bigram surprisal (one row per ≥2-token doc — token counts are
+    # whitespace-preserving-bijection-invariant, exactly ×K; the curve
+    # measures the two tokenize passes + vocab-sized scoring joins).
+    "text_boilerplate_strip",
+    "text_bigram_surprisal",
 )
 #: embeddings families run over the signed-permutation expansion
 #: (2k → 20k → 200k vectors; queries stay the 10 base vectors, the
@@ -111,6 +120,9 @@ EXACT_LINEAR = {
     # preserving-bijection-invariant
     "corpus_sequence_packing",
     "doc_chunk_windows",
+    # r10 extension: one row per doc / per ≥2-token doc (see FAMILIES)
+    "text_boilerplate_strip",
+    "text_bigram_surprisal",
 }
 NEAR_LINEAR = {"dedup_minhash_lsh", "multimodal_audio_minhash_pairs"}
 #: the funnel emits 5 accounting rows; only stage 0 (total docs) is
