@@ -1766,7 +1766,12 @@ def citation_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood expansion, so per-hop cost is O(walkers) probes
     regardless of degree skew. Every node has degree >= 1 in the
     undirected view, so walks never die: output rows = node count."""
-    e = _edges(spark, sf_dir)
+    return random_walks(_edges(spark, sf_dir))
+
+
+def random_walks(e: DataFrame) -> DataFrame:
+    """The walk core on a prepared (from_paper, to_paper) edge frame —
+    shared by the registered query and tools/scaling_walks.py."""
     und = (
         e.select(F.col("from_paper").alias("a"), F.col("to_paper").alias("b"))
         .union(e.select(F.col("to_paper"), F.col("from_paper")))
