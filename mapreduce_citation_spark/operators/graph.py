@@ -1742,6 +1742,10 @@ FROM s{WALK_LEN}
 @register(
     "citation_random_walks",
     oracle=_random_walks_oracle(),
+    # bench since the r10 extension: the hop-join shape (frontier
+    # probes into a persisted rank-indexed adjacency) is new to the
+    # bench set and worth round-over-round tracking
+    bench=True,
     tags=("graph", "walks", "embedding", "llm"),
 )
 def citation_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:

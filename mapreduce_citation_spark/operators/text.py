@@ -1464,6 +1464,9 @@ SELECT doc_id,
        md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_digest
 FROM stripped
 """,
+    # bench since the r10 extension: round-over-round tracking for the
+    # newest dedup-family mechanism (hash-df + row-local strip apply)
+    bench=True,
     tags=("text", "dedup", "boilerplate", "llm"),
 )
 def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
