@@ -174,7 +174,12 @@ _PRIORITY = (
     "layout_zorder_stats",
     "text_pmi_collocations",
     "citation_label_propagation",
-    "citation_hits",
+    # r10 extension rotation: citation_random_walks in for
+    # citation_hits (HITS stays registered + full-sweep-gated; graph
+    # family keeps 4 in-window representatives) — the window
+    # showcases the newest capability class, the DeepWalk corpus
+    # generator.
+    "citation_random_walks",
     "events_trailing_rates",
     "stats_ks_two_sample",
     "warehouse_integrity_audit",
