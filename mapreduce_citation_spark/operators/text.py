@@ -1744,3 +1744,168 @@ def corpus_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("passed"),
         )
     )
+
+
+#: Epoch-shuffle geometry: 2 training epochs over 8 loader shards.
+SHUFFLE_EPOCHS, SHUFFLE_SHARDS = 2, 8
+
+
+@register(
+    "corpus_epoch_shuffle",
+    oracle=f"""
+WITH e AS (
+  SELECT doc_id, unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch FROM documents
+),
+h AS (
+  SELECT doc_id, epoch,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+              CAST(epoch AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM e
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       doc_id,
+       CAST(hv % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY epoch, hv % {SHUFFLE_SHARDS}
+         ORDER BY hv, doc_id) AS BIGINT) AS pos_in_shard
+FROM h
+""",
+    tags=("text", "shuffle", "llm", "training"),
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-SEEDED DETERMINISTIC SHUFFLE — the training-loader
+    assignment pass: for each epoch, every document gets a loader
+    SHARD (hash mod ``SHUFFLE_SHARDS``) and a POSITION inside that
+    shard (rank of the 60-bit md5(doc_id|epoch), doc_id tiebreak).
+    Different epochs see independent permutations, every epoch is
+    reproducible from the corpus alone (no RNG state to persist), and
+    adding a document permutes nothing outside its own shard — the
+    three properties a petabyte-scale pretraining loader needs.
+
+    Scale shape: one scan, a 2x epoch explode, and a row_number
+    window PARTITIONED BY (epoch, shard) — 16 independent partitions,
+    never an Exchange SinglePartition (the packing operator's trap,
+    avoided by construction here because positions are per-shard)."""
+    d = _docs(spark, sf_dir)
+    hv = (
+        f"CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|', "
+        f"CAST(epoch AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    h = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))).alias(
+            "epoch"
+        ),
+    ).select("doc_id", "epoch", F.expr(hv).alias("hv"))
+    w = Window.partitionBy(
+        "epoch", F.expr(f"hv % {SHUFFLE_SHARDS}")
+    ).orderBy("hv", "doc_id")
+    return h.select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        F.expr(f"hv % {SHUFFLE_SHARDS}").cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
+
+
+#: Per-source token budget for the selection operator.
+SELECT_BUDGET_TOKENS = 2000
+
+
+@register(
+    "corpus_budget_selection",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         CAST(len({_TOK_D}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({_TOK_D},
+              x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT) AS f_stop,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS f_dig
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, n_tokens,
+         2 * n_tokens + 10 * f_stop - 3 * f_dig - 60 AS score
+  FROM feats
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens, score,
+         SUM(n_tokens) OVER (PARTITION BY source
+             ORDER BY score DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+       CAST(MIN(score) AS BIGINT) AS cutoff_score,
+       CAST(SUM(CAST(n_tokens = 0 AS BIGINT)) AS BIGINT) AS n_empty
+FROM ranked
+WHERE cum <= {SELECT_BUDGET_TOKENS}
+GROUP BY source
+""",
+    tags=("text", "sampling", "mixing", "llm"),
+)
+def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET CORPUS SELECTION — the data-mixing step: within
+    each source, rank documents by the linear quality score
+    (``corpus_classifier_scores``'s arithmetic) and keep the best
+    documents whose RUNNING token total stays inside a fixed
+    per-source budget (greedy prefix under a deterministic total
+    order — score desc, doc_id tiebreak). Emits per-source
+    accounting: docs kept, tokens kept, the score cutoff.
+
+    Scale shape: one scan, then a source-partitioned running-sum
+    window (sources are the parallelism unit, no SinglePartition) and
+    a source-keyed rollup. Integer scores/token counts make the
+    greedy boundary bit-identical cross-engine — the running sum is
+    an INTEGER cumsum, exempt from the float segment-tree hazard the
+    house rules flag for running aggregates."""
+    d = _docs(spark, sf_dir)
+    feats = d.select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST(size({_TOK_S}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(filter({_TOK_S}, "
+            f"x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT)"
+        ).alias("f_stop"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", ""))
+        )
+        .cast("long")
+        .alias("f_dig"),
+    )
+    scored = feats.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            2 * F.col("n_tokens") + 10 * F.col("f_stop") - 3 * F.col("f_dig") - 60
+        ).alias("score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.select(
+        "source",
+        "n_tokens",
+        "score",
+        F.sum("n_tokens").over(w).alias("cum"),
+    )
+    return (
+        ranked.filter(F.col("cum") <= SELECT_BUDGET_TOKENS)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum("n_tokens").cast("long").alias("tokens_selected"),
+            F.min("score").cast("long").alias("cutoff_score"),
+            F.sum((F.col("n_tokens") == 0).cast("long"))
+            .cast("long")
+            .alias("n_empty"),
+        )
+    )

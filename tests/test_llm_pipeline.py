@@ -1836,3 +1836,110 @@ def test_classifier_scores_match_python_replay(spark):
     }
     assert got == expected
     assert {p for _, p in got.values()} <= {0, 1}
+
+
+def test_epoch_shuffle_matches_python_replay(spark):
+    """corpus_epoch_shuffle vs a python replay: shard = 60-bit
+    md5(doc_id|epoch) mod SHUFFLE_SHARDS, position = rank within
+    (epoch, shard) by (hash, doc_id); positions contiguous from 1;
+    the two epochs are genuinely different permutations."""
+    import hashlib
+
+    from mapreduce_citation_spark.operators.text import (
+        SHUFFLE_EPOCHS,
+        SHUFFLE_SHARDS,
+        corpus_epoch_shuffle,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for epoch in range(SHUFFLE_EPOCHS):
+        for did in doc_ids:
+            hv = int(
+                hashlib.md5(f"{did}|{epoch}".encode()).hexdigest()[:15], 16
+            )
+            rows.append((epoch, did, hv))
+    expected = set()
+    by_shard: dict = {}
+    for epoch, did, hv in rows:
+        by_shard.setdefault((epoch, hv % SHUFFLE_SHARDS), []).append((hv, did))
+    for (epoch, shard), members in by_shard.items():
+        members.sort()
+        for pos, (hv, did) in enumerate(members, start=1):
+            expected.add((epoch, did, shard, pos))
+    got = {
+        (r["epoch"], r["doc_id"], r["shard"], r["pos_in_shard"])
+        for r in corpus_epoch_shuffle(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # epochs are different permutations: some doc changes shard
+    shard_of = {(e, d): s for e, d, s, _ in got}
+    assert any(
+        shard_of[(0, d)] != shard_of[(1, d)] for d in doc_ids
+    )
+    # positions contiguous per (epoch, shard)
+    per = {}
+    for e, d, s, p in got:
+        per.setdefault((e, s), []).append(p)
+    for ps in per.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_budget_selection_matches_python_replay(spark):
+    """corpus_budget_selection vs a python greedy replay: per source,
+    rank by (score desc, doc_id), keep while the running token sum
+    stays within the budget; per-source accounting matches exactly
+    and never exceeds the budget."""
+    import re
+    from collections import defaultdict
+
+    from mapreduce_citation_spark.operators.text import (
+        SELECT_BUDGET_TOKENS,
+        corpus_budget_selection,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    by_source = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    ):
+        toks = _py_tokens(r["text"])
+        f_stop = sum(t in ("the", "a", "of") for t in toks)
+        f_dig = len(re.findall(r"[0-9]", r["text"] or ""))
+        score = 2 * len(toks) + 10 * f_stop - 3 * f_dig - 60
+        by_source[r["source"]].append((score, r["doc_id"], len(toks)))
+    expected = {}
+    for src, docs in by_source.items():
+        docs.sort(key=lambda t: (-t[0], t[1]))
+        cum, kept = 0, []
+        for score, did, ntok in docs:
+            cum += ntok
+            if cum > SELECT_BUDGET_TOKENS:
+                break
+            kept.append((score, ntok))
+        if kept:
+            expected[src] = (
+                len(kept),
+                sum(n for _, n in kept),
+                min(s for s, _ in kept),
+                sum(n == 0 for _, n in kept),
+            )
+    got = {
+        r["source"]: (
+            r["n_selected"],
+            r["tokens_selected"],
+            r["cutoff_score"],
+            r["n_empty"],
+        )
+        for r in corpus_budget_selection(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert all(v[1] <= SELECT_BUDGET_TOKENS for v in got.values())
