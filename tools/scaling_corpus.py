@@ -85,6 +85,10 @@ FAMILIES = (
     # measures the two tokenize passes + vocab-sized scoring joins).
     "text_boilerplate_strip",
     "text_bigram_surprisal",
+    # r10 extension 2: loader shuffle emits EPOCHS rows per doc —
+    # exactly ×K; the curve measures the (epoch, shard)-partitioned
+    # rank window (the no-SinglePartition claim under load).
+    "corpus_epoch_shuffle",
 )
 #: embeddings families run over the signed-permutation expansion
 #: (2k → 20k → 200k vectors; queries stay the 10 base vectors, the
@@ -123,6 +127,8 @@ EXACT_LINEAR = {
     # r10 extension: one row per doc / per ≥2-token doc (see FAMILIES)
     "text_boilerplate_strip",
     "text_bigram_surprisal",
+    # 2 epochs × docs — exactly ×K
+    "corpus_epoch_shuffle",
 }
 NEAR_LINEAR = {"dedup_minhash_lsh", "multimodal_audio_minhash_pairs"}
 #: the funnel emits 5 accounting rows; only stage 0 (total docs) is
