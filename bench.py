@@ -62,6 +62,25 @@ def _calibrate() -> dict[str, float]:
     }
 
 
+def _current_round(here: str | None = None) -> int | None:
+    """This round's number, inferred from VERDICT.md's header line
+    (``# VERDICT — round N`` → current round is N+1). Used to keep the
+    compare baseline strictly in a PRIOR round: r10's committed compare
+    blocks named THEMSELVES as baseline because an earlier same-round
+    artifact with the same name was the newest usable file (r10 verdict
+    #3) — an r11 run must baseline against an r10 artifact."""
+    import re
+
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "VERDICT.md")) as fh:
+            m = re.search(r"round\s+(\d+)", fh.readline())
+        return int(m.group(1)) + 1 if m else None
+    except OSError:
+        return None
+
+
 def _prior_artifact(
     sf: float, here: str | None = None
 ) -> tuple[str, dict, list[str]] | None:
@@ -84,9 +103,13 @@ def _prior_artifact(
     candidates: list[tuple[int, str, dict | None]] = []
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
+    current = _current_round(here)
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.match(r"BENCH_r(\d+)", os.path.basename(path))
         if not m:
+            continue
+        if current is not None and int(m.group(1)) >= current:
+            # same-round (or future) artifact — never a baseline
             continue
         try:
             with open(path) as fh:
@@ -165,6 +188,45 @@ def _compare_block(
     return block
 
 
+def _compact_line(out: dict, limit: int = 1900) -> str:
+    """Compact artifact line guaranteed under ``limit`` bytes (driver
+    tail is ~2 KB). Carries the full driver contract
+    (metric/value/unit/queries/sf) plus the cal probe and a compare
+    digest (baseline, flag count + names, worst-3 raw ratios). Trims
+    least-essential fields first if the query set ever grows past the
+    budget: flagged names → whole digest → per-query timings."""
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": dict(out["queries"]),
+        "sf": out["sf"],
+        **{k: v for k, v in out.items() if k.startswith("cal_")},
+    }
+    compare = out.get("compare")
+    if compare is not None:
+        worst = sorted(
+            compare["queries"].items(), key=lambda kv: -kv[1]["ratio_raw"]
+        )[:3]
+        compact["compare_digest"] = {
+            "baseline": compare["baseline"],
+            "n_flagged": len(compare["beyond_envelope"]),
+            "flagged": compare["beyond_envelope"],
+            "worst3_raw": {n: e["ratio_raw"] for n, e in worst},
+        }
+    line = json.dumps(compact)
+    if len(line) > limit and "compare_digest" in compact:
+        compact["compare_digest"].pop("flagged")
+        line = json.dumps(compact)
+    if len(line) > limit:
+        compact.pop("compare_digest", None)
+        line = json.dumps(compact)
+    if len(line) > limit:  # last resort: headline only, always fits
+        compact["queries"] = {"omitted_for_size": len(out["queries"])}
+        line = json.dumps(compact)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -234,6 +296,14 @@ def main() -> None:
     if "--json" in sys.argv:
         with open(sys.argv[sys.argv.index("--json") + 1], "w") as fh:
             json.dump(out, fh, indent=1)
+    # FINAL compact line (r10 verdict #2): the driver records only the
+    # LAST ~2 KB of stdout, and the full line above overflows that tail
+    # (r9/r10 driver artifacts read ``parsed: null`` with the compare
+    # list truncated mid-entry). This last line repeats the full driver
+    # contract (metric/value/unit/queries/sf) plus a compare digest and
+    # is size-guarded under 2 KB so the preserved tail always ends in
+    # one complete, parseable JSON artifact.
+    print(_compact_line(out))
 
 
 if __name__ == "__main__":

@@ -88,6 +88,65 @@ def test_bench_compare_block_mechanics(tmp_path, monkeypatch):
     assert bench._compare_block({"q": 1.0}, cal, 0.005) is None
 
 
+def test_bench_prior_artifact_excludes_current_round(tmp_path):
+    """r11 (r10 verdict #3): the compare baseline must come from a
+    PRIOR round — r10's committed compare blocks named themselves as
+    baseline because a same-round artifact was the newest usable file.
+    VERDICT.md's header pins the current round (judge round + 1)."""
+    import json
+
+    import bench
+
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — round 10\n")
+    good = {"sf": 0.1, "queries": {"q": 1.0},
+            "cal_1t_mbps": 1000, "cal_all_mbps": 8000}
+    (tmp_path / "BENCH_r10_sf0.1.json").write_text(json.dumps(good))
+    # same-round artifact (this round = 11): newest + usable, but banned
+    (tmp_path / "BENCH_r11_sf0.1.json").write_text(
+        json.dumps(dict(good, queries={"q": 99.0})))
+
+    fname, data, skipped = bench._prior_artifact(0.1, here=str(tmp_path))
+    assert fname == "BENCH_r10_sf0.1.json"
+    assert data["queries"] == {"q": 1.0}
+    # the banned file is excluded, not "skipped-as-unusable"
+    assert skipped == []
+
+
+def test_bench_compact_line_fits_driver_tail():
+    """r11 (r10 verdict #2): the final stdout line must survive the
+    driver's ~2 KB tail truncation — full contract fields when small,
+    graceful trimming (flagged names → digest → queries) when not."""
+    import json
+
+    import bench
+
+    out = {
+        "metric": "headline query wall time at sf0.1", "value": 30.0,
+        "unit": "sec", "sf": 0.1, "cal_1t_mbps": 500, "cal_all_mbps": 4000,
+        "cal_effective_cores": 8.0,
+        "queries": {f"query_name_number_{i:02d}": 1.234 for i in range(38)},
+        "compare": {
+            "baseline": "BENCH_r10_sf0.1.json",
+            "beyond_envelope": ["query_name_number_03"],
+            "queries": {f"query_name_number_{i:02d}": {"ratio_raw": 1.0 + i}
+                        for i in range(38)},
+        },
+    }
+    line = bench._compact_line(out)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed  # the driver contract survives
+    assert parsed["compare_digest"]["n_flagged"] == 1
+    assert len(parsed["compare_digest"]["worst3_raw"]) == 3
+    # pathological size: falls back but stays parseable + under budget
+    huge = dict(out, queries={f"q{i}": 1.0 for i in range(500)})
+    huge["compare"] = None
+    line2 = bench._compact_line(huge)
+    assert len(line2) <= 1900
+    assert json.loads(line2)["queries"] == {"omitted_for_size": 500}
+
+
 def test_bench_prior_artifact_skips_unusable_driver_files(tmp_path):
     """r10 (r9 verdict #8): driver-recorded artifacts can be unusable
     — truncated stdout tails (invalid JSON) or 'parsed: null' wrappers

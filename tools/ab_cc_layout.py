@@ -27,7 +27,9 @@ B = current ``connected_components``: edge list
 
 Method: per graph scale (1x and 10x replicas of the sf0.1 citation
 graph, staged by tools/scaling_graph.py), 1 untimed warmup of each
-variant, then 6 alternating cold runs (A/B/A/B/A/B), clearCache
+variant, then 10 alternating cold runs (5 per side — the documented
+house A/B standard; the committed AB_CC_LAYOUT_r10.json predates this
+and used 3 per side, a deviation the r10 ADVICE flagged), clearCache
 before each, noop-sink drain. Outputs asserted identical across ALL
 runs via an order-independent digest (count + sum of per-row
 xxhash64 over (node, component)) — set-level, the r9 ADVICE standard.
@@ -167,7 +169,7 @@ def main(args: list[str]) -> int:
         digests: set[tuple[int, int]] = set()
         for mode, fn in variants.items():  # untimed warmup of each
             one_run(fn, edges)
-        for i in range(6):
+        for i in range(10):
             mode = list(variants)[i % 2]
             sec, dg = one_run(variants[mode], edges)
             runs[mode].append(round(sec, 3))
@@ -177,7 +179,7 @@ def main(args: list[str]) -> int:
         assert len(digests) == 1, (
             f"x{k}: label sets differ across variants/runs: {digests}"
         )
-        med = {m: sorted(v)[1] for m, v in runs.items()}
+        med = {m: sorted(v)[len(v) // 2] for m, v in runs.items()}
         report["points"][f"x{k}"] = {
             "edges": edges.count(),
             **{f"{m}_runs": v for m, v in runs.items()},

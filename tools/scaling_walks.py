@@ -106,6 +106,12 @@ def main(args: list[str]) -> int:
         for name, fn in (
             ("random_walks", lambda: random_walks(edges)),
         ):
+            # untimed noop-drain warmup (r10 ADVICE): the falsifier pass
+            # above drains via count(), which Catalyst prunes — it does
+            # not prime the full plan's codegen, so without this the
+            # first timed run could be cold and skew a median-of-3
+            spark.catalog.clearCache()
+            drain(fn())
             runs = []
             for _ in range(3):
                 spark.catalog.clearCache()
