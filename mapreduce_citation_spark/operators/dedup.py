@@ -1792,3 +1792,244 @@ def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("long").alias("n_chars"),
         )
     )
+
+
+#: Paragraph grain for the Dolma/CCNet-style paragraph near-dedup:
+#: the fixture's text has no newline structure (see
+#: text.py::text_boilerplate_strip), so a "paragraph" is a
+#: non-overlapping PARA_SEG-token full segment (the trailing partial
+#: segment is counted in token totals but is not a paragraph).
+PARA_SEG = 16
+
+_PARA_TOK_D = tokens_duck("text")
+_PARA_TOK_S = tokens_spark("text")
+
+
+def _para_neardup_oracle() -> str:
+    seg = PARA_SEG
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_PARA_TOK_D} AS t FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+         CASE WHEN len(t) >= {seg} THEN
+           list_transform(range(0, CAST(len(t) // {seg} AS BIGINT)),
+             i -> array_to_string(
+               t[CAST(i * {seg} + 1 AS INT):CAST(i * {seg} + {seg} AS INT)],
+               ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS segs
+  FROM toks
+),
+paras AS (
+  -- equal-length unnests zip positionally: (index, segment) rows
+  SELECT doc_id,
+         CAST(unnest(range(0, CAST(len(segs) AS BIGINT))) AS BIGINT) AS pidx,
+         unnest(segs) AS ptext
+  FROM base
+),
+sh AS (
+  SELECT doc_id, pidx, {shingles_duck('ptext', 3)} AS shingles FROM paras
+),
+sigs AS (
+  SELECT doc_id, pidx, shingles, {minhash_int_duck('shingles')} AS mh FROM sh
+),
+bands AS (
+  SELECT doc_id, pidx,
+         unnest(list_transform(generate_series(0, 3),
+                b -> b || ':' || array_to_string(mh[b * 4 + 1:b * 4 + 4], ','))) AS band_key
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.pidx AS pidx_a,
+                  b.doc_id AS doc_b, b.pidx AS pidx_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key
+   AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pidx < b.pidx))
+),
+pairs AS (
+  SELECT c.doc_a, c.pidx_a, c.doc_b, c.pidx_b
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a AND x.pidx = c.pidx_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.pidx = c.pidx_b
+  WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0
+          / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8
+),
+removed AS (SELECT DISTINCT doc_b AS doc_id, pidx_b AS pidx FROM pairs),
+rem AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_paras,
+         md5(array_to_string(list_transform(list_sort(list(pidx)),
+             x -> CAST(x AS VARCHAR)), ',')) AS removed_digest
+  FROM removed GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.segs) AS BIGINT) AS n_paras,
+       CAST(COALESCE(r.n_dup_paras, 0) AS BIGINT) AS n_dup_paras,
+       CAST(b.n_tok - COALESCE(r.n_dup_paras, 0) * {seg} AS BIGINT)
+         AS kept_tokens,
+       COALESCE(r.removed_digest, md5('')) AS removed_digest
+FROM base b LEFT JOIN rem r USING (doc_id)
+"""
+
+
+@register(
+    "dedup_paragraph_neardup",
+    oracle=_para_neardup_oracle(),
+    tags=("dedup", "minhash", "paragraph", "llm"),
+)
+def dedup_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-GRAIN NEAR-DEDUP (r10 verdict #4) — the Dolma/CCNet
+    pipeline's second dedup grain: where ``text_boilerplate_strip``
+    removes EXACT cross-doc segments, this pass near-dedups at
+    paragraph grain — MinHash (16 perms) + LSH (4 bands × 4 rows) over
+    word 3-shingles of each ``PARA_SEG``-token paragraph, candidates
+    verified with exact shingle-Jaccard ≥ 0.8, then a deterministic
+    keep-first policy: a paragraph is removed iff some verified
+    near-dup partner precedes it in (doc_id, pidx) order (the
+    transitive-closure-free greedy rule — first occurrence always
+    survives; no component computation needed, so the policy is
+    expressible identically in both engines). Emits per-doc
+    accounting: paragraph count, removed count, surviving token count,
+    and an md5 digest of the removed indices (the digest makes the
+    APPLY half hash-gated, not just the counts).
+
+    Scale shape — same discipline as ``dedup_minhash_lsh``, one grain
+    down: documents repartition ONCE by doc_id and the paragraph
+    explode, shingle explode, and (doc_id, pidx) signature aggregate
+    all reuse that partitioning (hash(doc_id) satisfies any grouping
+    keyed on (doc_id, pidx) — no further exchange, complete-mode
+    agg); candidates come from band buckets (paragraphs never
+    self-join outside buckets); exact verification re-derives
+    shingles ONLY for candidate paragraphs (semi-join before the
+    shingle rebuild). Nothing is ever all-pairs in the paragraph
+    count."""
+    n_perm, n_bands, rows_per_band = 16, 4, 4
+    seg = PARA_SEG
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        F.expr(_PARA_TOK_S).alias("t"),
+    ).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tok"),
+        F.expr(
+            f"CASE WHEN size(t) >= {seg} THEN "
+            f"transform(sequence(0, size(t) div {seg} - 1), "
+            f"i -> array_join(slice(t, i * {seg} + 1, {seg}), ' ')) "
+            f"ELSE array() END"
+        ).alias("segs"),
+    )
+    # base feeds the paragraph stream AND the final per-doc report —
+    # persist so tokenization/segmentation runs once (r7 cache rule:
+    # same projection, no distinguishing pushdown between consumers).
+    # The doc_id repartition goes BELOW the cache, not above it: under
+    # AQE a cached repartition reports UnknownPartitioning to its
+    # consumers, so an upstream exchange would not be reused by the
+    # (doc_id, pidx) signature aggregate anyway — placed here, the
+    # explodes and the aggregate all ride one post-cache exchange
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    paras = base.repartition(F.col("doc_id")).select(
+        "doc_id", F.posexplode("segs").alias("pidx", "ptext")
+    ).select("doc_id", F.col("pidx").cast("long").alias("pidx"), "ptext")
+    ex = paras.select(
+        "doc_id",
+        "pidx",
+        F.explode(F.expr(shingles_spark("ptext", 3))).alias("s"),
+    )
+    exh = ex.select(
+        "doc_id", "pidx", F.expr(shingle_int_hash_spark("s")).alias("h")
+    )
+    sig = exh.groupBy("doc_id", "pidx").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(F.expr(f"({a} * h + {b}) % {MINHASH_P}")).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(n_perm))
+        ],
+    )
+    # two references below (both sides of the band self-join) — the
+    # same materialization rule as dedup_minhash_lsh's signature table
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    band_cols = [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.concat_ws(
+                ",",
+                *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)],
+            ),
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", "pidx", "n_sh", F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    a_key = F.struct(F.col("a.doc_id"), F.col("a.pidx"))
+    b_key = F.struct(F.col("b.doc_id"), F.col("b.pidx"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key")) & (a_key < b_key),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.pidx").alias("pidx_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.pidx").alias("pidx_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .distinct()
+    )
+    # exact verification on candidates only: semi-join BEFORE the
+    # shingle rebuild, so the rebuild touches ~|candidate paragraphs|
+    cand_keys = (
+        cand.select(F.col("doc_a").alias("doc_id"), F.col("pidx_a").alias("pidx"))
+        .union(cand.select("doc_b", "pidx_b"))
+        .distinct()
+    )
+    pc = paras.join(cand_keys, ["doc_id", "pidx"], "left_semi")
+    exc = pc.select(
+        "doc_id",
+        "pidx",
+        F.explode(F.expr(shingles_spark("ptext", 3))).alias("s"),
+    )
+    xk = F.struct(F.col("x.doc_id"), F.col("x.pidx"))
+    yk = F.struct(F.col("y.doc_id"), F.col("y.pidx"))
+    common = (
+        exc.alias("x")
+        .join(exc.alias("y"), (F.col("x.s") == F.col("y.s")) & (xk < yk))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.pidx").alias("pidx_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.pidx").alias("pidx_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    pairs = (
+        cand.join(common, ["doc_a", "pidx_a", "doc_b", "pidx_b"])
+        .select("doc_a", "pidx_a", "doc_b", "pidx_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    removed = pairs.select(
+        F.col("doc_b").alias("doc_id"), F.col("pidx_b").alias("pidx")
+    ).distinct()
+    rem = removed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_paras"),
+        F.expr(
+            "md5(concat_ws(',', transform(array_sort(collect_list(pidx)), "
+            "x -> CAST(x AS STRING))))"
+        ).alias("removed_digest"),
+    )
+    return (
+        base.join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("segs").cast("long").alias("n_paras"),
+            F.coalesce("n_dup_paras", F.lit(0)).cast("long").alias("n_dup_paras"),
+            (F.col("n_tok") - F.coalesce("n_dup_paras", F.lit(0)) * seg)
+            .cast("long")
+            .alias("kept_tokens"),
+            F.coalesce("removed_digest", F.md5(F.lit(""))).alias("removed_digest"),
+        )
+    )

@@ -263,7 +263,9 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20, stats: dict | None = None
+) -> DataFrame:
     """Connected components by min-label propagation to fixpoint.
 
     Each node starts labeled with itself; every iteration each node
@@ -299,7 +301,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         .select("node", F.col("node").alias("component"))
         .localCheckpoint()
     )
+    converged = False
+    iterations = 0
     for _ in range(max_iterations):
+        iterations += 1
         neighbor_min = (
             und.join(labels, und.b == labels.node)
             .groupBy(F.col("a").alias("node"))
@@ -321,8 +326,16 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         changed = stepped.filter(F.col("_changed")).count()
         labels = stepped.drop("_changed")
         if changed == 0:
+            converged = True
             break
     und.unpersist()
+    if stats is not None:
+        # iterations = label-propagation rounds RUN (the converging
+        # round re-derives an unchanged label set); converged=False
+        # means the cap hit first and the labeling may be partial —
+        # the signal the auto dispatcher keys on
+        stats["iterations"] = iterations
+        stats["converged"] = converged
     return labels
 
 
@@ -510,6 +523,85 @@ def citation_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-find replay on a long-path graph where 20 min-label rounds
     would NOT converge (the shape star contraction exists for)."""
     labels = connected_components_star(_edges(spark, sf_dir))
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), F.col("component").asc())
+        .limit(20)
+    )
+
+
+#: Auto-dispatch probe budget: min-label rounds tried before declaring
+#: the graph "deep" and switching to star contraction. 4 covers the
+#: small-diameter co-citation/social shapes min-label wins on
+#: (PROBE_STAR_DIAMETER_r10: the sf0.1 citation graph converges in 3
+#: rounds) while capping the worst case at 4 node-sized-label rounds
+#: against a cached invariant edge layout — cheap relative to even one
+#: star round's edge rewrite.
+COMPONENTS_PROBE_ROUNDS = 4
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    probe_rounds: int = COMPONENTS_PROBE_ROUNDS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components with the r10-measured decision rule
+    ENCODED (r10 verdict #6 — it previously lived only in SCALE.md
+    prose + PROBE_STAR_DIAMETER_r10.json):
+
+    - min-label propagation (:func:`connected_components`) pays one
+      round per unit of graph diameter but keeps the edge table
+      loop-invariant — cached/partitioned once, iterations exchange
+      only the node-sized label table. Wins when diameter is small.
+    - star contraction (:func:`connected_components_star`) converges
+      in O(log n) rounds regardless of diameter but rewrites the
+      edge-sized pair table every round. Wins when diameter ≫ log n.
+
+    Diameter is unknown up front (computing it costs a BFS — as much
+    as the job itself), so dispatch is a BOUNDED PROBE: run min-label
+    for at most ``probe_rounds`` rounds; if it reaches its fixpoint
+    the labels are final — return them (small-diameter case, probe IS
+    the answer, nothing wasted). If the cap hits first, the graph is
+    deep: discard the partial labels (a non-converged min-label table
+    is not a valid labeling) and run star contraction. Worst case
+    wastes ``probe_rounds`` cheap label rounds; in exchange the
+    common shallow case never pays star's per-round edge rewrites.
+
+    ``stats`` (optional) records ``mode`` ("min_label" | "star") and
+    the probe's round count — how the dispatch pytest observes which
+    branch fired."""
+    probe: dict = {}
+    labels = connected_components(
+        edges, max_iterations=probe_rounds, stats=probe
+    )
+    if probe["converged"]:
+        if stats is not None:
+            stats["mode"] = "min_label"
+            stats["probe_iterations"] = probe["iterations"]
+        return labels
+    if stats is not None:
+        stats["mode"] = "star"
+        stats["probe_iterations"] = probe["iterations"]
+    return connected_components_star(edges, stats=stats)
+
+
+@register(
+    "citation_components_auto",
+    oracle=_components_oracle(20),
+    tags=("graph", "components", "iterative", "auto-dispatch"),
+)
+def citation_components_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component sizes via the auto dispatcher
+    (:func:`connected_components_auto`) — same top-20 report and same
+    unrolled min-label oracle as both parents (whichever branch fires
+    converges to the identical (node, component-min) fixpoint, so the
+    hash gate pins the dispatcher's correctness on either path). On
+    the citation fixture the probe converges within its 4-round budget
+    and min-label serves the result; the long-path dispatch to star is
+    pinned by pytest on the 60-node path the r10 diameter probe
+    measured."""
+    labels = connected_components_auto(_edges(spark, sf_dir))
     return (
         labels.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_nodes"))

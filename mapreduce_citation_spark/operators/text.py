@@ -1909,3 +1909,111 @@ def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_empty"),
         )
     )
+
+
+@register(
+    "corpus_epoch_packed_shuffle",
+    oracle=f"""
+WITH e AS (
+  SELECT doc_id, CAST(len({_TOK_D}) AS BIGINT) AS n_tokens,
+         unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch
+  FROM documents
+),
+h AS (
+  SELECT doc_id, n_tokens, epoch,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+              CAST(epoch AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM e
+),
+r AS (
+  SELECT epoch, doc_id, n_tokens, hv % {SHUFFLE_SHARDS} AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY epoch, hv % {SHUFFLE_SHARDS}
+           ORDER BY hv, doc_id) AS pos_in_shard,
+         SUM(n_tokens) OVER (
+           PARTITION BY epoch, hv % {SHUFFLE_SHARDS}
+           ORDER BY hv, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(pos_in_shard AS BIGINT) AS pos_in_shard,
+       n_tokens,
+       CAST((cum - n_tokens) // {PACK_CONTEXT_LEN} AS BIGINT) AS window_id,
+       CAST((cum - n_tokens) % {PACK_CONTEXT_LEN} AS BIGINT)
+         AS offset_in_window,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (cum - 1) // {PACK_CONTEXT_LEN}
+                 - (cum - n_tokens) // {PACK_CONTEXT_LEN} + 1 END
+            AS BIGINT) AS windows_spanned
+FROM r
+""",
+    tags=("text", "shuffle", "packing", "llm", "training"),
+)
+def corpus_epoch_packed_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH SHUFFLE → SHARD-LOCAL PACKING, composed (r10 verdict #5)
+    — the actual tensor-feed layout a pretraining loader materializes:
+    for every epoch, every document lands in a loader shard at a
+    deterministic position (``corpus_epoch_shuffle``'s 60-bit
+    md5(doc_id|epoch) assignment), and each shard's token stream is
+    independently packed into fixed ``PACK_CONTEXT_LEN``-token windows
+    in shuffle order (``corpus_sequence_packing``'s window/offset/span
+    arithmetic, applied per (epoch, shard) instead of globally). The
+    composition pins the property neither primitive shows alone:
+    shard-local packing preserves the global token accounting — per
+    epoch, Σ over shards of packed tokens equals the corpus token
+    total (the replay pytest's invariant), so no token is dropped or
+    double-fed by sharding.
+
+    Scale shape: ONE pass — scan, epoch explode, then a single window
+    Exchange PARTITIONED BY (epoch, shard) computing both the position
+    rank and the running token cumsum over the same (hv, doc_id)
+    order. 2×shards independent partitions, never the global packer's
+    SinglePartition trap (per-shard positions make the prefix-offset
+    machinery unnecessary here — the partition key IS the parallelism
+    unit). All arithmetic BIGINT, so the DuckDB window mirror is a
+    hard hash match."""
+    d = _docs(spark, sf_dir)
+    hv = (
+        f"CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|', "
+        f"CAST(epoch AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    h = d.select(
+        "doc_id",
+        F.expr(f"CAST(size({_TOK_S}) AS BIGINT)").alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))).alias(
+            "epoch"
+        ),
+    ).select("doc_id", "n_tokens", "epoch", F.expr(hv).alias("hv"))
+    w = Window.partitionBy(
+        "epoch", F.expr(f"hv % {SHUFFLE_SHARDS}")
+    ).orderBy("hv", "doc_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    L = PACK_CONTEXT_LEN
+    g = h.select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        F.expr(f"hv % {SHUFFLE_SHARDS}").cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+        "n_tokens",
+        F.sum("n_tokens").over(wsum).alias("cum"),
+    )
+    return g.select(
+        "epoch",
+        "doc_id",
+        "shard",
+        "pos_in_shard",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {L}").cast("long").alias("window_id"),
+        ((F.col("cum") - F.col("n_tokens")) % L)
+        .cast("long")
+        .alias("offset_in_window"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.expr(f"(cum - 1) div {L} - (cum - n_tokens) div {L} + 1")
+        )
+        .cast("long")
+        .alias("windows_spanned"),
+    )

@@ -129,6 +129,46 @@ def test_star_components_converge_on_long_path(spark):
     assert got == {v: "n000" for v in ids}
 
 
+def test_components_auto_dispatch(spark):
+    """The r11 auto dispatcher (r10 verdict #6): on a shallow graph
+    the bounded min-label probe converges and IS the answer (mode
+    "min_label", no star rounds); on the 60-node path (diameter 59 —
+    the r10 diameter-probe shape) the 4-round probe cannot converge,
+    the switch fires (mode "star"), and the result is still the full
+    correct labeling — identical to what star contraction alone
+    produces."""
+    from mapreduce_citation_spark.operators.graph import (
+        connected_components_auto,
+    )
+
+    # shallow: the min-label fixture (diameter ≤ 3, converges in ≤ 4)
+    shallow = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f"),
+         ("g", "h"), ("i", "h"), ("i", "j")],
+        ["from_paper", "to_paper"],
+    )
+    st: dict = {}
+    got = {r["node"]: r["component"]
+           for r in connected_components_auto(shallow, stats=st).collect()}
+    assert st["mode"] == "min_label"
+    assert st["probe_iterations"] <= 4
+    assert got["f"] == "f" and len(set(got.values())) == 4
+
+    # deep: 60-node path — probe caps out, star branch must fire and
+    # still label every node with the path minimum
+    ids = [f"n{i:03d}" for i in range(60)]  # zero-padded: lex == numeric
+    deep = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(59)],
+        ["from_paper", "to_paper"],
+    )
+    st2: dict = {}
+    got2 = {r["node"]: r["component"]
+            for r in connected_components_auto(deep, stats=st2).collect()}
+    assert st2["mode"] == "star"
+    assert st2["probe_iterations"] == 4  # the probe ran its full budget
+    assert got2 == {v: "n000" for v in ids}
+
+
 def test_cocitation_counts_on_fixture(spark, sf_dir):
     from mapreduce_citation_spark.operators.graph import citation_cocitation
 
