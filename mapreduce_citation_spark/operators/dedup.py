@@ -1552,7 +1552,10 @@ SELECT d.doc_id,
        CAST(length(d.text) AS BIGINT) AS n_chars
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """,
-    bench=True,
+    # retired from the bench headline set in r11 (r10 verdict #7:
+    # the spans/strip twins share the gram front-end and drifted in
+    # lockstep every round — the APPLY half (strip) keeps the bench
+    # slot). Stays registered + full-sweep-gated.
     tags=("dedup", "substring", "suffix-array", "spans"),
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

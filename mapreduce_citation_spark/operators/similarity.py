@@ -67,7 +67,10 @@ FROM (
 ) t
 WHERE rn <= 5
 """,
-    bench=True,
+    # retired from the bench headline set in r11 (r10 verdict #7:
+    # cut driver-window variance surface — this is the labeled recall
+    # BASELINE, not a scale path; knn_ivf_ann carries the family's
+    # bench slot). Stays registered + full-sweep-gated.
     tags=("similarity", "knn", "brute-force"),
 )
 def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

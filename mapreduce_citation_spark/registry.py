@@ -128,6 +128,15 @@ _QUERY_MODULES = (
 #:        full-sweep-gated + benched) — slot given to
 #:        corpus_sequence_packing, the r9 LLM-pipeline capability the
 #:        r9 verdict asked the window to showcase (next-round #6)
+#:   r11  dedup_minhash_lsh           → dedup_paragraph_neardup (the
+#:        same MinHash+LSH mechanism one grain down — doc-grain twin
+#:        stays registered + benched + full-sweep-gated)
+#:   r11  corpus_sequence_packing     → corpus_epoch_packed_shuffle
+#:        (the shuffle→packing composition subsumes the parent's
+#:        window/offset arithmetic; parent stays benched)
+#:   r11  citation_label_propagation  → citation_components_auto (the
+#:        r10-verdict-requested auto dispatcher; graph family keeps 4
+#:        in-window reps, LPA stays full-sweep-gated)
 #:
 #: currently IN (position = tuple order below; "in" round):
 #:   r1:  citation_counts, top_cited, citing_papers, scalar_string_funcs,
@@ -154,7 +163,9 @@ _QUERY_MODULES = (
 #:   r7b: text_bpe_encode, warehouse_delete_cascade,
 #:        streaming_cumulative_users
 #:   r9:  streaming_ingest_dedup
-#:   r10: corpus_sequence_packing
+#:   r10: corpus_sequence_packing (displaced r11)
+#:   r11: dedup_paragraph_neardup, corpus_epoch_packed_shuffle,
+#:        citation_components_auto
 _PRIORITY = (
     # SURVEY §2: the reference's citation pipeline + scalar family.
     "citation_counts",
@@ -173,7 +184,8 @@ _PRIORITY = (
     "embedding_power_iteration",
     "layout_zorder_stats",
     "text_pmi_collocations",
-    "citation_label_propagation",
+    # r11 rotation: the auto-dispatching components in for LPA
+    "citation_components_auto",
     # r10 extension rotation: citation_random_walks in for
     # citation_hits (HITS stays registered + full-sweep-gated; graph
     # family keeps 4 in-window representatives) — the window
@@ -191,11 +203,15 @@ _PRIORITY = (
     "events_user_features",
     "interval_overlap_join",
     "embedding_pca_scores",
-    "corpus_sequence_packing",
+    # r11 rotation: the epoch-shuffle→packing composition in for its
+    # packing parent
+    "corpus_epoch_packed_shuffle",
     "join_bloom_prefilter",
     # LLM-pipeline: deduplication.
     "dedup_exact",
-    "dedup_minhash_lsh",
+    # r11 rotation: paragraph-grain near-dedup in for the doc-grain
+    # MinHash twin
+    "dedup_paragraph_neardup",
     "dedup_embedding_cosine",
     "dedup_exact_substring_pairs",
     "decontaminate_eval_overlap",

@@ -20,7 +20,8 @@ protobuf. This probe records why it cannot, from inside the image:
    any source for the package — and the build environment's policy
    additionally forbids package installation.
 
-Writes PROBE_TWS_r08.json. Re-run if the image changes; if protobuf
+Writes a round-dated PROBE_TWS_r{N}.json (currently r11; bump
+the name when re-probing in a later round). Re-run if the image changes; if protobuf
 ever appears, the guard in streaming/events.py automatically takes the
 live path and the skip evaporates (that behavior is itself pinned by
 tests/test_streaming.py's guard-equivalence test).
@@ -80,7 +81,7 @@ def main() -> None:
     )
 
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "PROBE_TWS_r08.json")
+        os.path.abspath(__file__))), "PROBE_TWS_r11.json")
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report, indent=1))

@@ -89,6 +89,16 @@ FAMILIES = (
     # exactly ×K; the curve measures the (epoch, shard)-partitioned
     # rank window (the no-SinglePartition claim under load).
     "corpus_epoch_shuffle",
+    # r11: the shuffle→packing composition (EPOCHS rows per doc —
+    # exactly ×K; the curve measures rank + token cumsum riding ONE
+    # (epoch, shard) window exchange) and paragraph-grain near-dedup
+    # (one report row per doc — exactly ×K; the REAL falsifier is the
+    # removed-paragraph sum, near-linear like dedup_minhash_lsh since
+    # within-replica dup pairs are bijection-invariant and replicas
+    # share no shingles, while banded recall fluctuates per replica —
+    # see SUM_NEAR).
+    "corpus_epoch_packed_shuffle",
+    "dedup_paragraph_neardup",
 )
 #: embeddings families run over the signed-permutation expansion
 #: (2k → 20k → 200k vectors; queries stay the 10 base vectors, the
@@ -129,8 +139,15 @@ EXACT_LINEAR = {
     "text_bigram_surprisal",
     # 2 epochs × docs — exactly ×K
     "corpus_epoch_shuffle",
+    # r11: 2 epochs × docs / one report row per doc — exactly ×K
+    "corpus_epoch_packed_shuffle",
+    "dedup_paragraph_neardup",
 }
 NEAR_LINEAR = {"dedup_minhash_lsh", "multimodal_audio_minhash_pairs"}
+#: per-doc-report families whose row count is trivially ×K: the real
+#: construction falsifier is a SUM over the report (removed-paragraph
+#: total), checked with the NEAR_LINEAR ±5% LSH-recall tolerance.
+SUM_NEAR = {"dedup_paragraph_neardup": "n_dup_paras"}
 #: the funnel emits 5 accounting rows; only stage 0 (total docs) is
 #: checked ×K. The Gopher QUALITY gate is NOT char-bijection-
 #: invariant (stopword matches and alpha-ratios see rotated chars as
@@ -203,6 +220,11 @@ def main(args: list[str]) -> int:
                 df = specs[name].fn(spark, sf_dir)
                 _drain(df)  # warmup
                 rows = df.count()
+                aux_sum = None
+                if name in SUM_NEAR:
+                    aux_sum = df.selectExpr(
+                        f"CAST(sum({SUM_NEAR[name]}) AS BIGINT)"
+                    ).collect()[0][0]
             runs = []
             for _ in range(3):
                 spark.catalog.clearCache()
@@ -222,6 +244,19 @@ def main(args: list[str]) -> int:
                     f"{name}: {rows} rows at {k}x < planted floor "
                     f"{MIN_ROWS_PER_K[name] * k}"
                 )
+            if name in SUM_NEAR:
+                if k == 1:
+                    base_sum = aux_sum
+                    assert base_sum and base_sum > 0, (
+                        f"{name}: zero {SUM_NEAR[name]} at 1x — "
+                        "falsifier would be vacuous"
+                    )
+                else:
+                    assert abs(aux_sum - base_sum * k) <= 0.05 * base_sum * k, (
+                        f"{name}: sum({SUM_NEAR[name]}) {aux_sum} at {k}x vs "
+                        f"{k} * {base_sum} — beyond LSH recall fluctuation, "
+                        "construction artifact"
+                    )
             if k == 1:
                 base_rows = rows
             elif name in EXACT_LINEAR:
@@ -237,7 +272,8 @@ def main(args: list[str]) -> int:
             base_n = 2000 if name in EMB_FAMILIES else 5000
             fam["points"].append(
                 {"input_x": k, "input_rows": base_n * k,
-                 "sec": round(sorted(runs)[1], 3), "out_rows": rows}
+                 "sec": round(sorted(runs)[1], 3), "out_rows": rows,
+                 **({"dup_sum": aux_sum} if name in SUM_NEAR else {})}
             )
             print(f"  {name} @ {k}x: {fam['points'][-1]['sec']}s "
                   f"({rows} out rows)", file=sys.stderr)

@@ -20,7 +20,7 @@ Caveats recorded in the artifact rather than hidden:
   layout. ``n_batches`` counts all progress events, ``n_data_batches``
   those with rows (no-data batches fire for watermark advancement).
 - ``streaming_running_user_counts_tws`` falls back to its guarded twin
-  on images without google.protobuf (PROBE_TWS_r08.json) and then
+  on images without google.protobuf (PROBE_TWS_r11.json (re-probed each round; first recorded r08)) and then
   reports live=false here.
 
 Usage: SPARK_GRAFT_SF_DIR=... python tools/stream_bench.py [--json PATH]
