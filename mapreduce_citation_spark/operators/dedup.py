@@ -1808,14 +1808,17 @@ _PARA_TOK_D = tokens_duck("text")
 _PARA_TOK_S = tokens_spark("text")
 
 
-def _para_neardup_oracle() -> str:
+#: Shared DuckDB CTE prefix for the paragraph family: tokenize,
+#: segment, MinHash, band, verify, and derive the removed set — the
+#: report and the strip oracle differ only in their final SELECT.
+def _para_ctes() -> str:
     seg = PARA_SEG
     return f"""
 WITH toks AS (
   SELECT doc_id, {_PARA_TOK_D} AS t FROM documents
 ),
 base AS (
-  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok,
          CASE WHEN len(t) >= {seg} THEN
            list_transform(range(0, CAST(len(t) // {seg} AS BIGINT)),
              i -> array_to_string(
@@ -1857,7 +1860,14 @@ pairs AS (
   WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0
           / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8
 ),
-removed AS (SELECT DISTINCT doc_b AS doc_id, pidx_b AS pidx FROM pairs),
+removed AS (SELECT DISTINCT doc_b AS doc_id, pidx_b AS pidx FROM pairs)"""
+
+
+def _para_neardup_oracle() -> str:
+    seg = PARA_SEG
+    return (
+        _para_ctes()
+        + f""",
 rem AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_paras,
          md5(array_to_string(list_transform(list_sort(list(pidx)),
@@ -1872,6 +1882,7 @@ SELECT b.doc_id,
        COALESCE(r.removed_digest, md5('')) AS removed_digest
 FROM base b LEFT JOIN rem r USING (doc_id)
 """
+    )
 
 
 @register(
@@ -1905,13 +1916,43 @@ def dedup_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles ONLY for candidate paragraphs (semi-join before the
     shingle rebuild). Nothing is ever all-pairs in the paragraph
     count."""
-    n_perm, n_bands, rows_per_band = 16, 4, 4
+    base = _paragraph_base(spark, sf_dir, with_tokens=False)
+    removed = _paragraph_removed(base)
+    seg = PARA_SEG
+    rem = removed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_paras"),
+        F.expr(
+            "md5(concat_ws(',', transform(array_sort(collect_list(pidx)), "
+            "x -> CAST(x AS STRING))))"
+        ).alias("removed_digest"),
+    )
+    return (
+        base.join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("segs").cast("long").alias("n_paras"),
+            F.coalesce("n_dup_paras", F.lit(0)).cast("long").alias("n_dup_paras"),
+            (F.col("n_tok") - F.coalesce("n_dup_paras", F.lit(0)) * seg)
+            .cast("long")
+            .alias("kept_tokens"),
+            F.coalesce("removed_digest", F.md5(F.lit(""))).alias("removed_digest"),
+        )
+    )
+
+
+def _paragraph_base(
+    spark: SparkSession, sf_dir: str, with_tokens: bool
+) -> DataFrame:
+    """Tokenized + segmented documents, persisted: (doc_id, n_tok,
+    segs[, t]). Shared front-end of the paragraph report and the
+    strip apply — each registered op builds its OWN base because the
+    strip needs the raw token array ``t`` (to re-emit the partial
+    tail) while the report must not cache a corpus-sized token column
+    it never reads (r7 cache rule: cache the projection the consumers
+    actually share)."""
     seg = PARA_SEG
     d = _docs(spark, sf_dir)
-    base = d.select(
-        "doc_id",
-        F.expr(_PARA_TOK_S).alias("t"),
-    ).select(
+    cols = [
         "doc_id",
         F.size("t").cast("long").alias("n_tok"),
         F.expr(
@@ -1920,16 +1961,29 @@ def dedup_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"i -> array_join(slice(t, i * {seg} + 1, {seg}), ' ')) "
             f"ELSE array() END"
         ).alias("segs"),
-    )
-    # base feeds the paragraph stream AND the final per-doc report —
+    ]
+    if with_tokens:
+        cols.append("t")
+    base = d.select("doc_id", F.expr(_PARA_TOK_S).alias("t")).select(*cols)
+    # base feeds the paragraph stream AND the final per-doc output —
     # persist so tokenization/segmentation runs once (r7 cache rule:
-    # same projection, no distinguishing pushdown between consumers).
-    # The doc_id repartition goes BELOW the cache, not above it: under
-    # AQE a cached repartition reports UnknownPartitioning to its
-    # consumers, so an upstream exchange would not be reused by the
-    # (doc_id, pidx) signature aggregate anyway — placed here, the
+    # same projection, no distinguishing pushdown between consumers)
+    return base.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _paragraph_removed(base: DataFrame) -> DataFrame:
+    """(doc_id, pidx) rows to REMOVE under the keep-first policy: the
+    MinHash+LSH candidate pipeline over per-paragraph shingles,
+    exact-Jaccard ≥ 0.8 verification on candidates only, then "has a
+    verified partner strictly earlier in (doc_id, pidx) order".
+    Shared by the report (``dedup_paragraph_neardup``) and the apply
+    (``dedup_paragraph_strip``)."""
+    n_perm, n_bands, rows_per_band = 16, 4, 4
+    # The doc_id repartition goes BELOW the base cache, not above it:
+    # under AQE a cached repartition reports UnknownPartitioning to
+    # its consumers, so an upstream exchange would not be reused by
+    # the (doc_id, pidx) signature aggregate anyway — placed here, the
     # explodes and the aggregate all ride one post-cache exchange
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     paras = base.repartition(F.col("doc_id")).select(
         "doc_id", F.posexplode("segs").alias("pidx", "ptext")
     ).select("doc_id", F.col("pidx").cast("long").alias("pidx"), "ptext")
@@ -2014,25 +2068,87 @@ def dedup_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "pidx_a", "doc_b", "pidx_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
-    removed = pairs.select(
+    return pairs.select(
         F.col("doc_b").alias("doc_id"), F.col("pidx_b").alias("pidx")
     ).distinct()
-    rem = removed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dup_paras"),
-        F.expr(
-            "md5(concat_ws(',', transform(array_sort(collect_list(pidx)), "
-            "x -> CAST(x AS STRING))))"
-        ).alias("removed_digest"),
-    )
+
+
+def _para_strip_oracle() -> str:
+    seg = PARA_SEG
     return (
-        base.join(rem, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("segs").cast("long").alias("n_paras"),
-            F.coalesce("n_dup_paras", F.lit(0)).cast("long").alias("n_dup_paras"),
-            (F.col("n_tok") - F.coalesce("n_dup_paras", F.lit(0)) * seg)
-            .cast("long")
-            .alias("kept_tokens"),
-            F.coalesce("removed_digest", F.md5(F.lit(""))).alias("removed_digest"),
-        )
+        _para_ctes()
+        + f""",
+bad AS (SELECT doc_id, list(pidx) AS bad FROM removed GROUP BY doc_id),
+stripped AS (
+  SELECT b.doc_id, b.n_tok, b.segs,
+         CASE WHEN bd.bad IS NULL THEN b.segs
+              ELSE list_transform(
+                list_filter(range(0, CAST(len(b.segs) AS BIGINT)),
+                            i -> NOT list_contains(bd.bad, i)),
+                i -> b.segs[CAST(i + 1 AS INT)])
+         END AS kept,
+         COALESCE(array_to_string(
+           b.t[CAST(len(b.segs) * {seg} + 1 AS INT):CAST(len(b.t) AS INT)],
+           ' '), '') AS tail
+  FROM base b LEFT JOIN bad bd USING (doc_id)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(
+         CASE WHEN tail = '' THEN kept
+              ELSE list_concat(kept, [tail]) END, ' '), '') AS clean_text,
+       CAST(len(kept) * {seg} + n_tok % {seg} AS BIGINT) AS clean_tokens,
+       n_tok
+FROM stripped
+"""
+    )
+
+
+@register(
+    "dedup_paragraph_strip",
+    oracle=_para_strip_oracle(),
+    tags=("dedup", "minhash", "paragraph", "strip", "llm"),
+)
+def dedup_paragraph_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the paragraph keep-first policy — emit the CLEANED corpus
+    (the step where ``dedup_paragraph_neardup``'s report becomes
+    training data, exactly as ``dedup_substring_strip`` is the apply
+    half of the span report): every removed paragraph is dropped, the
+    survivors and the partial trailing segment are re-joined in
+    original order, and the surviving token count rides along. The
+    cleaned TEXT itself is hash-gated, not just the accounting.
+
+    Same scale shape as the report (shared ``_paragraph_removed``
+    pipeline — bucketed candidates, verify-on-candidates); the apply
+    is a row-local index filter against that doc's (tiny) removed-set
+    array — never a token-level join. The base here caches the raw
+    token array too (the strip must re-emit the tail), which is why
+    the two operators build separate bases (r7 rule: cache the
+    projection the consumers actually share, no wider)."""
+    seg = PARA_SEG
+    base = _paragraph_base(spark, sf_dir, with_tokens=True)
+    removed = _paragraph_removed(base)
+    bad = removed.groupBy("doc_id").agg(F.collect_set("pidx").alias("bad"))
+    stripped = base.join(bad, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.expr(
+            "CASE WHEN bad IS NULL THEN segs "
+            "ELSE transform(filter(sequence(0, size(segs) - 1), "
+            "i -> NOT array_contains(bad, CAST(i AS BIGINT))), "
+            "i -> segs[CAST(i AS INT)]) END"
+        ).alias("kept"),
+        F.expr(
+            f"array_join(slice(t, size(segs) * {seg} + 1, 2147483647), ' ')"
+        ).alias("tail"),
+    )
+    return stripped.select(
+        "doc_id",
+        F.expr(
+            "array_join(CASE WHEN tail = '' THEN kept "
+            "ELSE concat(kept, array(tail)) END, ' ')"
+        ).alias("clean_text"),
+        (F.size("kept") * seg + F.col("n_tok") % seg)
+        .cast("long")
+        .alias("clean_tokens"),
+        "n_tok",
     )

@@ -1938,6 +1938,24 @@ def test_paragraph_neardup_on_planted_paragraphs(spark, tmp_path):
         "d4": (1, 0, 21, empty),       # partial tail counted, not a para
         "d5": (0, 0, 8, empty),        # sub-paragraph doc untouched
     }
+    # and the APPLY twin emits the cleaned corpus consistent with the
+    # report: removed paragraphs dropped, survivors + partial tail
+    # re-joined in order, sub-paragraph docs passed through verbatim
+    from mapreduce_citation_spark.operators.dedup import (
+        dedup_paragraph_strip,
+    )
+
+    stripped = {
+        r["doc_id"]: (r["clean_text"], r["clean_tokens"], r["n_tok"])
+        for r in dedup_paragraph_strip(spark, str(tmp_path)).collect()
+    }
+    assert stripped == {
+        "d1": (A + " " + B, 32, 32),
+        "d2": (C, 16, 32),                     # A dropped, C survives
+        "d3": ("", 0, 16),                     # whole doc was the dup
+        "d4": (D + " t0 t1 t2 t3 t4", 21, 21),  # tail re-emitted
+        "d5": ("s0 s1 s2 s3 s4 s5 s6 s7", 8, 8),  # no paras: verbatim
+    }
 
 
 def test_epoch_packed_shuffle_replay_and_token_accounting(spark):
