@@ -2017,3 +2017,156 @@ def corpus_epoch_packed_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("windows_spanned"),
     )
+
+
+#: DSIR geometry: hashed-bigram feature buckets and the target domain
+#: whose distribution importance weights are computed against (the
+#: fixture's sources are src0..src19; src0 is the deterministic pick).
+DSIR_BUCKETS, DSIR_TARGET = 64, "src0"
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOK_D} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || '|' || toks[i + 1])) AS g
+  FROM t WHERE len(toks) >= 2
+),
+f AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM bg
+),
+counts AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_r,
+         CAST(SUM(CAST(source = '{DSIR_TARGET}' AS BIGINT)) AS BIGINT) AS n_t
+  FROM f GROUP BY b
+),
+tot AS (
+  SELECT CAST(SUM(n_r) AS BIGINT) AS r_tot,
+         CAST(SUM(n_t) AS BIGINT) AS t_tot
+  FROM counts
+),
+sb AS (
+  SELECT b, CAST(length(bin(n_t + 1)) - length(bin(n_r + 1)) AS BIGINT)
+           AS sbits
+  FROM counts
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(sbits) AS BIGINT) AS sum_sbits
+  FROM f JOIN sb USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(COALESCE(p.sum_sbits, 0) + COALESCE(p.n_feats, 0)
+            * (SELECT length(bin(r_tot + {DSIR_BUCKETS}))
+                 - length(bin(t_tot + {DSIR_BUCKETS})) FROM tot)
+            AS BIGINT) AS weight_bits
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+    tags=("text", "sampling", "dsir", "llm", "training"),
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") — the hashed-n-gram
+    data-selection pass: every document gets an importance weight
+    log(p_target/p_raw) under bag-of-hashed-bigram models of a TARGET
+    domain (``DSIR_TARGET``'s documents) vs the raw corpus, with
+    Laplace (+1) smoothing over ``DSIR_BUCKETS`` hash buckets. The
+    weight feeds a resampling step the registry already carries
+    (``corpus_pps_systematic_sample`` / ``corpus_budget_selection``).
+
+    Cross-engine determinism: no libm ``log`` anywhere — the
+    per-occurrence log-ratio is quantized to integer BITS exactly as
+    ``text_bigram_surprisal`` does (bits(x) = ⌊log2 x⌋ + 1 via binary
+    string length): sbits(b) = bits(n_t[b]+1) − bits(n_r[b]+1), plus
+    the per-occurrence normalizer bits(R+B) − bits(T+B). Everything
+    is BIGINT; the DuckDB mirror is a hard hash match.
+
+    Scale shape: the corpus tokenizes exactly TWICE (the surprisal
+    convention) — one pass builds the 64-row bucket count table via a
+    single conditional aggregate (n_r and n_t in the same map-side
+    combine, so target counting costs no extra pass), one pass scores
+    against the broadcast 64-row sbits table. The totals fold is a
+    lazy 1-row broadcast (the q22 scalar pattern — no driver collect);
+    the per-doc rollup exchanges only (doc_id, sbits) pairs."""
+    B = DSIR_BUCKETS
+    d = _docs(spark, sf_dir)
+    bg = (
+        d.select("doc_id", "source", F.expr(_TOK_S).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(element_at(toks, i), '|', "
+                    "element_at(toks, i + 1)))"
+                )
+            ).alias("g"),
+        )
+    )
+    f = bg.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) % {B}"
+        ).alias("b"),
+    )
+    counts = f.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r"),
+        F.sum((F.col("source") == DSIR_TARGET).cast("long"))
+        .cast("long")
+        .alias("n_t"),
+    )
+    # bucket tables are DSIR_BUCKETS-row by construction; checkpointed
+    # so the two consumers (sbits + totals) don't re-run the corpus
+    # aggregate (the PMI small-count-table convention)
+    counts = counts.localCheckpoint()
+    tot = counts.agg(
+        F.sum("n_r").cast("long").alias("r_tot"),
+        F.sum("n_t").cast("long").alias("t_tot"),
+    )
+    sb = counts.select(
+        "b",
+        (
+            F.length(F.expr("bin(n_t + 1)")) - F.length(F.expr("bin(n_r + 1)"))
+        )
+        .cast("long")
+        .alias("sbits"),
+    )
+    per = (
+        f.join(F.broadcast(sb), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("sbits").cast("long").alias("sum_sbits"),
+        )
+    )
+    kbits = F.length(F.expr(f"bin(r_tot + {B})")) - F.length(
+        F.expr(f"bin(t_tot + {B})")
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(per, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            (
+                F.coalesce("sum_sbits", F.lit(0))
+                + F.coalesce("n_feats", F.lit(0)) * kbits
+            )
+            .cast("long")
+            .alias("weight_bits"),
+        )
+    )

@@ -2076,3 +2076,63 @@ def test_budget_selection_matches_python_replay(spark):
     }
     assert got == expected
     assert all(v[1] <= SELECT_BUDGET_TOKENS for v in got.values())
+
+
+def test_dsir_weights_match_python_replay(spark):
+    """corpus_dsir_weights vs a pure-python replay of the hashed-
+    bigram DSIR scoring: 60-bit md5 bucket, one conditional count
+    pass (n_r, n_t per bucket), integer-bit quantized log-ratio
+    sbits(b) = bits(n_t+1) - bits(n_r+1) with the per-occurrence
+    normalizer bits(R+B) - bits(T+B). Also pins the selection
+    property the operator exists for: the TARGET source's documents
+    score higher on average than the corpus at large (their features
+    are overrepresented in the target distribution by construction)."""
+    import hashlib
+
+    from mapreduce_citation_spark.operators.text import (
+        DSIR_BUCKETS,
+        DSIR_TARGET,
+        corpus_dsir_weights,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = [
+        (r["doc_id"], r["source"], _py_tokens(r["text"]))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    ]
+
+    def bucket(w1, w2):
+        hv = int(hashlib.md5(f"{w1}|{w2}".encode()).hexdigest()[:15], 16)
+        return hv % DSIR_BUCKETS
+
+    n_r: dict = {}
+    n_t: dict = {}
+    feats = {}
+    for did, src, toks in docs:
+        bs = [bucket(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+        feats[did] = (src, bs)
+        for b in bs:
+            n_r[b] = n_r.get(b, 0) + 1
+            if src == DSIR_TARGET:
+                n_t[b] = n_t.get(b, 0) + 1
+    R, T = sum(n_r.values()), sum(n_t.values())
+    kbits = (R + DSIR_BUCKETS).bit_length() - (T + DSIR_BUCKETS).bit_length()
+    expected = {}
+    for did, (src, bs) in feats.items():
+        w = sum(
+            (n_t.get(b, 0) + 1).bit_length() - (n_r[b] + 1).bit_length() + kbits
+            for b in bs
+        )
+        expected[did] = (src, len(bs), w)
+    got = {
+        r["doc_id"]: (r["source"], r["n_feats"], r["weight_bits"])
+        for r in corpus_dsir_weights(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the separation property: target docs are up-weighted on average
+    tgt = [w for s, _, w in got.values() if s == DSIR_TARGET]
+    rest = [w for s, _, w in got.values() if s != DSIR_TARGET]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)

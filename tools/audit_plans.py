@@ -63,6 +63,8 @@ BROADCAST_ALLOWLIST = {
     ("similarity.py", "cand_ids"): "PQ shortlist: ≤ n_queries×shortlist",
     ("similarity.py", "code_ids"): "PQ codebook ids: exactly K rows",
     ("text.py", "nd"): "1-row aggregate (corpus doc count)",
+    ("text.py", "sb"): "DSIR_BUCKETS-row score table (64 rows by construction)",
+    ("text.py", "tot"): "1-row aggregate (DSIR corpus/target total counts)",
     ("text.py", "nu"): "1-row aggregate (unigram-total scalar fold)",
     ("text.py", "nb"): "1-row aggregate (bigram-total scalar fold)",
     ("tpch_extra.py", "n"): "nation dim: 25 rows",
