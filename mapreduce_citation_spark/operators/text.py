@@ -2170,3 +2170,77 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight_bits"),
         )
     )
+
+
+@register(
+    "text_dup_paragraph_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_D} AS t FROM documents
+),
+segd AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {{seg}} THEN
+           list_transform(range(0, CAST(len(t) // {{seg}} AS BIGINT)),
+             i -> array_to_string(
+               t[CAST(i * {{seg}} + 1 AS INT):CAST(i * {{seg}} + {{seg}} AS INT)],
+               ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS segs
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(segs) AS BIGINT) AS n_paras,
+       CAST(len(segs) - len(list_distinct(segs)) AS BIGINT) AS n_dup_within,
+       CAST(COALESCE(list_max(list_transform(list_distinct(segs),
+            d -> len(list_filter(segs, s -> s = d)))), 0) AS BIGINT)
+         AS top_para_count
+FROM segd
+""".replace("{seg}", "16"),
+    tags=("text", "quality", "paragraph", "llm"),
+)
+def text_dup_paragraph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-DOC duplicate-paragraph stats — the Gopher repetition
+    rule family's paragraph grain (Rae et al.: "fraction of duplicate
+    lines/paragraphs"), complementing the CROSS-doc paragraph family
+    (`dedup_paragraph_neardup`) and the 3-gram repetition scorer:
+    per document, how many of its 16-token paragraphs are verbatim
+    repeats of an earlier paragraph in the SAME document, and the
+    multiplicity of its most-repeated paragraph. Degenerate generated
+    text (looping decoders, boilerplate spam) scores high here before
+    any cross-doc machinery runs.
+
+    Scale shape: the cheapest plan in the family — ONE scan, zero
+    shuffles, zero joins: segmentation and both dup counts are
+    row-local array expressions (the most-frequent count is an
+    O(p²) HOF over a ~dozen-paragraph array, constant per row). At
+    100 TB this is a pure map pass a curation run gets for free on
+    the same scan as the other per-doc featurizers."""
+    seg = 16  # PARA_SEG (dedup.py) — same paragraph stand-in
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.expr(_TOK_S).alias("t"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(t) >= {seg} THEN "
+            f"transform(sequence(0, size(t) div {seg} - 1), "
+            f"i -> array_join(slice(t, i * {seg} + 1, {seg}), ' ')) "
+            f"ELSE array() END"
+        ).alias("segs"),
+    ).select(
+        "doc_id",
+        F.size("segs").cast("long").alias("n_paras"),
+        (F.size("segs") - F.size(F.array_distinct("segs")))
+        .cast("long")
+        .alias("n_dup_within"),
+        F.coalesce(
+            F.expr(
+                "array_max(transform(array_distinct(segs), "
+                "d -> size(filter(segs, s -> s = d))))"
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("top_para_count"),
+    )

@@ -2136,3 +2136,29 @@ def test_dsir_weights_match_python_replay(spark):
     rest = [w for s, _, w in got.values() if s != DSIR_TARGET]
     assert tgt and rest
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_dup_paragraph_stats_on_planted_repeats(spark, tmp_path):
+    """text_dup_paragraph_stats on planted within-doc repeats: a doc
+    whose paragraph repeats (A B A A) counts 2 duplicates with top
+    multiplicity 3; all-unique and sub-paragraph docs score zero."""
+    from mapreduce_citation_spark.operators.text import (
+        text_dup_paragraph_stats,
+    )
+
+    A = " ".join(f"w{i:02d}" for i in range(16))
+    B = " ".join(f"b{i:02d}" for i in range(16))
+    C = " ".join(f"c{i:02d}" for i in range(16))
+    docs = [
+        ("r1", " ".join([A, B, A, A])),   # 4 paras, A x3
+        ("r2", " ".join([B, C])),          # all unique
+        ("r3", "s0 s1 s2"),                # < 16 tokens
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_dup_within"], r["top_para_count"])
+        for r in text_dup_paragraph_stats(spark, str(tmp_path)).collect()
+    }
+    assert got == {"r1": (4, 2, 3), "r2": (2, 0, 1), "r3": (0, 0, 0)}
