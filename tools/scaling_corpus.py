@@ -99,6 +99,18 @@ FAMILIES = (
     # see SUM_NEAR).
     "corpus_epoch_packed_shuffle",
     "dedup_paragraph_neardup",
+    # r11b: the strip apply twin (one cleaned row per doc — exactly
+    # ×K; the curve measures the shared candidate pipeline plus the
+    # row-local index-filter apply), DSIR weights (one row per doc —
+    # exactly ×K in rows; per-doc weights legitimately CHANGE with K
+    # because the bucket counts are global, so rows are the only
+    # construction check; the curve measures the two tokenize passes
+    # + the 64-bucket conditional aggregate), and the within-doc
+    # dup-paragraph stats (zero-shuffle map pass — the floor any
+    # per-doc featurizer should sit near).
+    "dedup_paragraph_strip",
+    "corpus_dsir_weights",
+    "text_dup_paragraph_stats",
 )
 #: embeddings families run over the signed-permutation expansion
 #: (2k → 20k → 200k vectors; queries stay the 10 base vectors, the
@@ -142,6 +154,10 @@ EXACT_LINEAR = {
     # r11: 2 epochs × docs / one report row per doc — exactly ×K
     "corpus_epoch_packed_shuffle",
     "dedup_paragraph_neardup",
+    # r11b: one row per doc each
+    "dedup_paragraph_strip",
+    "corpus_dsir_weights",
+    "text_dup_paragraph_stats",
 }
 NEAR_LINEAR = {"dedup_minhash_lsh", "multimodal_audio_minhash_pairs"}
 #: per-doc-report families whose row count is trivially ×K: the real
