@@ -1804,6 +1804,12 @@ def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: segment is counted in token totals but is not a paragraph).
 PARA_SEG = 16
 
+#: LSH geometry for the paragraph family — ONE definition feeding both
+#: the Spark pipeline (``_paragraph_removed``) and the DuckDB oracle
+#: CTEs (``_para_ctes``), so the two engines cannot silently desync
+#: (r11 ADVICE: the oracle had hardcoded the 16/4/4 split).
+PARA_N_PERM, PARA_N_BANDS, PARA_ROWS_PER_BAND = 16, 4, 4
+
 _PARA_TOK_D = tokens_duck("text")
 _PARA_TOK_S = tokens_spark("text")
 
@@ -1838,12 +1844,16 @@ sh AS (
   SELECT doc_id, pidx, {shingles_duck('ptext', 3)} AS shingles FROM paras
 ),
 sigs AS (
-  SELECT doc_id, pidx, shingles, {minhash_int_duck('shingles')} AS mh FROM sh
+  SELECT doc_id, pidx, shingles,
+         {minhash_int_duck('shingles', PARA_N_PERM)} AS mh FROM sh
 ),
 bands AS (
   SELECT doc_id, pidx,
-         unnest(list_transform(generate_series(0, 3),
-                b -> b || ':' || array_to_string(mh[b * 4 + 1:b * 4 + 4], ','))) AS band_key
+         unnest(list_transform(generate_series(0, {PARA_N_BANDS - 1}),
+                b -> b || ':' || array_to_string(
+                  mh[b * {PARA_ROWS_PER_BAND} + 1:
+                     b * {PARA_ROWS_PER_BAND} + {PARA_ROWS_PER_BAND}],
+                  ','))) AS band_key
   FROM sigs
 ),
 cand AS (
@@ -1978,7 +1988,7 @@ def _paragraph_removed(base: DataFrame) -> DataFrame:
     verified partner strictly earlier in (doc_id, pidx) order".
     Shared by the report (``dedup_paragraph_neardup``) and the apply
     (``dedup_paragraph_strip``)."""
-    n_perm, n_bands, rows_per_band = 16, 4, 4
+    n_perm, n_bands, rows_per_band = PARA_N_PERM, PARA_N_BANDS, PARA_ROWS_PER_BAND
     # The doc_id repartition goes BELOW the base cache, not above it:
     # under AQE a cached repartition reports UnknownPartitioning to
     # its consumers, so an upstream exchange would not be reused by
@@ -2036,6 +2046,11 @@ def _paragraph_removed(base: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    # three references below (both branches of cand_keys' union plus
+    # the final pairs join) — persist so the band self-join + distinct
+    # subtree runs once, the same rule that materializes ``sig`` above
+    # (r11 ADVICE; candidate-pair-sized, never corpus²)
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     # exact verification on candidates only: semi-join BEFORE the
     # shingle rebuild, so the rebuild touches ~|candidate paragraphs|
     cand_keys = (

@@ -25,6 +25,7 @@ from ..functions.text_funcs import (
 )
 from ..registry import register
 from ..sources.readers import load_table
+from .dedup import PARA_SEG
 
 _TOK_S = tokens_spark("text")
 _TOK_D = tokens_duck("text")
@@ -2195,7 +2196,7 @@ SELECT doc_id,
             d -> len(list_filter(segs, s -> s = d)))), 0) AS BIGINT)
          AS top_para_count
 FROM segd
-""".replace("{seg}", "16"),
+""".replace("{seg}", str(PARA_SEG)),
     tags=("text", "quality", "paragraph", "llm"),
 )
 def text_dup_paragraph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2215,7 +2216,7 @@ def text_dup_paragraph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(p²) HOF over a ~dozen-paragraph array, constant per row). At
     100 TB this is a pure map pass a curation run gets for free on
     the same scan as the other per-doc featurizers."""
-    seg = 16  # PARA_SEG (dedup.py) — same paragraph stand-in
+    seg = PARA_SEG  # dedup.py's paragraph grain — same stand-in (r11 ADVICE)
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",

@@ -55,6 +55,7 @@ def test_bench_compare_block_mechanics(tmp_path, monkeypatch):
 
     # isolated artifact dir: bench._prior_artifact scans bench.py's dir
     (tmp_path / "bench.py").write_text("")
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — round 19\n")
     (tmp_path / "BENCH_r03.json").write_text(json.dumps({
         "parsed": {"sf": 0.1, "queries": {"q": 1.0, "r": 1.0},
                    "cal_1t_mbps": 1000, "cal_all_mbps": 8000}}))
@@ -128,8 +129,9 @@ def test_bench_compact_line_fits_driver_tail():
         "compare": {
             "baseline": "BENCH_r10_sf0.1.json",
             "beyond_envelope": ["query_name_number_03"],
-            "queries": {f"query_name_number_{i:02d}": {"ratio_raw": 1.0 + i}
-                        for i in range(38)},
+            "queries": {f"query_name_number_{i:02d}": {
+                "ratio_raw": 1.0 + i, "ratio_norm_all": 0.5 + i}
+                for i in range(38)},
         },
     }
     line = bench._compact_line(out)
@@ -138,7 +140,13 @@ def test_bench_compact_line_fits_driver_tail():
     for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in parsed  # the driver contract survives
     assert parsed["compare_digest"]["n_flagged"] == 1
-    assert len(parsed["compare_digest"]["worst3_raw"]) == 3
+    # each flag and worst-entry carries BOTH raw and normalized ratios
+    # (r11 verdict #2: the digest is the judge's evidence)
+    assert parsed["compare_digest"]["flagged"] == {
+        "query_name_number_03": [4.0, 3.5]}
+    assert len(parsed["compare_digest"]["worst3_raw_norm"]) == 3
+    assert parsed["compare_digest"]["worst3_raw_norm"][
+        "query_name_number_37"] == [38.0, 37.5]
     # pathological size: falls back but stays parseable + under budget
     huge = dict(out, queries={f"q{i}": 1.0 for i in range(500)})
     huge["compare"] = None
@@ -157,6 +165,7 @@ def test_bench_prior_artifact_skips_unusable_driver_files(tmp_path):
 
     import bench
 
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — round 9\n")
     (tmp_path / "BENCH_r07.json").write_text(json.dumps({
         "sf": 0.1, "queries": {"q": 1.0},
         "cal_1t_mbps": 1000, "cal_all_mbps": 8000}))
@@ -178,3 +187,67 @@ def test_bench_prior_artifact_skips_unusable_driver_files(tmp_path):
 
     # nothing usable at all -> None
     assert bench._prior_artifact(7.7, here=str(tmp_path)) is None
+
+
+def test_bench_flag_rule_splits_on_prior_second(tmp_path, monkeypatch):
+    """r12 (r11 verdict #2): sub-second priors flag on the NORMALIZED
+    ratios alone (raw is scheduling-overhead noise in a starved
+    window); priors >= 1 s additionally require the RAW ratio beyond
+    the envelope (a long query's regression must show up raw — pure
+    cal normalization must not fabricate a flag in a fast window)."""
+    import json
+
+    import bench
+
+    (tmp_path / "bench.py").write_text("")
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — round 19\n")
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({
+        "sf": 0.1,
+        "queries": {"short": 0.4, "long": 5.0, "short_ok": 0.4},
+        "cal_1t_mbps": 1000, "cal_all_mbps": 4000}))
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda p: str(tmp_path / "bench.py"))
+
+    # starved window (half capacity): raw 2x == norm 1x for short_ok;
+    # short at raw 3x (norm 1.5x) flags; long at raw 1.3x but norm
+    # 0.65x does NOT (norm gate still required for >= 1 s)
+    slow = {"cal_1t_mbps": 500, "cal_all_mbps": 2000,
+            "cal_effective_cores": 4}
+    blk = bench._compare_block(
+        {"short": 1.2, "long": 6.5, "short_ok": 0.8}, slow, 0.1)
+    assert blk["beyond_envelope"] == ["short"]
+    assert blk["queries"]["short"]["ratio_raw"] == 3.0
+    assert blk["queries"]["short"]["ratio_norm_all"] == 1.5
+
+    # fast window (double capacity): long at raw 1.1x would be norm
+    # 2.2x — the >= 1 s raw gate keeps it unflagged; short at raw 1.1x
+    # (norm 2.2x) DOES flag (sub-second trusts only normalized)
+    fast = {"cal_1t_mbps": 2000, "cal_all_mbps": 8000,
+            "cal_effective_cores": 4}
+    blk2 = bench._compare_block({"long": 5.5, "short": 0.44}, fast, 0.1)
+    assert blk2["beyond_envelope"] == ["short"]
+    assert "beyond_envelope" not in blk2["queries"]["long"]
+    # and a real regression (raw AND norm beyond) still flags long
+    blk3 = bench._compare_block({"long": 15.0}, slow, 0.1)
+    assert blk3["beyond_envelope"] == ["long"]
+
+
+def test_bench_prior_artifact_none_round_fallback(tmp_path):
+    """r12 (r11 ADVICE): with VERDICT.md missing, the same-round filter
+    must not silently vanish — the max-numbered artifact round is
+    conservatively treated as current, so a run can never baseline
+    against a same-round file (the r10 self-baseline bug)."""
+    import json
+
+    import bench
+
+    good = {"sf": 0.1, "queries": {"q": 1.0},
+            "cal_1t_mbps": 1000, "cal_all_mbps": 8000}
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(good))
+    (tmp_path / "BENCH_r08_sf0.1.json").write_text(
+        json.dumps(dict(good, queries={"q": 99.0})))
+
+    assert bench._current_round(here=str(tmp_path)) is None
+    fname, data, _ = bench._prior_artifact(0.1, here=str(tmp_path))
+    assert fname == "BENCH_r07.json"  # max round (8) excluded
+    assert data["queries"] == {"q": 1.0}

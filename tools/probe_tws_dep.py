@@ -20,8 +20,10 @@ protobuf. This probe records why it cannot, from inside the image:
    any source for the package — and the build environment's policy
    additionally forbids package installation.
 
-Writes a round-dated PROBE_TWS_r{N}.json (currently r11; bump
-the name when re-probing in a later round). Re-run if the image changes; if protobuf
+Writes a round-dated PROBE_TWS_r{N}.json — the round number is
+derived at runtime from VERDICT.md via bench._current_round (r11
+ADVICE: the hardcoded name was an easy-to-forget manual bump).
+Re-run if the image changes; if protobuf
 ever appears, the guard in streaming/events.py automatically takes the
 live path and the skip evaporates (that behavior is itself pinned by
 tests/test_streaming.py's guard-equivalence test).
@@ -80,8 +82,13 @@ def main() -> None:
         "always-on guard-equivalence test standing in"
     )
 
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "PROBE_TWS_r11.json")
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, here)
+    from bench import _current_round
+
+    rnd = _current_round(here)
+    name = f"PROBE_TWS_r{rnd}.json" if rnd else "PROBE_TWS_undated.json"
+    out = os.path.join(here, name)
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report, indent=1))
