@@ -610,6 +610,256 @@ def citation_components_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SCC iteration budget. Outer rounds = FW-BW partition-refinement
+#: passes (each splits every class by its (fwd-min, bwd-min) pair);
+#: inner rounds = min-label propagation cap per direction per pass.
+#: Both caps are mirrored EXACTLY in the unrolled DuckDB oracle, and
+#: both loops are idempotent at their fixpoints, so early stopping on
+#: the Spark side can never desync the hash gate (same argument as
+#: ``_components_oracle``). Budgets sized from an exact replay on the
+#: sf0.01 graph (Tarjan + a Python refinement simulation): convergence
+#: takes 5 outer rounds (4 productive + 1 confirming) with inner
+#: propagation depth 11 — the graph has a REAL giant SCC (1892 nodes:
+#: the orderkey∩partkey both-role subgraph is strongly connected) plus
+#: 12.9k singletons, so refinement genuinely has to carve 54 stragglers
+#: off the giant class in rounds 3-4. One round of margin on each cap;
+#: early stopping keeps the Spark side at the actual need.
+SCC_OUTER_ROUNDS = 6
+SCC_INNER_ROUNDS = 13
+
+
+def _min_label_directed(
+    edges_keyed: DataFrame, nodes: DataFrame, rounds: int
+) -> DataFrame:
+    """Min-label propagation along DIRECTED edges to fixpoint (capped):
+    every node starts as its own label; each round a node takes the min
+    of its label and its in-neighbors' labels. ``edges_keyed`` is
+    (src, dst) already repartitioned/sorted on ``src`` — the probe side
+    of the per-round join — so iterations exchange only the node-sized
+    label table (the loop-invariant layout every iterative operator
+    here uses). Monotone min-fold: the changed flag rides the step
+    itself, no old×new join (see :func:`connected_components`)."""
+    labels = nodes.select("node", F.col("node").alias("lab")).localCheckpoint()
+    for _ in range(rounds):
+        nbr = (
+            edges_keyed.join(labels, edges_keyed.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nm"))
+        )
+        stepped = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least("lab", F.coalesce("nm", F.col("lab"))).alias("lab"),
+                (F.coalesce("nm", F.col("lab")) < F.col("lab")).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("_chg")).count()
+        labels = stepped.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    outer_rounds: int = SCC_OUTER_ROUNDS,
+    inner_rounds: int = SCC_INNER_ROUNDS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """STRONGLY connected components of the DIRECTED citation graph by
+    data-parallel forward-backward partition refinement (the
+    Fleischer/Hendrickson/Pinar divide-and-conquer made iterative, as
+    in Orzan-style coloring): maintain a class label per node (all one
+    class initially); each outer round restricts edges to endpoints in
+    the SAME class, propagates min-labels FORWARD (``fwd(v)`` = min
+    in-class ancestor) and BACKWARD on reversed edges (``bwd(v)`` =
+    min in-class descendant), then refines every class by the
+    (fwd, bwd) pair. Nodes of one SCC always share the pair (strong
+    connectivity makes both propagations reach the whole SCC within
+    the class), so classes stay unions of SCCs; nodes that merely
+    share ancestors/descendants — the diamond 1→5, 1→6, 5→2, 6→2,
+    where the single-pass (fwd, bwd) pair heuristic would wrongly fuse
+    {5, 6, 2} — get split in the next round (pytest-pinned). At the
+    fixpoint every class IS an SCC and ``fwd = bwd`` = its min node =
+    the scc_id. A refinement label is ``fwd || '|' || bwd``; since a
+    node's fwd/bwd labels are themselves members of its class, labels
+    from different classes can never collide.
+
+    Scale shape: the two propagation loops ride loop-invariant
+    class-restricted edge layouts (repartitioned + sorted on the probe
+    key, persisted per outer round, columnar/evictable), so each inner
+    round exchanges only the node-sized label table; refinement and
+    the convergence check are node-sized joins. Nothing enumerates
+    reachability pairs — the memory-safe property that makes this the
+    100 TB formulation (transitive closure is O(n²) on this graph's
+    giant weak component). Both round caps are mirrored in the
+    unrolled oracle; see ``SCC_OUTER_ROUNDS``."""
+    e = edges.select(
+        F.col("from_paper").alias("src"), F.col("to_paper").alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    p = nodes.select("node", F.lit("*").alias("cls"))
+    converged = False
+    rounds = 0
+    for _ in range(outer_rounds):
+        rounds += 1
+        same_cls = (
+            e.join(
+                p.select(F.col("node").alias("src"), F.col("cls").alias("cs")),
+                "src",
+            )
+            .join(
+                p.select(F.col("node").alias("dst"), F.col("cls").alias("cd")),
+                "dst",
+            )
+            .filter(F.col("cs") == F.col("cd"))
+            .select("src", "dst")
+        )
+        ef = (
+            same_cls.repartition(F.col("src"))
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        eb = (
+            same_cls.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+            .repartition(F.col("src"))
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        fwd = _min_label_directed(ef, nodes, inner_rounds)
+        bwd = _min_label_directed(eb, nodes, inner_rounds)
+        newp = (
+            fwd.select("node", F.col("lab").alias("f"))
+            .join(bwd.select("node", F.col("lab").alias("b")), "node")
+            .select(
+                "node",
+                F.concat_ws("|", "f", "b").alias("cls"),
+                F.col("f").alias("scc_id"),
+            )
+            .localCheckpoint()
+        )
+        ndiff = (
+            newp.join(p.select("node", F.col("cls").alias("prev")), "node")
+            .filter(F.col("cls") != F.col("prev"))
+            .count()
+        )
+        ef.unpersist()
+        eb.unpersist()
+        p = newp
+        if ndiff == 0:
+            # label strings reproduced themselves: classes are stable
+            # under refinement, i.e. every class is one SCC (a class
+            # that was a union of ≥2 SCCs always splits — the SCC
+            # containing the class's fwd-min keeps the pair (m, m),
+            # any other member node has bwd > m or fwd > m)
+            converged = True
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    return p.select("node", "scc_id")
+
+
+def _scc_oracle(
+    outer: int = SCC_OUTER_ROUNDS, inner: int = SCC_INNER_ROUNDS
+) -> str:
+    """Iteration-unrolled DuckDB mirror of
+    :func:`strongly_connected_components`: ``outer`` refinement passes,
+    each with ``inner`` forward and ``inner`` backward min-label
+    stages over the class-restricted edge set. Unrolled (not a
+    recursive CTE) for the same reasons as ``_components_oracle``;
+    every stage is MATERIALIZED because stage k is referenced twice by
+    stage k+1. Early stopping on the Spark side can never diverge:
+    min-label propagation is monotone and idempotent at its fixpoint,
+    and a stable refinement reproduces itself (er, fwd, bwd, and the
+    pair labels are pure functions of the class labels)."""
+    parts: list[str] = []
+    for r in range(1, outer + 1):
+        parts.append(f"""
+er{r} AS MATERIALIZED (
+  SELECT e.from_paper AS src, e.to_paper AS dst
+  FROM edges e
+  JOIN p{r - 1} ps ON ps.node = e.from_paper
+  JOIN p{r - 1} pd ON pd.node = e.to_paper
+  WHERE ps.cls = pd.cls
+),
+f{r}_0 AS (SELECT node, node AS lab FROM nodes),
+b{r}_0 AS (SELECT node, node AS lab FROM nodes)""")
+        for k in range(1, inner + 1):
+            parts.append(f"""
+f{r}_{k} AS MATERIALIZED (
+  SELECT t.node, LEAST(t.lab, COALESCE(MIN(q.lab), t.lab)) AS lab
+  FROM f{r}_{k - 1} t
+  LEFT JOIN er{r} e ON e.dst = t.node
+  LEFT JOIN f{r}_{k - 1} q ON q.node = e.src
+  GROUP BY t.node, t.lab
+),
+b{r}_{k} AS MATERIALIZED (
+  SELECT t.node, LEAST(t.lab, COALESCE(MIN(q.lab), t.lab)) AS lab
+  FROM b{r}_{k - 1} t
+  LEFT JOIN er{r} e ON e.src = t.node
+  LEFT JOIN b{r}_{k - 1} q ON q.node = e.dst
+  GROUP BY t.node, t.lab
+)""")
+        parts.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT f.node, f.lab || '|' || b.lab AS cls, f.lab AS scc_id
+  FROM f{r}_{inner} f JOIN b{r}_{inner} b ON b.node = f.node
+)""")
+    return (
+        _EDGES_CTE
+        + """,
+nodes AS MATERIALIZED (
+  SELECT DISTINCT from_paper AS node FROM edges
+  UNION
+  SELECT DISTINCT to_paper FROM edges
+),
+p0 AS MATERIALIZED (SELECT node, '*' AS cls FROM nodes),"""
+        + ",".join(parts)
+        + f"""
+SELECT scc_id, COUNT(*) AS n_nodes
+FROM p{outer}
+GROUP BY scc_id
+ORDER BY n_nodes DESC, scc_id ASC
+LIMIT 20
+"""
+    )
+
+
+@register(
+    "citation_scc",
+    oracle=_scc_oracle(),
+    tags=("graph", "scc", "iterative"),
+)
+def citation_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 STRONGLY connected components of the directed citation
+    graph (r11 verdict #4 — everything component-shaped here was
+    undirected; the citation edge list is directed, and cycles are
+    real: the sf0.01 graph has 11 two-cycles, 58 directed triangles,
+    and a self-loop). Same report shape as ``citation_components``;
+    the oracle unrolls the identical forward-backward refinement
+    schedule so the gate is a hard hash match, and pytest pins SCC
+    semantics on planted shapes (2-cycle vs DAG chain, the
+    diamond that defeats the single-pass (fwd, bwd) heuristic, a
+    3-cycle with a tail) against the fixture-free definition."""
+    labels = strongly_connected_components(_edges(spark, sf_dir))
+    return (
+        labels.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), F.col("scc_id").asc())
+        .limit(20)
+    )
+
+
 def _pagerank_oracle(iters: int = 6) -> str:
     """Iteration-unrolled DuckDB mirror of :func:`pagerank`.
 

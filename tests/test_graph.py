@@ -597,3 +597,117 @@ def test_walk_skipgrams_match_python_replay(spark):
         for r in citation_walk_skipgrams(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def _python_scc(edges):
+    """Exact SCCs via Kosaraju (two DFS passes) — the fixture-free
+    definition the Spark refinement must reproduce."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    fadj, radj = defaultdict(list), defaultdict(list)
+    for a, b in edges:
+        fadj[a].append(b)
+        radj[b].append(a)
+    order, seen = [], set()
+    for s in nodes:
+        if s in seen:
+            continue
+        stack = [(s, iter(fadj[s]))]
+        seen.add(s)
+        while stack:
+            v, it = stack[-1]
+            nxt = next((w for w in it if w not in seen), None)
+            if nxt is None:
+                order.append(v)
+                stack.pop()
+            else:
+                seen.add(nxt)
+                stack.append((nxt, iter(fadj[nxt])))
+    comp = {}
+    for s in reversed(order):
+        if s in comp:
+            continue
+        stack, members = [s], []
+        comp[s] = s
+        while stack:
+            v = stack.pop()
+            members.append(v)
+            for w in radj[v]:
+                if w not in comp:
+                    comp[w] = s
+                    stack.append(w)
+        m = min(members)
+        for v in members:
+            comp[v] = m
+    return comp
+
+
+def _scc_groups(labels):
+    groups = defaultdict(frozenset)
+    by_id = defaultdict(set)
+    for node, scc in labels.items():
+        by_id[scc].add(node)
+    return {frozenset(m) for m in by_id.values()}
+
+
+def test_scc_planted_shapes(spark):
+    """r11 verdict #4 acceptance: a 2-cycle and a DAG chain get
+    DIFFERENT SCCs — plus a 3-cycle with a tail, a self-loop, and the
+    diamond (1→5, 1→6, 5→2, 6→2) where the single-pass (fwd, bwd)
+    pair heuristic would wrongly fuse {5, 6, 2}; the iterated
+    refinement must split it back to singletons."""
+    from mapreduce_citation_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "a"),                      # 2-cycle {a,b}
+        ("c", "d"), ("d", "e"),                      # DAG chain: singletons
+        ("p", "q"), ("q", "r"), ("r", "p"), ("r", "s"),  # 3-cycle + tail s
+        ("x", "x"),                                  # self-loop singleton
+        ("1", "5"), ("1", "6"), ("5", "2"), ("6", "2"),  # the diamond
+    ]
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    stats: dict = {}
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(df, stats=stats).collect()
+    }
+    want = _python_scc(edges)
+    assert stats["converged"] is True
+    assert got.keys() == want.keys()
+    assert _scc_groups(got) == _scc_groups(want)
+    # scc_id is the component's min node, so labels match exactly
+    assert got == want
+    # the named acceptance shapes, spelled out
+    assert got["a"] == got["b"] == "a"          # 2-cycle: one SCC
+    assert len({got["c"], got["d"], got["e"]}) == 3  # chain: three SCCs
+    assert got["p"] == got["q"] == got["r"] == "p" and got["s"] == "s"
+    assert len({got["1"], got["5"], got["6"], got["2"]}) == 4  # diamond split
+
+
+def test_scc_matches_kosaraju_on_random_graph(spark):
+    """Adversarial density sweep: a deterministic pseudo-random digraph
+    (hash-derived edges, no RNG state) with nested cycles must match
+    the Kosaraju replay exactly — groups AND min-node labels."""
+    import hashlib
+
+    from mapreduce_citation_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edges = []
+    for i, a in enumerate(nodes):
+        for j, b in enumerate(nodes):
+            if i == j:
+                continue
+            h = hashlib.md5(f"{a}->{b}".encode()).hexdigest()
+            if int(h[:4], 16) % 19 == 0:  # ~5% density
+                edges.append((a, b))
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(df).collect()
+    }
+    want = _python_scc(edges)
+    assert got == want
