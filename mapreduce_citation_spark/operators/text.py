@@ -2245,3 +2245,170 @@ def text_dup_paragraph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_para_count"),
     )
+
+
+#: Fixed BM25 retrieval workload: retrieval needs a query set, and the
+#: gate needs a deterministic one, so the queries are data (fixture
+#: vocabulary), not user input — the same convention as CLF_WEIGHTS.
+BM25_QUERIES: tuple[tuple[str, str], ...] = (
+    ("q_hash_join", "hash join table"),
+    ("q_stream_window", "stream window batch"),
+    ("q_scan_filter", "fast scan filter"),
+)
+BM25_TOPK = 10
+
+
+def bm25_scores(d: DataFrame, queries=BM25_QUERIES) -> DataFrame:
+    """Per-(query, doc) BM25 scores with k1 = 6/5, b = 3/4 — the
+    Robertson/Spärck Jones ranking the RAG retrieval stage
+    (``doc_chunk_windows`` feeds chunks; this ranks them) runs before
+    a reranker. Everything is exact cross-engine:
+
+    - idf is the Lucene variant log((N + 1)/(df + 0.5)), quantized to
+      integer bits as bits(2N + 2) − bits(2df + 1) — the
+      ``text_bigram_surprisal`` convention (no libm log), always ≥ 0;
+    - the tf-saturation term tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+      is cross-multiplied by 10·T (avgdl = T/N) into a single BIGINT
+      ratio: 22·tf·T / (10·T·tf + 3·T + 9·dl·N) — one exact integer
+      division per term, bit-identical in both engines;
+    - the per-(query, doc) sum over matched terms is the house
+      value-sorted fold (deterministic association order).
+
+    Scale shape: postings are filtered to the QUERY VOCABULARY before
+    anything shuffles (the isin predicate rides the explode — at
+    100 TB only query-term postings move, the inverted-index access
+    path expressed declaratively); df is vocab-bounded and broadcast;
+    corpus totals are the lazy 1-row broadcast fold. The corpus
+    tokenizes exactly twice (stats + postings — the surprisal
+    convention). BIGINT headroom: bits·22·tf·T stays under 2^63 up to
+    ~10^12 corpus tokens; past that the T factor pair (22·tf·T, 10·T·tf
+    + …) would rescale by gcd 2T without changing any ratio."""
+    spark = d.sparkSession
+    toks = d.select("doc_id", F.expr(_TOK_S).alias("t"))
+    qvocab = sorted({w for _, qt in queries for w in qt.split()})
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, qt in queries for w in sorted(set(qt.split()))],
+        ["query_id", "term"],
+    )
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("t").cast("long").alias("dl"),
+            F.explode("t").alias("term"),
+        )
+        .filter(F.col("term").isin(qvocab))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        # two consumers (df rollup + scoring join) on a postings table
+        # already reduced to query-vocabulary terms
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("t")).cast("long").alias("t_tot"),
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                (
+                    F.length(F.expr("bin(2 * n_docs + 2)"))
+                    - F.length(F.expr("bin(2 * df + 1)"))
+                ).cast("long")
+                * 22
+                * F.col("tf")
+                * F.col("t_tot")
+            )
+            .cast("double")
+            .alias("num"),
+            (
+                F.lit(10) * F.col("t_tot") * F.col("tf")
+                + F.lit(3) * F.col("t_tot")
+                + F.lit(9) * F.col("dl") * F.col("n_docs")
+            ).alias("den"),
+        )
+        .select("query_id", "doc_id", (F.col("num") / F.col("den")).alias("c"))
+    )
+    return contrib.groupBy("query_id", "doc_id").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(c)), 0D, (a, x) -> a + x)"
+        ).alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+
+
+def _bm25_oracle(queries=BM25_QUERIES, topk: int = BM25_TOPK) -> str:
+    vals = ", ".join(f"('{qid}', '{qt}')" for qid, qt in queries)
+    qvocab = sorted({w for _, qt in queries for w in qt.split()})
+    inlist = ", ".join(f"'{w}'" for w in qvocab)
+    return f"""
+WITH q(query_id, qtext) AS (VALUES {vals}),
+qterms AS (
+  SELECT DISTINCT query_id, unnest({tokens_duck('qtext')}) AS term FROM q
+),
+toks AS (SELECT doc_id, {_TOK_D} AS t FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(t)) AS BIGINT) AS t_tot
+  FROM toks
+),
+posting AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks
+),
+tf AS (
+  SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM posting WHERE term IN ({inlist})
+  GROUP BY doc_id, term, dl
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(CAST(length(bin(2 * s.n_docs + 2))
+                   - length(bin(2 * df.df + 1)) AS BIGINT)
+              * 22 * tf.tf * s.t_tot AS DOUBLE)
+         / (10 * s.t_tot * tf.tf + 3 * s.t_tot + 9 * tf.dl * s.n_docs) AS c
+  FROM tf JOIN qterms qt USING (term) JOIN df USING (term) CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_sort(list(c)), (a, b) -> a + b) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score, n_terms, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) z
+WHERE rn <= {topk}
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_bm25_oracle(),
+    tags=("text", "retrieval", "bm25", "llm"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{k} retrieval over the fixed query workload (r11
+    verdict #6): the standard sparse-retrieval scorer a RAG pipeline
+    runs over the chunk/document store — see :func:`bm25_scores` for
+    the exact-integer formulation and the inverted-index-shaped plan.
+    Deterministic top-k: score desc, doc_id asc (ties are real — docs
+    sharing tf/dl profiles — and the tie-break is part of the
+    contract, the ``text_tfidf_top_terms`` convention)."""
+    scored = bm25_scores(_docs(spark, sf_dir))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "doc_id", "score", "n_terms", "rank")
+    )

@@ -2162,3 +2162,56 @@ def test_dup_paragraph_stats_on_planted_repeats(spark, tmp_path):
         for r in text_dup_paragraph_stats(spark, str(tmp_path)).collect()
     }
     assert got == {"r1": (4, 2, 3), "r2": (2, 0, 1), "r3": (0, 0, 0)}
+
+
+def test_bm25_matches_python_replay(spark):
+    """BM25 (r11 verdict #6): exact replay of the quantized-idf
+    cross-multiplied arithmetic on a planted corpus, plus the
+    retrieval property — a doc matching every query term outranks a
+    doc matching one, and tf saturation caps term-stuffing."""
+    from mapreduce_citation_spark.operators.text import bm25_scores
+
+    queries = (("q1", "hash join"), ("q2", "scan"))
+    docs = [
+        ("d1", "hash join table hash"),        # both q1 terms, tf(hash)=2
+        ("d2", "hash hash hash hash hash"),    # term stuffing, one term
+        ("d3", "join column"),                 # one q1 term
+        ("d4", "scan scan filter"),            # q2 only
+        ("d5", "the a of and or not"),         # no query terms
+    ]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["n_terms"])
+        for r in bm25_scores(d, queries=queries).collect()
+    }
+
+    # pure-python replay of the exact integer formulation
+    toks = {i: t.split() for i, t in docs}
+    n_docs = len(docs)
+    t_tot = sum(len(t) for t in toks.values())
+    qterms = {qid: sorted(set(qt.split())) for qid, qt in queries}
+    vocab = sorted({w for ts in qterms.values() for w in ts})
+    df = {w: sum(1 for t in toks.values() if w in t) for w in vocab}
+    want = {}
+    for qid, terms in qterms.items():
+        for did, t in toks.items():
+            cs = []
+            for w in terms:
+                tf = t.count(w)
+                if tf == 0:
+                    continue
+                bits = len(bin(2 * n_docs + 2)) - len(bin(2 * df[w] + 1))
+                num = float(bits * 22 * tf * t_tot)
+                den = 10 * t_tot * tf + 3 * t_tot + 9 * len(t) * n_docs
+                cs.append(num / den)
+            if cs:
+                acc = 0.0
+                for c in sorted(cs):
+                    acc += c
+                want[(qid, did)] = (acc, len(cs))
+    assert got == want  # float-exact: same ints, same division, same order
+
+    # retrieval semantics: full match beats partial; stuffing saturates
+    assert got[("q1", "d1")][0] > got[("q1", "d3")][0]
+    assert got[("q1", "d1")][0] > got[("q1", "d2")][0]
+    assert ("q1", "d5") not in got and ("q2", "d1") not in got

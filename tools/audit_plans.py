@@ -63,6 +63,9 @@ BROADCAST_ALLOWLIST = {
     ("similarity.py", "cand_ids"): "PQ shortlist: ≤ n_queries×shortlist",
     ("similarity.py", "code_ids"): "PQ codebook ids: exactly K rows",
     ("text.py", "nd"): "1-row aggregate (corpus doc count)",
+    ("text.py", "qterms"): "BM25 query-term table: |fixed workload| = 9 rows",
+    ("text.py", "df_"): "BM25 df table: bounded by the query vocabulary",
+    ("text.py", "stats"): "1-row aggregate (BM25 corpus N + token total)",
     ("text.py", "sb"): "DSIR_BUCKETS-row score table (64 rows by construction)",
     ("text.py", "tot"): "1-row aggregate (DSIR corpus/target total counts)",
     ("text.py", "nu"): "1-row aggregate (unigram-total scalar fold)",
