@@ -111,6 +111,24 @@ def minhash_int_duck(shingles_expr: str, n_perm: int = 16) -> str:
     return f"[{mins}]"
 
 
+def minhash_int_spark(shingles_expr: str, n_perm: int = 16) -> str:
+    """Spark array of n_perm integer MinHash values — the MAP-SIDE
+    (HOF) twin of :func:`minhash_int_duck`: same md5-derived shingle
+    ints, same inlined universal-hash coefficients, zero shuffle (vs
+    the exploded min-agg formulation, which pays a (doc, key) exchange
+    — right when the signature table is reused across joins, wrong
+    when signatures are consumed in place, e.g. a per-batch delta)."""
+    # parenthesized: shingle_int_hash_spark ends in `% P`, and `*`
+    # binds at the same precedence — unwrapped, `a * CAST(...) % P`
+    # multiplies the raw 60-bit prefix first and overflows BIGINT
+    h = f"({shingle_int_hash_spark('s')})"
+    mins = ", ".join(
+        f"array_min(transform({shingles_expr}, s -> ({a} * {h} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_params(n_perm)
+    )
+    return f"array({mins})"
+
+
 def lsh_bands_spark(minhash_expr: str, n_bands: int = 4, rows: int = 4) -> str:
     """Band keys 'b:md5(sig)' from a MinHash array (Spark)."""
     return (

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..functions.text_funcs import (
     MINHASH_P,
     minhash_int_duck,
+    minhash_int_spark,
     minhash_params,
     shingle_int_hash_spark,
     shingles_duck,
@@ -174,10 +175,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Signatures/bands are pure map-side higher-order expressions (one
     codegen span, no shuffle); the only shuffles are the band-bucket
-    self-join and the two candidate→shingle joins — each keyed, each
-    linear in candidates, never in n²."""
+    self-join and the candidate→shingle verify joins — each keyed,
+    each linear in candidates, never in n². The verify strategy is
+    parameterized (equijoin vs per-pair ``array_intersect``) for the
+    r11-advisory hot-shingle A/B; both are exact, same output."""
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def minhash_lsh_pairs(d: DataFrame, verify: str = "equijoin") -> DataFrame:
+    """Candidate generation + exact verify for ``dedup_minhash_lsh``.
+
+    ``verify`` picks the exact-Jaccard verification plan (identical
+    outputs, different data movement — the r11 verdict advisory's
+    A/B surface, measured in tools/ab_minhash_verify.py):
+
+    - ``"equijoin"``: re-derive EXPLODED shingles for candidate docs,
+      self-join on the shingle value (x.doc < y.doc), count matches
+      per pair. Each shingle row moves once, but a shingle shared by
+      m candidate docs emits C(m, 2) join rows — quadratic within a
+      hot shingle's value group.
+    - ``"intersect"``: re-derive shingle ARRAYS for candidate docs,
+      join each candidate pair to its two arrays, intersect
+      row-locally (the ``dedup_clusters`` shape). Arrays move once
+      per pair membership (a doc in p pairs ships its array p times),
+      but hot shingles cost nothing — work is Σ over pairs of
+      |A| + |B|, immune to value-group skew."""
     n_perm, n_bands, rows_per_band = 16, 4, 4
-    d = _docs(spark, sf_dir)
     # one pass: exploded distinct shingles, md5-digested ONCE each;
     # the 16 permutations are universal-hash integer arithmetic
     # ((a_i*h + b_i) mod P, inlined literal coefficients) over that
@@ -234,9 +257,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no broadcast hint on the data-dependent candidate set — AQE
     # decides from its measured size (broadcasts at fixture scale,
     # degrades gracefully to a shuffle semi-join when candidates grow)
-    exc = exploded_word_shingles(
-        d.join(docs_in_cand, "doc_id", "left_semi"), 3
-    )
+    cand_docs = d.join(docs_in_cand, "doc_id", "left_semi")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    if verify == "intersect":
+        sha = cand_docs.select(
+            "doc_id", F.expr(_SH_SPARK).alias("sh")
+        )
+        pairs = (
+            cand.join(
+                sha.select(
+                    F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                sha.select(
+                    F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_a",
+                "n_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            )
+        )
+        return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= 0.8
+        )
+    exc = exploded_word_shingles(cand_docs, 3)
     common = (
         exc.alias("x")
         .join(exc.alias("y"), (F.col("x.s") == F.col("y.s"))
@@ -244,7 +295,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         cand.join(common, ["doc_a", "doc_b"])
         .select("doc_a", "doc_b", jac.alias("jaccard"))
@@ -1950,18 +2000,12 @@ def dedup_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _paragraph_base(
-    spark: SparkSession, sf_dir: str, with_tokens: bool
-) -> DataFrame:
-    """Tokenized + segmented documents, persisted: (doc_id, n_tok,
-    segs[, t]). Shared front-end of the paragraph report and the
-    strip apply — each registered op builds its OWN base because the
-    strip needs the raw token array ``t`` (to re-emit the partial
-    tail) while the report must not cache a corpus-sized token column
-    it never reads (r7 cache rule: cache the projection the consumers
-    actually share)."""
+def _doc_segs(d: DataFrame, with_tokens: bool = False) -> DataFrame:
+    """(doc_id, n_tok, segs[, t]) — tokenized + PARA_SEG-segmented
+    documents, UNPERSISTED: callers cache per their own reuse shape
+    (the r7 rule — the batch family persists it, the ingest base
+    consumes it exactly once)."""
     seg = PARA_SEG
-    d = _docs(spark, sf_dir)
     cols = [
         "doc_id",
         F.size("t").cast("long").alias("n_tok"),
@@ -1974,11 +2018,25 @@ def _paragraph_base(
     ]
     if with_tokens:
         cols.append("t")
-    base = d.select("doc_id", F.expr(_PARA_TOK_S).alias("t")).select(*cols)
+    return d.select("doc_id", F.expr(_PARA_TOK_S).alias("t")).select(*cols)
+
+
+def _paragraph_base(
+    spark: SparkSession, sf_dir: str, with_tokens: bool
+) -> DataFrame:
+    """Tokenized + segmented documents, persisted: (doc_id, n_tok,
+    segs[, t]). Shared front-end of the paragraph report and the
+    strip apply — each registered op builds its OWN base because the
+    strip needs the raw token array ``t`` (to re-emit the partial
+    tail) while the report must not cache a corpus-sized token column
+    it never reads (r7 cache rule: cache the projection the consumers
+    actually share)."""
     # base feeds the paragraph stream AND the final per-doc output —
     # persist so tokenization/segmentation runs once (r7 cache rule:
     # same projection, no distinguishing pushdown between consumers)
-    return base.persist(StorageLevel.MEMORY_AND_DISK)
+    return _doc_segs(_docs(spark, sf_dir), with_tokens).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def _paragraph_removed(base: DataFrame) -> DataFrame:
@@ -2167,3 +2225,287 @@ def dedup_paragraph_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("clean_tokens"),
         "n_tok",
     )
+
+
+# --- paragraph-grain INGEST dedup (r11 verdict #3) -------------------------
+
+
+def _para_sigs(segs_frame: DataFrame) -> DataFrame:
+    """(doc_id, pidx, sh, n_sh, mh) per paragraph from a (doc_id, segs)
+    frame — shingle arrays and integer MinHash signatures computed
+    MAP-SIDE with HOFs (``minhash_int_spark``): zero shuffle, unlike
+    the exploded min-agg the batch family uses (which pays a doc_id
+    exchange it then reuses — the ingest delta is consumed in place,
+    so there is nothing to reuse)."""
+    paras = segs_frame.select(
+        "doc_id", F.posexplode("segs").alias("pidx", "ptext")
+    ).select("doc_id", F.col("pidx").cast("long").alias("pidx"), "ptext")
+    return paras.select(
+        "doc_id",
+        "pidx",
+        F.expr(shingles_spark("ptext", 3)).alias("sh"),
+    ).select(
+        "doc_id",
+        "pidx",
+        "sh",
+        F.size("sh").cast("long").alias("n_sh"),
+        F.expr(minhash_int_spark("sh", PARA_N_PERM)).alias("mh"),
+    )
+
+
+def _para_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, pidx, band_key) — the LSH band explode, band strings
+    identical to the batch family's and the DuckDB CTEs'."""
+    rpb = PARA_ROWS_PER_BAND
+    band_cols = [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.concat_ws(
+                ",", *[F.col("mh")[b * rpb + j] for j in range(rpb)]
+            ),
+        ).alias(f"band{b}")
+        for b in range(PARA_N_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", "pidx", F.explode(F.array(*band_cols)).alias("band_key")
+    )
+
+
+class ParagraphIngestBase:
+    """Precomputed base-side artifacts for paragraph-grain ingest
+    dedup — the Dolma-style pipeline's live half (r11 verdict #3): at
+    a 100 TB base these are outputs of previous runs, derived once, so
+    every delta batch pays only delta-proportional work plus probe
+    joins against cached layouts (the :class:`IngestBase` discipline
+    one grain down).
+
+    Partitioning contract: ``bands`` is persisted repartitioned +
+    locally sorted on ``band_key`` (the candidate join's key) and
+    ``sigs`` on ``(doc_id, pidx)`` (the verify join's key), so
+    per-batch probes plan no Exchange/Sort on the base side."""
+
+    def __init__(self, sigs: DataFrame, bands: DataFrame) -> None:
+        self.sigs = sigs
+        self.bands = bands
+        self._frames = (sigs, bands)
+
+    def materialize(self) -> "ParagraphIngestBase":
+        for f in self._frames:
+            f.count()
+        return self
+
+    def unpersist(self) -> None:
+        for f in self._frames:
+            f.unpersist()
+
+
+def prepare_paragraph_base(base_docs: DataFrame) -> ParagraphIngestBase:
+    """Derive the base corpus's paragraph artifacts once: per-paragraph
+    shingle arrays + sizes (verify side) and LSH band keys (candidate
+    side), persisted MEMORY_AND_DISK under their probe keys. One
+    tokenize/shingle/sign pass over the base; bands derive from the
+    cached signature table, not a second pass."""
+    sigs = (
+        _para_sigs(_doc_segs(base_docs))
+        .repartition(F.col("doc_id"), F.col("pidx"))
+        .sortWithinPartitions("doc_id", "pidx")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = (
+        _para_bands(sigs)
+        .repartition(F.col("band_key"))
+        .sortWithinPartitions("band_key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return ParagraphIngestBase(sigs, bands)
+
+
+def paragraph_ingest_report(
+    delta: DataFrame,
+    base: ParagraphIngestBase,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Per-batch half of paragraph-grain ingest dedup: each DELTA
+    document's paragraphs are near-dedup'd against the authoritative
+    BASE's paragraph signatures — MinHash+LSH candidates (delta bands
+    probe the cached base band table), then exact shingle-Jaccard
+    ≥ 0.8 verified PER PAIR with ``array_intersect`` over the two
+    cached shingle arrays (row-local — never a token-level equi-join;
+    paragraph shingle sets are ≤ PARA_SEG−2 elements, so the per-pair
+    intersect is constant work, the ``dedup_clusters`` verify shape).
+    Output: the same per-doc report as ``dedup_paragraph_neardup``
+    (n_paras, n_dup_paras, kept_tokens, removed-index digest), for
+    delta docs only.
+
+    Batching independence (the property the streaming twin's oracle
+    relies on, pytest-pinned): a delta paragraph is removed iff some
+    BASE paragraph matches it — a pairwise predicate against a fixed
+    base, no delta-vs-delta pairs and no keep-first ordering — so the
+    union of per-batch reports equals the one-shot report under any
+    chop of the stream.
+
+    State/cost per batch: delta-proportional (the delta tokenizes
+    once; signatures are HOF map-side) plus two probe joins whose
+    base side is pre-partitioned/sorted under the join key. Frames
+    persisted per batch (the segmented delta feeds signatures + the
+    final report join; delta signatures feed bands + verify) are
+    appended to ``caches`` for the foreachBatch driver to unpersist
+    per epoch."""
+    dseg = _doc_segs(delta).persist(StorageLevel.MEMORY_AND_DISK)
+    dsig = _para_sigs(dseg).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.extend([dseg, dsig])
+    cand = (
+        _para_bands(dsig)
+        .select(
+            F.col("doc_id").alias("doc_d"),
+            F.col("pidx").alias("pidx_d"),
+            "band_key",
+        )
+        .join(
+            base.bands.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("pidx").alias("pidx_b"),
+                "band_key",
+            ),
+            "band_key",
+        )
+        .select("doc_d", "pidx_d", "doc_b", "pidx_b")
+        .distinct()
+    )
+    x = dsig.select(
+        F.col("doc_id").alias("doc_d"),
+        F.col("pidx").alias("pidx_d"),
+        F.col("sh").alias("sh_d"),
+        F.col("n_sh").alias("n_d"),
+    )
+    y = base.sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pidx").alias("pidx_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    common = F.size(F.array_intersect("sh_d", "sh_b")).cast("long")
+    pairs = (
+        cand.join(x, ["doc_d", "pidx_d"])
+        .join(y, ["doc_b", "pidx_b"])
+        .select(
+            "doc_d",
+            "pidx_d",
+            (common / (F.col("n_d") + F.col("n_b") - common)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    removed = pairs.select(
+        F.col("doc_d").alias("doc_id"), F.col("pidx_d").alias("pidx")
+    ).distinct()
+    rem = removed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_paras"),
+        F.expr(
+            "md5(concat_ws(',', transform(array_sort(collect_list(pidx)), "
+            "x -> CAST(x AS STRING))))"
+        ).alias("removed_digest"),
+    )
+    seg = PARA_SEG
+    return dseg.join(rem, "doc_id", "left").select(
+        "doc_id",
+        F.size("segs").cast("long").alias("n_paras"),
+        F.coalesce("n_dup_paras", F.lit(0)).cast("long").alias("n_dup_paras"),
+        (F.col("n_tok") - F.coalesce("n_dup_paras", F.lit(0)) * seg)
+        .cast("long")
+        .alias("kept_tokens"),
+        F.coalesce("removed_digest", F.md5(F.lit(""))).alias("removed_digest"),
+    )
+
+
+def _para_ingest_oracle() -> str:
+    """DuckDB mirror of the paragraph ingest pipeline: identical
+    segmentation/shingles/MinHash/bands as ``_para_ctes`` (same module
+    constants), candidates restricted to delta(doc_id % 8 = 0) ×
+    base(% 8 <> 0), per-pair ``list_intersect`` verify, and the
+    neardup report shape over delta docs only."""
+    seg = PARA_SEG
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_PARA_TOK_D} AS t FROM documents
+),
+base AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok,
+         CASE WHEN len(t) >= {seg} THEN
+           list_transform(range(0, CAST(len(t) // {seg} AS BIGINT)),
+             i -> array_to_string(
+               t[CAST(i * {seg} + 1 AS INT):CAST(i * {seg} + {seg} AS INT)],
+               ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS segs
+  FROM toks
+),
+paras AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, CAST(len(segs) AS BIGINT))) AS BIGINT) AS pidx,
+         unnest(segs) AS ptext
+  FROM base
+),
+sh AS (
+  SELECT doc_id, pidx, {shingles_duck('ptext', 3)} AS shingles FROM paras
+),
+sigs AS (
+  SELECT doc_id, pidx, shingles,
+         {minhash_int_duck('shingles', PARA_N_PERM)} AS mh FROM sh
+),
+bands AS (
+  SELECT doc_id, pidx,
+         unnest(list_transform(generate_series(0, {PARA_N_BANDS - 1}),
+                b -> b || ':' || array_to_string(
+                  mh[b * {PARA_ROWS_PER_BAND} + 1:
+                     b * {PARA_ROWS_PER_BAND} + {PARA_ROWS_PER_BAND}],
+                  ','))) AS band_key
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_d, a.pidx AS pidx_d,
+                  b.doc_id AS doc_b, b.pidx AS pidx_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key
+  WHERE a.doc_id % 8 = 0 AND b.doc_id % 8 <> 0
+),
+pairs AS (
+  SELECT c.doc_d, c.pidx_d
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_d AND x.pidx = c.pidx_d
+  JOIN sh y ON y.doc_id = c.doc_b AND y.pidx = c.pidx_b
+  WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0
+          / (len(x.shingles) + len(y.shingles)
+             - len(list_intersect(x.shingles, y.shingles))) >= 0.8
+),
+removed AS (SELECT DISTINCT doc_d AS doc_id, pidx_d AS pidx FROM pairs),
+rem AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_paras,
+         md5(array_to_string(list_transform(list_sort(list(pidx)),
+             x -> CAST(x AS VARCHAR)), ',')) AS removed_digest
+  FROM removed GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.segs) AS BIGINT) AS n_paras,
+       CAST(COALESCE(r.n_dup_paras, 0) AS BIGINT) AS n_dup_paras,
+       CAST(b.n_tok - COALESCE(r.n_dup_paras, 0) * {seg} AS BIGINT)
+         AS kept_tokens,
+       COALESCE(r.removed_digest, md5('')) AS removed_digest
+FROM base b LEFT JOIN rem r USING (doc_id)
+WHERE b.doc_id % 8 = 0
+"""
+
+
+@register(
+    "dedup_paragraph_ingest",
+    oracle=_para_ingest_oracle(),
+    tags=("dedup", "paragraph", "ingest", "minhash", "llm"),
+)
+def dedup_paragraph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH twin of the streaming paragraph ingest (r11 verdict #3):
+    the DELTA cohort's (doc_id % 8 = 0 — divisor of the expansion
+    stride) paragraphs near-dedup'd against the authoritative BASE's
+    paragraph signatures. See :func:`paragraph_ingest_report` for the
+    semantics/scale shape and :func:`prepare_paragraph_base` for the
+    base artifacts the streaming twin reuses per micro-batch."""
+    d = _docs(spark, sf_dir)
+    arts = prepare_paragraph_base(d.filter(F.col("doc_id") % 8 != 0))
+    return paragraph_ingest_report(d.filter(F.col("doc_id") % 8 == 0), arts)

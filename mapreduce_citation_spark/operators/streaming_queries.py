@@ -1487,3 +1487,98 @@ def streaming_funnel_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "heartbeat staging failed to advance the watermark"
     )
     return out
+
+
+from .dedup import _para_ingest_oracle as _PARA_INGEST_ORACLE_FN  # noqa: E402
+
+
+@register(
+    "streaming_paragraph_ingest",
+    oracle=_PARA_INGEST_ORACLE_FN(),
+    tags=("streaming", "foreachBatch", "dedup", "paragraph", "ingest",
+          "llm"),
+)
+def streaming_paragraph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE paragraph-grain ingest dedup (nineteenth streaming family,
+    r11 verdict #3) — the Dolma-style pipeline's live half: the delta
+    cohort streams in 4 real micro-batches (chunked staging +
+    maxFilesPerTrigger=1), the BASE's paragraph artifacts (per-
+    paragraph shingle arrays + LSH band table) are derived ONCE up
+    front (``prepare_paragraph_base`` — persisted under their probe
+    keys, eagerly filled so no batch absorbs the fill), and each batch
+    runs ``paragraph_ingest_report`` inside ``foreachBatch``, appending
+    per-doc reports to the epoch-keyed exactly-once parquet MV
+    (``write_epoch``). Per-batch caches are unpersisted at the end of
+    each epoch and the base artifacts when the stream stops.
+
+    Why the oracle is the SAME mirrored-LSH SQL as the batch twin
+    (``dedup_paragraph_ingest``): the report is BATCHING-INDEPENDENT —
+    a delta paragraph is removed iff some base paragraph matches it, a
+    pairwise predicate against a fixed base with no delta-vs-delta
+    pairs and no keep-first ordering — so the union over micro-batches
+    equals the one-shot report under any chop of the stream
+    (pytest-pinned like the doc-grain
+    ``test_ingest_rejections_are_batching_independent``).
+
+    At 100 TB: base artifacts are previous runs' outputs (exactly what
+    ``prepare_paragraph_base`` models); per-batch state is bounded by
+    the DELTA's paragraphs — signatures are HOF map-side, candidates
+    probe the cached band layout, verify is row-local
+    ``array_intersect`` per candidate pair."""
+    from ..streaming.events import write_epoch
+    from .dedup import (
+        _docs,
+        paragraph_ingest_report,
+        prepare_paragraph_base,
+    )
+
+    chunks = _staged_doc_chunks(spark, sf_dir)
+    schema = spark.read.parquet(chunks).schema
+    delta_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+        .filter(F.col("doc_id") % 8 == 0)
+    )
+    arts = prepare_paragraph_base(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 8 != 0)
+    ).materialize()
+    # everything after materialize() under try/finally: the base caches
+    # are corpus-sized eager persists (the r9 ADVICE leak rule)
+    try:
+        out = tempfile.mkdtemp(prefix="para_ingest_out_")
+        ckpt = tempfile.mkdtemp(prefix="para_ingest_ckpt_")
+
+        def merge(bdf: DataFrame, epoch_id: int) -> None:
+            if bdf.isEmpty():
+                return
+            caches: list[DataFrame] = []
+            try:
+                write_epoch(
+                    paragraph_ingest_report(bdf, arts, caches), epoch_id, out
+                )
+            finally:
+                for c in caches:
+                    c.unpersist()
+
+        q = (
+            delta_stream.writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(merge)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        arts.unpersist()
+    if not any(e.startswith("epoch_id=") for e in os.listdir(out)):
+        # an all-empty delta wrote nothing — empty report, right schema
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_paras long, n_dup_paras long, "
+            "kept_tokens long, removed_digest string",
+        )
+    return spark.read.parquet(out).select(
+        "doc_id", "n_paras", "n_dup_paras", "kept_tokens", "removed_digest"
+    )

@@ -137,6 +137,20 @@ _QUERY_MODULES = (
 #:   r11  citation_label_propagation  → citation_components_auto (the
 #:        r10-verdict-requested auto dispatcher; graph family keeps 4
 #:        in-window reps, LPA stays full-sweep-gated)
+#:   r12  citation_components_auto    → citation_scc (the directed
+#:        graph finally gets its STRONG components — the r11 verdict's
+#:        one named capability gap; the auto dispatcher stays
+#:        registered + full-sweep-gated, graph keeps 4 in-window reps)
+#:   r12  text_pmi_collocations       → text_bm25_topk (the RAG
+#:        retrieval scorer the chunk family feeds; PMI stays
+#:        registered + full-sweep-gated, text keeps 4 in-window reps)
+#:   r12  streaming_ingest_dedup      → streaming_paragraph_ingest
+#:        (the Dolma-style live paragraph ingest subsumes the exact-
+#:        digest streaming showcase; the exact twin stays registered +
+#:        benched + full-sweep-gated, streaming keeps 6 in-window
+#:        reps). The batch twin dedup_paragraph_ingest stays out of
+#:        window (its live twin shares the same oracle; the DSIR
+#:        precedent for beyond-list siblings).
 #:
 #: currently IN (position = tuple order below; "in" round):
 #:   r1:  citation_counts, top_cited, citing_papers, scalar_string_funcs,
@@ -164,8 +178,8 @@ _QUERY_MODULES = (
 #:        streaming_cumulative_users
 #:   r9:  streaming_ingest_dedup
 #:   r10: corpus_sequence_packing (displaced r11)
-#:   r11: dedup_paragraph_neardup, corpus_epoch_packed_shuffle,
-#:        citation_components_auto
+#:   r11: dedup_paragraph_neardup, corpus_epoch_packed_shuffle
+#:   r12: citation_scc, text_bm25_topk, streaming_paragraph_ingest
 _PRIORITY = (
     # SURVEY §2: the reference's citation pipeline + scalar family.
     "citation_counts",
@@ -183,9 +197,11 @@ _PRIORITY = (
     "events_daily_acf",
     "embedding_power_iteration",
     "layout_zorder_stats",
-    "text_pmi_collocations",
-    # r11 rotation: the auto-dispatching components in for LPA
-    "citation_components_auto",
+    # r12 rotation: BM25 retrieval in for PMI collocations
+    "text_bm25_topk",
+    # r12 rotation: strongly connected components in for the auto
+    # dispatcher
+    "citation_scc",
     # r10 extension rotation: citation_random_walks in for
     # citation_hits (HITS stays registered + full-sweep-gated; graph
     # family keeps 4 in-window representatives) — the window
@@ -231,7 +247,9 @@ _PRIORITY = (
     "streaming_tumbling_counts",
     "streaming_dedup_watermark",
     "streaming_kafka_topic_counts",
-    "streaming_ingest_dedup",
+    # r12 rotation: the live paragraph-grain ingest in for the
+    # exact-digest streaming ingest showcase
+    "streaming_paragraph_ingest",
     # Graph / iterative (fixed-point scale mode).
     "citation_pagerank_scale",
     # Statistics (sketches, claims-gated).

@@ -2215,3 +2215,67 @@ def test_bm25_matches_python_replay(spark):
     assert got[("q1", "d1")][0] > got[("q1", "d3")][0]
     assert got[("q1", "d1")][0] > got[("q1", "d2")][0]
     assert ("q1", "d5") not in got and ("q2", "d1") not in got
+
+
+def test_paragraph_ingest_planted_and_batching_independent(spark):
+    """Paragraph-grain ingest (r11 verdict #3): planted delta-vs-base
+    semantics — exact copy removed, J=13/15 near-dup removed, novel
+    and sub-paragraph docs kept, delta-vs-delta copies NOT removed
+    (out of scope by definition) — and the batching-independence
+    property the streaming twin's shared oracle relies on: the union
+    of per-batch reports equals the one-shot report."""
+    import hashlib
+
+    from mapreduce_citation_spark.operators.dedup import (
+        paragraph_ingest_report,
+        prepare_paragraph_base,
+    )
+
+    A = " ".join(f"a{i:02d}" for i in range(16))
+    A2 = "zz " + " ".join(f"a{i:02d}" for i in range(1, 16))  # 1-token edit
+    B = " ".join(f"b{i:02d}" for i in range(16))
+    C = " ".join(f"c{i:02d}" for i in range(16))
+    D = " ".join(f"d{i:02d}" for i in range(16))
+    base = spark.createDataFrame(
+        [(100, " ".join([A, B]))], ["doc_id", "text"]
+    )
+    delta_rows = [
+        (1, " ".join([A2, C])),      # near-dup of base A + novel C
+        (2, B + " t0 t1 t2 t3 t4"),  # exact copy of base B + 5-token tail
+        (3, D),                       # novel
+        (4, "s0 s1 s2"),              # sub-paragraph
+        (5, D),                       # delta-vs-delta copy of 3: KEPT
+    ]
+    delta = spark.createDataFrame(delta_rows, ["doc_id", "text"])
+    arts = prepare_paragraph_base(base).materialize()
+    try:
+        got = {
+            r["doc_id"]: (
+                r["n_paras"], r["n_dup_paras"], r["kept_tokens"],
+                r["removed_digest"],
+            )
+            for r in paragraph_ingest_report(delta, arts).collect()
+        }
+        d0 = hashlib.md5(b"0").hexdigest()
+        dn = hashlib.md5(b"").hexdigest()
+        assert got == {
+            1: (2, 1, 16, d0),   # A2 removed vs base A (J=13/15), C kept
+            2: (1, 1, 5, d0),    # exact B removed, tail survives
+            3: (1, 0, 16, dn),
+            4: (0, 0, 3, dn),
+            5: (1, 0, 16, dn),   # duplicate of ANOTHER DELTA doc: kept
+        }
+        # batching independence: any chop of the delta unions to the
+        # one-shot report (here 2 batches, like the 4-chunk stream)
+        b1 = paragraph_ingest_report(
+            delta.filter(F.col("doc_id") <= 2), arts
+        ).collect()
+        b2 = paragraph_ingest_report(
+            delta.filter(F.col("doc_id") > 2), arts
+        ).collect()
+        assert {tuple(r) for r in b1} | {tuple(r) for r in b2} == {
+            tuple(r)
+            for r in paragraph_ingest_report(delta, arts).collect()
+        }
+    finally:
+        arts.unpersist()

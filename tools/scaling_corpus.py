@@ -111,6 +111,14 @@ FAMILIES = (
     "dedup_paragraph_strip",
     "corpus_dsir_weights",
     "text_dup_paragraph_stats",
+    # r12: paragraph-grain INGEST (one report row per %8 delta doc —
+    # exactly ×K since 8 divides the expansion stride; the REAL
+    # falsifier is the removed-paragraph sum, near-linear with LSH
+    # tolerance like the neardup twin — within-replica delta-vs-base
+    # dup pairs are bijection-invariant and replicas share no
+    # shingles; the curve measures delta signature build + probes
+    # against the cached base band/signature layouts).
+    "dedup_paragraph_ingest",
 )
 #: embeddings families run over the signed-permutation expansion
 #: (2k → 20k → 200k vectors; queries stay the 10 base vectors, the
@@ -158,12 +166,15 @@ EXACT_LINEAR = {
     "dedup_paragraph_strip",
     "corpus_dsir_weights",
     "text_dup_paragraph_stats",
+    # r12: one report row per delta doc
+    "dedup_paragraph_ingest",
 }
 NEAR_LINEAR = {"dedup_minhash_lsh", "multimodal_audio_minhash_pairs"}
 #: per-doc-report families whose row count is trivially ×K: the real
 #: construction falsifier is a SUM over the report (removed-paragraph
 #: total), checked with the NEAR_LINEAR ±5% LSH-recall tolerance.
-SUM_NEAR = {"dedup_paragraph_neardup": "n_dup_paras"}
+SUM_NEAR = {"dedup_paragraph_neardup": "n_dup_paras",
+            "dedup_paragraph_ingest": "n_dup_paras"}
 #: the funnel emits 5 accounting rows; only stage 0 (total docs) is
 #: checked ×K. The Gopher QUALITY gate is NOT char-bijection-
 #: invariant (stopword matches and alpha-ratios see rotated chars as

@@ -26,6 +26,14 @@ applies to the EPOCH walls within the measured stream). ONE committed
 run.
 
 Usage: python tools/stream_ingest_scaling.py [--json PATH]
+       [--family doc|para]
+
+``--family para`` (r12) runs the PARAGRAPH-grain twin instead
+(``prepare_paragraph_base`` + ``paragraph_ingest_report``,
+the nineteenth streaming family): same fixed-delta / growing-base
+protocol, falsifier = the full per-doc report (counts + removed-index
+digests) byte-identical at every point — replicas share no shingles
+with the replica-0 delta, so added base paragraphs must never match.
 """
 
 from __future__ import annotations
@@ -48,6 +56,9 @@ def main(args: list[str]) -> int:
     json_path = None
     if "--json" in args:
         json_path = args[args.index("--json") + 1]
+    family = "doc"
+    if "--family" in args:
+        family = args[args.index("--family") + 1]
 
     from pyspark.sql import functions as F
 
@@ -57,8 +68,15 @@ def main(args: list[str]) -> int:
     from mapreduce_citation_spark.operators.dedup import (
         _docs,
         ingest_report_against_base,
+        paragraph_ingest_report,
         prepare_ingest_base,
+        prepare_paragraph_base,
     )
+
+    prepare, per_batch = {
+        "doc": (prepare_ingest_base, ingest_report_against_base),
+        "para": (prepare_paragraph_base, paragraph_ingest_report),
+    }[family]
     from mapreduce_citation_spark.session import get_spark
     from mapreduce_citation_spark.streaming.events import write_epoch
 
@@ -96,7 +114,7 @@ def main(args: list[str]) -> int:
             t0 = time.perf_counter()
             try:
                 write_epoch(
-                    ingest_report_against_base(bdf, arts, caches), epoch_id, out
+                    per_batch(bdf, arts, caches), epoch_id, out
                 )
             finally:
                 epoch_walls.append(time.perf_counter() - t0)
@@ -115,15 +133,19 @@ def main(args: list[str]) -> int:
             q.processAllAvailable()
         finally:
             q.stop()
+        rej_df = spark.read.parquet(out)
         rej = sorted(
-            (r.doc_id, r.reason)
-            for r in spark.read.parquet(out).select("doc_id", "reason").collect()
+            tuple(r)
+            for r in rej_df.select(sorted(
+                c for c in rej_df.columns if c != "epoch_id"
+            )).collect()
         )
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         return epoch_walls, rej
 
-    report: dict = {"cal": _calibrate(), "delta_docs": DELTA_DOCS,
+    report: dict = {"family": family, "cal": _calibrate(),
+                    "delta_docs": DELTA_DOCS,
                     "n_batches": 4, "points": []}
     base_rejections = None
     for sf_dir, k in points:
@@ -132,7 +154,7 @@ def main(args: list[str]) -> int:
             ~((F.col("doc_id") < 10000) & (F.col("doc_id") % 8 == 0))
         )
         t0 = time.perf_counter()
-        arts = prepare_ingest_base(base).materialize()
+        arts = prepare(base).materialize()
         prep_sec = time.perf_counter() - t0
         try:
             stream_once(arts)  # warmup stream
@@ -152,7 +174,8 @@ def main(args: list[str]) -> int:
              "prep_sec": round(prep_sec, 3),
              "epoch_walls_sec": [round(w, 3) for w in walls],
              "epoch_wall_median_sec": round(med, 3),
-             "rejections": len(rej)}
+             "report_rows" if family == "para" else "rejections":
+                 len(rej)}
         )
         print(f"  base {k}x: prep {prep_sec:.2f}s, epoch walls "
               f"{[round(w, 2) for w in walls]} (median {med:.2f}s), "
