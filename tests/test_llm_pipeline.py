@@ -2279,3 +2279,29 @@ def test_paragraph_ingest_planted_and_batching_independent(spark):
         }
     finally:
         arts.unpersist()
+
+
+def test_minhash_verify_modes_agree(spark):
+    """The two exact-Jaccard verify plans (shingle-value equijoin vs
+    per-pair array_intersect — the r12 A/B surface) are the same
+    computation: identical pair sets and jaccard values on a planted
+    corpus with both a hot-shingle clique and ordinary near-dups."""
+    from mapreduce_citation_spark.operators.dedup import minhash_lsh_pairs
+
+    core = " ".join(f"hot{i:02d}" for i in range(30))
+    rows = [(i, f"{core} tail{i:02d}") for i in range(6)]  # hot clique
+    w = [f"w{i:02d}" for i in range(40)]
+    rows.append((100, " ".join(w)))
+    rows.append((101, " ".join(w[:39] + ["zz"])))          # near-dup pair
+    rows.append((200, " ".join(f"x{i:02d}" for i in range(40))))  # loner
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(d, verify="equijoin").collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(d, verify="intersect").collect()
+    }
+    assert a == b and (100, 101) in a
+    assert all(v >= 0.8 for v in a.values())

@@ -1,6 +1,7 @@
 """Streaming throughput evidence (r7 verdict, next-round #6): one
 artifact with per-family input rows, wall time, rows/s, and microbatch
-count for all sixteen live streaming families.
+count for every live streaming family (tag-selected from the registry
+— 19 as of r12).
 
 Measurement: a Python ``StreamingQueryListener`` captures every
 microbatch's ``numInputRows``/``batchId`` while the registered family
