@@ -769,11 +769,12 @@ def strongly_connected_components(
     return p.select("node", "scc_id")
 
 
-def _scc_oracle(
+def _scc_ctes(
     outer: int = SCC_OUTER_ROUNDS, inner: int = SCC_INNER_ROUNDS
 ) -> str:
-    """Iteration-unrolled DuckDB mirror of
-    :func:`strongly_connected_components`: ``outer`` refinement passes,
+    """Iteration-unrolled DuckDB CTE chain mirroring
+    :func:`strongly_connected_components` up to the final label table
+    ``p{outer}`` (node, cls, scc_id): ``outer`` refinement passes,
     each with ``inner`` forward and ``inner`` backward min-label
     stages over the class-restricted edge set. Unrolled (not a
     recursive CTE) for the same reasons as ``_components_oracle``;
@@ -781,7 +782,8 @@ def _scc_oracle(
     stage k+1. Early stopping on the Spark side can never diverge:
     min-label propagation is monotone and idempotent at its fixpoint,
     and a stable refinement reproduces itself (er, fwd, bwd, and the
-    pair labels are pure functions of the class labels)."""
+    pair labels are pure functions of the class labels). Shared by
+    the SCC report and the condensation composition."""
     parts: list[str] = []
     for r in range(1, outer + 1):
         parts.append(f"""
@@ -825,6 +827,14 @@ nodes AS MATERIALIZED (
 ),
 p0 AS MATERIALIZED (SELECT node, '*' AS cls FROM nodes),"""
         + ",".join(parts)
+    )
+
+
+def _scc_oracle(
+    outer: int = SCC_OUTER_ROUNDS, inner: int = SCC_INNER_ROUNDS
+) -> str:
+    return (
+        _scc_ctes(outer, inner)
         + f"""
 SELECT scc_id, COUNT(*) AS n_nodes
 FROM p{outer}
@@ -856,6 +866,53 @@ def citation_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy("scc_id")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy(F.col("n_nodes").desc(), F.col("scc_id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "citation_scc_condensation",
+    oracle=_scc_ctes()
+    + f"""
+SELECT la.scc_id AS scc_a, lb.scc_id AS scc_b, COUNT(*) AS n_edges
+FROM edges e
+JOIN p{SCC_OUTER_ROUNDS} la ON la.node = e.from_paper
+JOIN p{SCC_OUTER_ROUNDS} lb ON lb.node = e.to_paper
+WHERE la.scc_id <> lb.scc_id
+GROUP BY la.scc_id, lb.scc_id
+ORDER BY n_edges DESC, scc_a ASC, scc_b ASC
+LIMIT 20
+""",
+    tags=("graph", "scc", "condensation", "iterative"),
+)
+def citation_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDENSATION DAG of the citation graph — the composition the
+    SCC labeling exists for: contract every SCC to one node and count
+    the cross-SCC edge bundles (top-20 heaviest). On this graph the
+    condensation shows how the rest of the corpus cites into / out of
+    the 1892-node giant cycle cluster. Plan: the SCC labeling runs
+    once (node-sized result), then two label joins on the edge list
+    and one combinable count — at 100 TB the labeling table is the
+    broadcast/bucketed dimension, the edge scan stays linear. Oracle
+    shares the SCC CTE chain verbatim (``_scc_ctes``) with a
+    different final SELECT — the paragraph-family oracle convention."""
+    e = _edges(spark, sf_dir)
+    labels = strongly_connected_components(e).localCheckpoint()
+    la = labels.select(
+        F.col("node").alias("from_paper"), F.col("scc_id").alias("scc_a")
+    )
+    lb = labels.select(
+        F.col("node").alias("to_paper"), F.col("scc_id").alias("scc_b")
+    )
+    return (
+        e.join(la, "from_paper")
+        .join(lb, "to_paper")
+        .filter(F.col("scc_a") != F.col("scc_b"))
+        .groupBy("scc_a", "scc_b")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .orderBy(
+            F.col("n_edges").desc(), F.col("scc_a").asc(), F.col("scc_b").asc()
+        )
         .limit(20)
     )
 

@@ -711,3 +711,39 @@ def test_scc_matches_kosaraju_on_random_graph(spark):
     }
     want = _python_scc(edges)
     assert got == want
+
+
+def test_scc_condensation_on_planted_graph(spark):
+    """Condensation composition: cross-SCC edge bundles counted at
+    SCC grain, intra-SCC edges dropped — replayed against Kosaraju
+    labels on a planted graph with a 2-cycle feeding a 3-cycle."""
+    edges = [
+        ("a", "b"), ("b", "a"),                      # SCC {a,b}
+        ("a", "p"), ("b", "p"),                      # 2 edges into {p,q,r}
+        ("p", "q"), ("q", "r"), ("r", "p"),          # SCC {p,q,r}
+        ("r", "z"),                                  # 1 edge to singleton
+    ]
+    from mapreduce_citation_spark.operators.graph import (
+        strongly_connected_components,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    labels = strongly_connected_components(df)
+    la = labels.select(
+        F.col("node").alias("from_paper"), F.col("scc_id").alias("scc_a")
+    )
+    lb = labels.select(
+        F.col("node").alias("to_paper"), F.col("scc_id").alias("scc_b")
+    )
+    got = {
+        (r["scc_a"], r["scc_b"]): r["n_edges"]
+        for r in df.join(la, "from_paper").join(lb, "to_paper")
+        .filter(F.col("scc_a") != F.col("scc_b"))
+        .groupBy("scc_a", "scc_b")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .collect()
+    }
+    want = _python_scc(edges)
+    assert want["a"] == want["b"] == "a" and want["p"] == "p"
+    assert got == {("a", "p"): 2, ("p", "z"): 1}
