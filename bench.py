@@ -276,6 +276,15 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = bench_queries()
+    # window context BEFORE the run too (r12): the post-run probe
+    # alone misattributes — this VM's capacity swings WITHIN a 36-query
+    # run (r12: top_cited benched 2.8 s early in a run whose END probe
+    # read 3.0 effective cores, while a dedicated rerun minutes later
+    # measured cal_all 831 — the starved window had moved through
+    # mid-run). Two probes bound the window; normalization still uses
+    # the post-run probe (closest to most queries, keeps the rule
+    # comparable to prior rounds).
+    cal_pre = _calibrate()
 
     def drain(df) -> None:
         # noop sink: computes EVERY output column and discards rows on
@@ -325,6 +334,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         **cal,
+        **{k.replace("cal_", "cal_pre_"): v for k, v in cal_pre.items()},
     }
     compare = _compare_block(timings, cal, float(sf))
     if compare is not None:
