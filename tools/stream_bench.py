@@ -63,7 +63,10 @@ class _Collector(StreamingQueryListener):
 def main(args: list[str]) -> int:
     json_path = None
     if "--json" in args:
-        json_path = args[args.index("--json") + 1]
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)  # optional positional family filter (r12)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from bench import _calibrate
@@ -77,7 +80,8 @@ def main(args: list[str]) -> int:
     spark.streams.addListener(col)
 
     specs = all_specs()
-    fams = [n for n, sp in specs.items() if "streaming" in sp.tags]
+    fams = [n for n, sp in specs.items() if "streaming" in sp.tags
+            and (not only or n in only)]
 
     def settle(start_len: int) -> list[dict]:
         last, t0 = len(col.events), time.time()
