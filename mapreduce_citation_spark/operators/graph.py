@@ -42,12 +42,21 @@ def edges_from_lineitem(li: DataFrame) -> DataFrame:
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # materialized: every caller self-joins or iterates over the edge
-    # list, and the distinct-pairs derivation (a lineitem scan + a
-    # shuffle) must not replay once per join side / per iteration
-    return edges_from_lineitem(
-        load_table(spark, sf_dir, "lineitem")
-    ).localCheckpoint()
+    # cached: every caller self-joins or iterates over the edge list,
+    # and the distinct-pairs derivation (a lineitem scan + a shuffle)
+    # must not replay once per join side / per iteration. This is a
+    # CORPUS-SIZED reuse table, so the r6-measured cache rule applies:
+    # persist(MEMORY_AND_DISK) — columnar, evictable, spills instead
+    # of pinning deserialized rows the way localCheckpoint does
+    # (r12 verdict #3). A lazy query function cannot unpersist its own
+    # result's inputs; the bench/correctness harnesses clear the SQL
+    # cache registry between queries (CLAUDE.md r9 isolation rule).
+    from pyspark import StorageLevel
+
+    return (
+        edges_from_lineitem(load_table(spark, sf_dir, "lineitem"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 @register(
@@ -146,20 +155,26 @@ def pagerank(
     is redistributed uniformly so total rank stays 1. Returns
     (node, rank).
 
+    PYTEST-ONLY since r13: the registered ``citation_pagerank`` runs
+    :func:`pagerank_fixed_point` (associative AND hash-exact — r12
+    verdict #1 judged it strictly dominant); this float formulation
+    survives as the reference arithmetic the pure-python replay tests
+    pin both summation strategies against.
+
     ``exact_fold`` selects the summation strategy — the exactness/
     scale trade made explicit:
 
-    - ``True`` (gate mode, default): per-target contribution sums and
-      the dangling sum are KEY-SORTED folds (collect_list →
-      array_sort → ordered aggregate), so every double is independent
-      of partition order and the DuckDB oracle reproduces each rank
-      bitwise. Costs per-key list memory proportional to in-degree —
-      fine at fixture scale, wrong for a skewed 100 TB graph.
+    - ``True`` (default): per-target contribution sums and the
+      dangling sum are KEY-SORTED folds (collect_list → array_sort →
+      ordered aggregate), so every double is independent of partition
+      order. Costs per-key list memory proportional to in-degree —
+      fine at fixture scale, wrong for a skewed 100 TB graph (the
+      reason it left the gate path).
     - ``False`` (scale mode): plain ``F.sum`` — associative map-side
-      partial aggregation, constant per-key state, the plan to run on
-      a real cluster. Ranks differ from gate mode only by float
-      association order (≤ ulps per iteration; both modes agree with
-      the pure-python replay to 1e-9 in pytest).
+      partial aggregation, constant per-key state. Ranks differ from
+      the sorted fold only by float association order (≤ ulps per
+      iteration; both modes agree with the pure-python replay to 1e-9
+      in pytest).
     """
     # materialize the loop-invariant relations once, and break lineage
     # every iteration (localCheckpoint) — otherwise iteration k re-runs
@@ -917,84 +932,6 @@ def citation_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iters: int = 6) -> str:
-    """Iteration-unrolled DuckDB mirror of :func:`pagerank`.
-
-    Bitwise parity is engineered op by op: every sum is the same
-    key-sorted left fold the Spark side runs (DuckDB ``list_reduce``
-    seeds with the first element, Spark's ``aggregate`` with 0D —
-    ``0 + x ≡ x`` in IEEE double); the rank update keeps Spark's exact
-    parenthesization ``(base + d·dangling/n) + d·in_rank`` with the
-    damping literal cast to DOUBLE (a bare 0.85 would be DECIMAL in
-    DuckDB); struct sort keys are the distinct source-node ids, so the
-    fold order is total on both engines."""
-    d = "CAST(0.85 AS DOUBLE)"
-    stages = []
-    for k in range(1, iters + 1):
-        p = f"r{k - 1}"
-        stages.append(f"""
-d{k} AS MATERIALIZED (
-  SELECT COALESCE(list_reduce(list_transform(
-           list_sort(list(struct_pack(k := r.node, v := r.rank))),
-           s -> s.v), (a, b) -> a + b), CAST(0 AS DOUBLE)) AS dangling
-  FROM {p} r LEFT JOIN outd o ON r.node = o.node
-  WHERE o.node IS NULL
-),
-c{k} AS MATERIALIZED (
-  SELECT e.to_paper AS node,
-         list_reduce(list_transform(
-           list_sort(list(struct_pack(k := e.from_paper, v := r.rank / o.out_deg))),
-           s -> s.v), (a, b) -> a + b) AS in_rank
-  FROM edges e
-  JOIN {p} r ON e.from_paper = r.node
-  JOIN outd o ON e.from_paper = o.node
-  GROUP BY e.to_paper
-),
-r{k} AS MATERIALIZED (
-  SELECT nd.node,
-         ((1 - {d}) / (SELECT n FROM nn)
-          + ({d} * (SELECT dangling FROM d{k})) / (SELECT n FROM nn))
-         + {d} * COALESCE(c.in_rank, CAST(0 AS DOUBLE)) AS rank
-  FROM nodes nd LEFT JOIN c{k} c ON nd.node = c.node
-)""")
-    return (
-        _EDGES_CTE
-        + """,
-nodes AS MATERIALIZED (
-  SELECT from_paper AS node FROM edges UNION SELECT to_paper FROM edges
-),
-nn AS (SELECT COUNT(*) AS n FROM nodes),
-outd AS MATERIALIZED (
-  SELECT from_paper AS node, COUNT(*) AS out_deg FROM edges GROUP BY from_paper
-),
-r0 AS MATERIALIZED (
-  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
-),"""
-        + ",".join(stages)
-        + f"""
-SELECT node, rank FROM r{iters}
-ORDER BY rank DESC, node ASC
-LIMIT 20
-"""
-    )
-
-
-@register(
-    "citation_pagerank",
-    oracle=_pagerank_oracle(6),
-    bench=True,
-    tags=("graph", "citation", "pagerank", "iterative"),
-)
-def citation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 papers by PageRank on the bipartite citation graph
-    (6 iterations). The DuckDB oracle unrolls the same 6 iterations
-    with identical fold orders and update parenthesization (see
-    ``_pagerank_oracle``), making the driver gate a hard hash match on
-    the rank doubles; the pytest oracle additionally replays the
-    algorithm in pure python."""
-    ranks = pagerank(_edges(spark, sf_dir), iterations=6)
-    return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)
-
 
 # ---------------------------------------------------------------------------
 # Fixed-point PageRank: the at-scale summation strategy, made exact
@@ -1012,6 +949,7 @@ def pagerank_fixed_point(
     scale: int = _FP_SCALE,
     d_num: int = 17,
     d_den: int = 20,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """PageRank with integer-quantized (fixed-point) arithmetic — the
     summation strategy that is BOTH cluster-scale and bitwise
@@ -1094,7 +1032,7 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("v").cast("long").alias("in_q"))
         )
-        ranks = (
+        stepped = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -1110,20 +1048,29 @@ def pagerank_fixed_point(
                 .alias("rank_q"),
                 "is_dangling",
             )
-            .localCheckpoint()
         )
+        if plan_probe is not None:
+            # the returned table's lineage is checkpoint-truncated, so
+            # plan pins (e.g. no-collect_list) must observe the
+            # PRE-checkpoint iteration plan — the one each job runs
+            plan_probe.append(stepped)
+        ranks = stepped.localCheckpoint()
     edges_w.unpersist()
     return ranks.select("node", "rank_q")
 
 
-def _pagerank_fp_oracle(iters: int = 6, scale: int = _FP_SCALE) -> str:
+def _pagerank_fp_oracle(
+    iters: int = 6, scale: int = _FP_SCALE, include_q: bool = True
+) -> str:
     """Iteration-unrolled DuckDB mirror of :func:`pagerank_fixed_point`.
 
     Integer arithmetic end to end: ``//`` floor division (equals
     Spark's ``div`` on the nonnegative operands here) and BIGINT sums
     (DuckDB's SUM widens to HUGEINT — cast back) make the replay
     bitwise by construction, with none of the fold-order engineering
-    the float oracle needs."""
+    the float oracle needs. ``include_q=False`` selects the flagship
+    (node, rank) projection — the rank double is derived from the
+    same BIGINT, so it stays hash-exact."""
     stages = []
     for k in range(1, iters + 1):
         p = f"fr{k - 1}"
@@ -1162,30 +1109,72 @@ fr0 AS MATERIALIZED (
   SELECT node, {scale} // (SELECT n FROM nn) AS rank_q FROM nodes
 ),"""
         + ",".join(stages)
-        + f"""
+        + (
+            f"""
 SELECT node, CAST(rank_q AS BIGINT) AS rank_q,
        CAST(rank_q AS DOUBLE) / {float(scale)!r} AS rank
 FROM fr{iters}
 ORDER BY rank_q DESC, node ASC
 LIMIT 20
 """
+            if include_q
+            else f"""
+SELECT node, CAST(rank_q AS DOUBLE) / {float(scale)!r} AS rank
+FROM fr{iters}
+ORDER BY rank_q DESC, node ASC
+LIMIT 20
+"""
+        )
+    )
+
+
+@register(
+    "citation_pagerank",
+    oracle=_pagerank_fp_oracle(6, include_q=False),
+    bench=True,
+    tags=("graph", "citation", "pagerank", "iterative", "fixed-point"),
+)
+def citation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 papers by PageRank on the bipartite citation graph
+    (6 iterations), computed with :func:`pagerank_fixed_point`'s
+    integer-quantized arithmetic — the formulation that is
+    cluster-scale (plain associative BIGINT sums, map-side combine,
+    constant per-key aggregation state — NO ``collect_list``) and
+    hash-exact at the same time, so the driver gate stays a hard
+    match without the per-key sorted-fold memory the float gate mode
+    paid (r12 verdict #1: one aggregation buffer held in-degree-many
+    structs — OOM bait on a power-law graph at 100×). The float
+    arithmetic (:func:`pagerank`, both fold modes) remains
+    pytest-only, replayed against pure python; ranks agree to ~1e-12
+    after 6 iterations. The absence of ``collect_list`` from this
+    plan is pinned by ``test_pagerank_flagship_plan_has_no_listfold``.
+    """
+    ranks = pagerank_fixed_point(_edges(spark, sf_dir), iterations=6)
+    return (
+        ranks.orderBy(F.col("rank_q").desc(), F.col("node").asc())
+        .limit(20)
+        .select(
+            "node",
+            (F.col("rank_q").cast("double") / F.lit(float(_FP_SCALE))).alias(
+                "rank"
+            ),
+        )
     )
 
 
 @register(
     "citation_pagerank_scale",
     oracle=_pagerank_fp_oracle(6),
-    bench=True,
     tags=("graph", "citation", "pagerank", "iterative", "fixed-point", "scale"),
 )
 def citation_pagerank_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 PageRank in the AT-SCALE summation strategy
-    (:func:`pagerank_fixed_point`): plain associative BIGINT sums —
-    map-side combine, constant per-key aggregation state, no
-    ``collect_list`` — yet still a hard driver hash match, because
-    integer quantization makes the arithmetic order-independent.
-    Benched alongside gate-mode ``citation_pagerank`` so the cost of
-    the sorted-fold exactness machinery is measured every round."""
+    """Top-20 PageRank exposing the RAW fixed-point units (rank_q
+    BIGINT) alongside the derived double — the window's
+    fixed-point-arithmetic representative. Same
+    :func:`pagerank_fixed_point` computation as the flagship
+    ``citation_pagerank`` (which converged onto this arithmetic in
+    r13 — r12 verdict #1); benching both would time the same plan
+    twice, so only the flagship carries the bench flag now."""
     ranks = pagerank_fixed_point(_edges(spark, sf_dir), iterations=6)
     return (
         ranks.orderBy(F.col("rank_q").desc(), F.col("node").asc())

@@ -538,13 +538,21 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("csim").desc(), F.col("cent_id").asc()
     )
-    # materialize the ranked assignment once (rows with crank ≤ 2
-    # cover both consumers): the inverted-list side and the probe side
-    # would otherwise each replay the k-centroid HOF scoring pass
+    # cache the ranked assignment once (rows with crank ≤ 2 cover both
+    # consumers): the inverted-list side and the probe side would
+    # otherwise each replay the k-centroid HOF scoring pass. This
+    # table is CORPUS-sized (one row per corpus vector, embedding
+    # riding along), so the r6 cache rule applies:
+    # persist(MEMORY_AND_DISK) — columnar, evictable — not
+    # localCheckpoint, which pins deserialized rows (r12 verdict #3).
+    # Unpersisted by the harnesses' per-query clearCache (a lazy query
+    # function can't unpersist its own result's input).
+    from pyspark import StorageLevel
+
     ranked = (
         scored_cent.withColumn("crank", F.row_number().over(w_assign))
         .filter(F.col("crank") <= 2)
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     corpus = ranked.filter(F.col("crank") == 1).select(
         F.col("cent_id"),
@@ -588,7 +596,10 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT label,
        COUNT(DISTINCT vec_id) AS n,
-       list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) AS checksum
+       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+         AS checksum_q,
+       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000 AS checksum
 FROM (SELECT label, vec_id, unnest(embedding) AS x FROM embeddings)
 GROUP BY label
 """,
@@ -596,17 +607,26 @@ GROUP BY label
 )
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector counts + element checksum — the accumulation
-    pattern under IVF centroid training (per-cluster sums). Parallel
-    float summation is order-dependent, so the checksum folds a
-    SORTED element list — deterministic in both engines; a real
-    centroid pipeline would keep plain sums and tolerate ulps."""
+    pattern under IVF centroid training (per-cluster sums).
+
+    r13 (r12 verdict #2): the checksum is an INTEGER-QUANTIZED
+    associative sum — each element floors to BIGINT units of 1e-6
+    (float→double widening is exact, the double multiply and floor are
+    IEEE-identical on both engines, and all sums are plain BIGINT) —
+    so map-side partial aggregation engages with CONSTANT per-key
+    state. The previous shape collected every embedding element per
+    label into one sorted list for determinism: with a handful of
+    labels that is corpus-sized aggregation state per key, the exact
+    pattern the r6 memory rule forbids. Quantization is the same
+    convention the pagerank/BM25/DSIR fixed-point paths use; the
+    derived double is computed from the same integer on both engines."""
     e = _emb(spark, sf_dir)
     ex = e.select("label", "vec_id", F.explode("embedding").alias("x"))
+    q = F.floor(F.col("x").cast("double") * F.lit(1000000)).cast("long")
     return ex.groupBy("label").agg(
         F.count_distinct("vec_id").alias("n"),
-        F.expr(
-            "aggregate(array_sort(collect_list(CAST(x AS DOUBLE))), 0D, (a, b) -> a + b)"
-        ).alias("checksum"),
+        F.sum(q).cast("long").alias("checksum_q"),
+        (F.sum(q).cast("double") / F.lit(1000000.0)).alias("checksum"),
     )
 
 

@@ -248,6 +248,35 @@ def test_pagerank_fixed_point_agrees_and_is_integer_exact(spark):
     assert fp1 == fp2
 
 
+def test_pagerank_flagship_plan_has_no_listfold(spark):
+    """r13 (r12 verdict #1): the registered ``citation_pagerank`` runs
+    the fixed-point arithmetic — its per-iteration physical plan must
+    contain NO collect_list (the float gate mode's per-key sorted fold
+    buffered in-degree-many structs) and must aggregate via hash
+    aggregation (associative BIGINT sum → map-side partials). The
+    returned table is checkpoint-truncated, so the pin observes the
+    pre-checkpoint iteration plans via ``plan_probe``."""
+    from mapreduce_citation_spark.operators.graph import pagerank_fixed_point
+    from mapreduce_citation_spark.plans import explain_str
+    from mapreduce_citation_spark.registry import all_specs
+
+    # the registered flagship must be wired to the fixed-point oracle
+    # (rank derived from BIGINT units), not the retired float fold one
+    spec = all_specs()["citation_pagerank"]
+    assert "list_reduce(list_sort" not in spec.oracle
+    assert "rank_q // o.out_deg" in spec.oracle
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    probe: list = []
+    pagerank_fixed_point(df, iterations=2, plan_probe=probe).collect()
+    assert len(probe) == 2
+    for stepped in probe:
+        plan = explain_str(stepped, "extended")
+        assert "collect_list" not in plan
+        assert "HashAggregate" in plan
+
+
 def test_triangle_counts_on_planted_graph(spark):
     """Degree-oriented triangle counting on a hand-built graph whose
     truth is known: K4 (4 triangles, every node in 3), a 5-leaf star
