@@ -45,17 +45,15 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: every caller self-joins or iterates over the edge list,
     # and the distinct-pairs derivation (a lineitem scan + a shuffle)
     # must not replay once per join side / per iteration. This is a
-    # CORPUS-SIZED reuse table, so the r6-measured cache rule applies:
-    # persist(MEMORY_AND_DISK) — columnar, evictable, spills instead
-    # of pinning deserialized rows the way localCheckpoint does
-    # (r12 verdict #3). A lazy query function cannot unpersist its own
-    # result's inputs; the bench/correctness harnesses clear the SQL
-    # cache registry between queries (CLAUDE.md r9 isolation rule).
-    from pyspark import StorageLevel
+    # CORPUS-SIZED reuse table, so the r6-measured cache rule applies
+    # (see cache.py; r12 verdict #3 — was localCheckpoint). A lazy
+    # query function cannot unpersist its own result's inputs; the
+    # bench/correctness harnesses clear the SQL cache registry between
+    # queries (CLAUDE.md r9 isolation rule).
+    from ..cache import cache_corpus
 
-    return (
+    return cache_corpus(
         edges_from_lineitem(load_table(spark, sf_dir, "lineitem"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 

@@ -542,17 +542,15 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers): the inverted-list side and the probe side would
     # otherwise each replay the k-centroid HOF scoring pass. This
     # table is CORPUS-sized (one row per corpus vector, embedding
-    # riding along), so the r6 cache rule applies:
-    # persist(MEMORY_AND_DISK) — columnar, evictable — not
-    # localCheckpoint, which pins deserialized rows (r12 verdict #3).
-    # Unpersisted by the harnesses' per-query clearCache (a lazy query
-    # function can't unpersist its own result's input).
-    from pyspark import StorageLevel
+    # riding along), so the r6 cache rule applies (see cache.py; r12
+    # verdict #3 — was localCheckpoint). Unpersisted by the harnesses'
+    # per-query clearCache (a lazy query function can't unpersist its
+    # own result's input).
+    from ..cache import cache_corpus
 
-    ranked = (
+    ranked = cache_corpus(
         scored_cent.withColumn("crank", F.row_number().over(w_assign))
         .filter(F.col("crank") <= 2)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     corpus = ranked.filter(F.col("crank") == 1).select(
         F.col("cent_id"),
