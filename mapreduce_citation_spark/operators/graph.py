@@ -641,8 +641,18 @@ SCC_OUTER_ROUNDS = 6
 SCC_INNER_ROUNDS = 13
 
 
+#: When a propagation's mirrored round budget is exhausted short of
+#: the fixpoint, the Spark side keeps going up to budget × this factor
+#: (correctness beats oracle parity — the cap binding at all means the
+#: sf0.01-sized budget undershot the graph's diameter).
+SCC_INNER_ESCALATION = 8
+
+
 def _min_label_directed(
-    edges_keyed: DataFrame, nodes: DataFrame, rounds: int
+    edges_keyed: DataFrame,
+    nodes: DataFrame,
+    rounds: int,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Min-label propagation along DIRECTED edges to fixpoint (capped):
     every node starts as its own label; each round a node takes the min
@@ -651,9 +661,24 @@ def _min_label_directed(
     of the per-round join — so iterations exchange only the node-sized
     label table (the loop-invariant layout every iterative operator
     here uses). Monotone min-fold: the changed flag rides the step
-    itself, no old×new join (see :func:`connected_components`)."""
+    itself, no old×new join (see :func:`connected_components`).
+
+    r13 (ADVICE): the cap can no longer bind SILENTLY. If ``rounds``
+    (the oracle-mirrored budget) is exhausted before ``changed == 0``,
+    propagation ESCALATES — continues up to
+    ``rounds × SCC_INNER_ESCALATION`` — and reports what happened via
+    ``stats``: ``converged`` (fixpoint reached), ``iterations`` (rounds
+    actually run), ``cap_extended`` (escalation fired). A truncated
+    label table short of its fixpoint is not a valid labeling: under
+    FW-BW refinement it would split an SCC across classes irreversibly
+    while the outer loop still stabilized (refinement only splits,
+    never re-merges)."""
     labels = nodes.select("node", F.col("node").alias("lab")).localCheckpoint()
-    for _ in range(rounds):
+    converged = False
+    hard_cap = rounds * SCC_INNER_ESCALATION
+    it = 0
+    while it < hard_cap:
+        it += 1
         nbr = (
             edges_keyed.join(labels, edges_keyed.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -671,7 +696,23 @@ def _min_label_directed(
         changed = stepped.filter(F.col("_chg")).count()
         labels = stepped.drop("_chg")
         if changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["iterations"] = it
+        stats["converged"] = converged
+        stats["cap_extended"] = it > rounds
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"min-label propagation did not reach its fixpoint within "
+            f"{hard_cap} rounds (budget {rounds} × escalation "
+            f"{SCC_INNER_ESCALATION}); the resulting SCC partition may "
+            f"be over-split",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -696,9 +737,12 @@ def strongly_connected_components(
     where the single-pass (fwd, bwd) pair heuristic would wrongly fuse
     {5, 6, 2} — get split in the next round (pytest-pinned). At the
     fixpoint every class IS an SCC and ``fwd = bwd`` = its min node =
-    the scc_id. A refinement label is ``fwd || '|' || bwd``; since a
-    node's fwd/bwd labels are themselves members of its class, labels
-    from different classes can never collide.
+    the scc_id. A refinement label is the LENGTH-PREFIXED pair
+    encoding ``len(fwd) || ':' || fwd || bwd`` — injective for
+    arbitrary node-id strings (r12 ADVICE: a bare ``fwd|bwd`` join
+    collides when ids themselves contain the delimiter), and a node's
+    fwd/bwd labels are members of its own class, so labels from
+    different classes can never transiently merge either.
 
     Scale shape: the two propagation loops ride loop-invariant
     class-restricted edge layouts (repartitioned + sorted on the probe
@@ -708,7 +752,15 @@ def strongly_connected_components(
     reachability pairs — the memory-safe property that makes this the
     100 TB formulation (transitive closure is O(n²) on this graph's
     giant weak component). Both round caps are mirrored in the
-    unrolled oracle; see ``SCC_OUTER_ROUNDS``."""
+    unrolled oracle; see ``SCC_OUTER_ROUNDS``. r13 (ADVICE): the inner
+    cap can no longer bind silently — propagation escalates past an
+    exhausted budget (``SCC_INNER_ESCALATION``) and ``stats`` reports
+    ``inner_cap_extended`` / ``inner_converged``; ``converged`` is
+    True only when outer stability was certified by fully-converged
+    inner propagations. Escalation can outrun the oracle's fixed
+    unroll, but only on an input where the truncated budget was
+    producing a WRONG partition — and the gate only ever replays
+    sf0.01, whose depth-11 need sits inside the budget."""
     e = edges.select(
         F.col("from_paper").alias("src"), F.col("to_paper").alias("dst")
     )
@@ -721,6 +773,8 @@ def strongly_connected_components(
     p = nodes.select("node", F.lit("*").alias("cls"))
     converged = False
     rounds = 0
+    inner_extended = False
+    inner_converged = True
     for _ in range(outer_rounds):
         rounds += 1
         same_cls = (
@@ -748,14 +802,27 @@ def strongly_connected_components(
             .sortWithinPartitions("src")
             .persist()
         )
-        fwd = _min_label_directed(ef, nodes, inner_rounds)
-        bwd = _min_label_directed(eb, nodes, inner_rounds)
+        fstat: dict = {}
+        bstat: dict = {}
+        fwd = _min_label_directed(ef, nodes, inner_rounds, stats=fstat)
+        bwd = _min_label_directed(eb, nodes, inner_rounds, stats=bstat)
+        inner_extended = inner_extended or fstat["cap_extended"] or bstat["cap_extended"]
+        inner_converged = inner_converged and fstat["converged"] and bstat["converged"]
+        # refinement label: length-prefixed pair encoding — injective
+        # for ARBITRARY node-id strings (a bare 'f|b' join collides
+        # when ids may contain the delimiter: ('a','a|a|a') vs
+        # ('a|a','a|a') — r12 ADVICE; fixture ids are numeric, but
+        # this helper is generic). Decode rule: digits before the
+        # FIRST ':' give len(f); lengths contain no ':', so the split
+        # is unambiguous whatever f and b contain.
         newp = (
             fwd.select("node", F.col("lab").alias("f"))
             .join(bwd.select("node", F.col("lab").alias("b")), "node")
             .select(
                 "node",
-                F.concat_ws("|", "f", "b").alias("cls"),
+                F.concat(
+                    F.length("f").cast("string"), F.lit(":"), "f", "b"
+                ).alias("cls"),
                 F.col("f").alias("scc_id"),
             )
             .localCheckpoint()
@@ -778,7 +845,13 @@ def strongly_connected_components(
             break
     if stats is not None:
         stats["rounds"] = rounds
-        stats["converged"] = converged
+        # r13 (ADVICE): outer stability is only a valid convergence
+        # certificate when every inner propagation actually reached
+        # its fixpoint — a truncated min-label table can reproduce
+        # itself across outer rounds while the partition is over-split
+        stats["converged"] = converged and inner_converged
+        stats["inner_cap_extended"] = inner_extended
+        stats["inner_converged"] = inner_converged
     return p.select("node", "scc_id")
 
 
@@ -827,7 +900,9 @@ b{r}_{k} AS MATERIALIZED (
 )""")
         parts.append(f"""
 p{r} AS MATERIALIZED (
-  SELECT f.node, f.lab || '|' || b.lab AS cls, f.lab AS scc_id
+  SELECT f.node,
+         CAST(length(f.lab) AS VARCHAR) || ':' || f.lab || b.lab AS cls,
+         f.lab AS scc_id
   FROM f{r}_{inner} f JOIN b{r}_{inner} b ON b.node = f.node
 )""")
     return (

@@ -714,6 +714,82 @@ def test_scc_planted_shapes(spark):
     assert len({got["1"], got["5"], got["6"], got["2"]}) == 4  # diamond split
 
 
+def test_scc_delimiter_ids_no_collision(spark):
+    """r12 ADVICE: refinement class labels are a length-prefixed pair
+    encoding, injective for arbitrary id strings. Node ids laden with
+    the old '|' delimiter (the ('a','a|a|a') vs ('a|a','a|a')
+    collision family) and with ':' must still partition exactly as
+    the Kosaraju replay says."""
+    from mapreduce_citation_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = [
+        # 2-cycle between pipe-laden ids, plus chains whose fwd/bwd
+        # pairs are concatenations of each other under a naive join
+        ("a", "a|a"), ("a|a", "a"),
+        ("a", "a|a|a"), ("a|a|a", "z"),
+        ("1:", ":1"), (":1", "1:"),        # colon-laden 2-cycle
+        ("|", "||"), ("||", "|||"),        # pure-delimiter chain
+    ]
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    stats: dict = {}
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(df, stats=stats).collect()
+    }
+    want = _python_scc(edges)
+    assert stats["converged"] is True
+    assert got == want
+    assert _scc_groups(got) == _scc_groups(want)
+
+
+def test_scc_inner_cap_escalates_and_reports(spark):
+    """r12 ADVICE: the inner min-label budget must not bind silently.
+    On a 30-node directed path (propagation depth 29): a budget of 4
+    escalates (4×8=32 ≥ 29) and still converges, reporting
+    cap_extended; a budget of 2 exhausts even the escalated cap
+    (16 < 29), so stats must say converged=False and a RuntimeWarning
+    must fire — never a silent wrong partition."""
+    import warnings
+
+    from mapreduce_citation_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(29)]
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    want = _python_scc(edges)  # a path: all singletons
+
+    stats: dict = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # escalated-but-converged: no warning
+        got = {
+            r["node"]: r["scc_id"]
+            for r in strongly_connected_components(
+                df, inner_rounds=4, stats=stats
+            ).collect()
+        }
+    assert got == want
+    assert stats["converged"] is True
+    assert stats["inner_cap_extended"] is True
+    assert stats["inner_converged"] is True
+
+    stats2: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        strongly_connected_components(
+            df, inner_rounds=2, stats=stats2
+        ).collect()
+    assert stats2["inner_converged"] is False
+    assert stats2["converged"] is False
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "fixpoint" in str(w.message)
+        for w in caught
+    )
+
+
 def test_scc_matches_kosaraju_on_random_graph(spark):
     """Adversarial density sweep: a deterministic pseudo-random digraph
     (hash-derived edges, no RNG state) with nested cycles must match
