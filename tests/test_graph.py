@@ -790,7 +790,27 @@ def test_scc_inner_cap_escalates_and_reports(spark):
     )
 
 
-def test_scc_matches_kosaraju_on_random_graph(spark):
+def test_condensation_layers_on_planted_dag(spark):
+    """Longest-path layering on a planted condensation: a 2-cycle
+    {a,b} feeding a 3-cycle {p,q,r} feeding singleton z gives layers
+    0/1/2; a diamond s→m→t, s→t must put t at layer 2 (LONGEST path,
+    not shortest); an isolated 2-cycle {x,y} stays a source at 0."""
+    from mapreduce_citation_spark.operators.graph import condensation_layers
+
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "p"),
+        ("p", "q"), ("q", "r"), ("r", "p"), ("r", "z"),
+        ("s", "m"), ("m", "t"), ("s", "t"),
+        ("x", "y"), ("y", "x"),
+    ]
+    df = spark.createDataFrame(edges, ["from_paper", "to_paper"])
+    stats: dict = {}
+    got = {
+        r["scc_id"]: r["layer"]
+        for r in condensation_layers(df, stats=stats).collect()
+    }
+    assert stats["converged"] is True
+    assert got == {"a": 0, "p": 1, "z": 2, "s": 0, "m": 1, "t": 2, "x": 0}
     """Adversarial density sweep: a deterministic pseudo-random digraph
     (hash-derived edges, no RNG state) with nested cycles must match
     the Kosaraju replay exactly — groups AND min-node labels."""
