@@ -2217,7 +2217,92 @@ def test_bm25_matches_python_replay(spark):
     assert ("q1", "d5") not in got and ("q2", "d1") not in got
 
 
-def test_paragraph_ingest_planted_and_batching_independent(spark):
+def test_bm25_chunk_grain_matches_python_replay(spark, tmp_path):
+    """Chunk-grain BM25 (r12 verdict #8): the doc_chunk_windows
+    geometry defines the retrieval units; replay the exact integer
+    arithmetic per chunk and check the registered query's full top-k
+    table — including that a long document's late-positioned terms
+    retrieve the RIGHT chunk, the localization a doc-grain ranking
+    can't express."""
+    from mapreduce_citation_spark.operators.text import (
+        BM25_QUERIES,
+        BM25_TOPK,
+        CHUNK_LEN,
+        CHUNK_OVERLAP,
+        text_bm25_chunk_topk,
+    )
+
+    filler = ["w%03d" % i for i in range(200)]
+    # long doc: 'hash join table' planted only around token 100
+    long_toks = list(filler[:100]) + ["hash", "join", "table"] + list(
+        filler[100:150]
+    )
+    docs = [
+        ("d1", " ".join(long_toks)),            # 153 tokens → 3 chunks
+        ("d2", "fast scan filter scan"),        # single short chunk
+        ("d3", "stream window batch " * 30),    # stuffed across chunks
+        ("d4", "nothing relevant here"),
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r["query_id"], r["doc_id"], r["chunk_id"]): (
+            r["score"], r["n_terms"], r["rank"]
+        )
+        for r in text_bm25_chunk_topk(spark, str(tmp_path)).collect()
+    }
+
+    # python replay: chunk slices, then the document-grain formula at
+    # chunk grain
+    stride = CHUNK_LEN - CHUNK_OVERLAP
+    chunks = {}
+    for did, text in docs:
+        t = text.split()
+        n = len(t)
+        if n == 0:
+            continue
+        last_k = 0 if n <= CHUNK_LEN else (n - CHUNK_OVERLAP - 1) // stride
+        for k in range(last_k + 1):
+            chunks[(did, k)] = t[k * stride : min(k * stride + CHUNK_LEN, n)]
+    n_units = len(chunks)
+    t_tot = sum(len(c) for c in chunks.values())
+    qterms = {qid: sorted(set(qt.split())) for qid, qt in BM25_QUERIES}
+    vocab = sorted({w for ts in qterms.values() for w in ts})
+    df = {w: sum(1 for c in chunks.values() if w in c) for w in vocab}
+    scored = {}
+    for qid, terms in qterms.items():
+        for key, c in chunks.items():
+            cs = []
+            for w in terms:
+                tf = c.count(w)
+                if tf == 0:
+                    continue
+                bits = len(bin(2 * n_units + 2)) - len(bin(2 * df[w] + 1))
+                num = float(bits * 22 * tf * t_tot)
+                den = 10 * t_tot * tf + 3 * t_tot + 9 * len(c) * n_units
+                cs.append(num / den)
+            if cs:
+                acc = 0.0
+                for v in sorted(cs):
+                    acc += v
+                scored[(qid,) + key] = (acc, len(cs))
+    want = {}
+    for qid in qterms:
+        hits = sorted(
+            ((k, v) for k, v in scored.items() if k[0] == qid),
+            key=lambda kv: (-kv[1][0], kv[0][1], kv[0][2]),
+        )[:BM25_TOPK]
+        for rank, (k, (s, nt)) in enumerate(hits, 1):
+            want[k] = (s, nt, rank)
+    assert got == want
+
+    # localization: for q_hash_join the top hit must be a chunk of d1
+    # that actually covers token positions 100-102 (chunks 1 and 2 do;
+    # chunk 0 ends at 64 and must score zero → absent)
+    top = [k for k, v in got.items() if k[0] == "q_hash_join" and v[2] == 1]
+    assert top and top[0][1] == "d1" and top[0][2] in (1, 2)
+    assert ("q_hash_join", "d1", 0) not in got
     """Paragraph-grain ingest (r11 verdict #3): planted delta-vs-base
     semantics — exact copy removed, J=13/15 near-dup removed, novel
     and sub-paragraph docs kept, delta-vs-delta copies NOT removed
