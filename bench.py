@@ -16,6 +16,13 @@ pause or compilation stall on a contended 32-thread local JVM must
 not masquerade as a plan regression (round 1: the driver measured
 q3 at 31.3s single-shot; it reproduces at 1.1s warm).
 
+PAIRS MODE (default since r13): the whole headline set runs TWICE in
+the same session and the reported per-query number (and every compare
+flag) is the pairwise MIN of the two medians — the r12 same-day pair
+proved single-run flags ~50% noise on this drifting VM. The full
+artifact keeps both passes (queries_pass1/queries_pass2);
+SPARK_GRAFT_BENCH_PAIRS=0 or --single restores the single-pass run.
+
 Usage: python bench.py [--json PATH]  (writes the same JSON to PATH
 for per-round committing — the driver preserves only a stdout tail).
 """
@@ -207,6 +214,21 @@ def _compare_block(
         "beyond_envelope": sorted(flagged),
         "queries": queries,
     }
+    # r13 (r12 ADVICE): in a window measurably FASTER than the
+    # baseline's (cal ratio up), a genuine long-query regression R
+    # shows raw ≈ R / cal — for psec >= 1 s the raw > 1.2 requirement
+    # then structurally suppresses every R <= 1.2 × cal. The rule
+    # still trades missed regressions for fewer fabricated flags, but
+    # the run must SAY it was insensitive rather than read as a clean
+    # bill of health.
+    cal_up = max(c1, ca)
+    if cal_up > 1.25:
+        block["long_query_flags_insensitive_below"] = round(1.2 * cal_up, 2)
+        block["insensitive_note"] = (
+            f"window ~{cal_up:.2f}x faster than baseline's: long-query "
+            f"(>=1s) regressions below ~{1.2 * cal_up:.2f}x raw work are "
+            f"structurally unflaggable this run"
+        )
     if skipped:
         # newer artifacts that existed but were unusable (truncated
         # driver tail / parsed: null) — the baseline above is the
@@ -230,6 +252,8 @@ def _compact_line(out: dict, limit: int = 1900) -> str:
         "sf": out["sf"],
         **{k: v for k, v in out.items() if k.startswith("cal_")},
     }
+    if out.get("pairs_mode"):
+        compact["pairs"] = True
     compare = out.get("compare")
     if compare is not None:
         worst = sorted(
@@ -253,6 +277,10 @@ def _compact_line(out: dict, limit: int = 1900) -> str:
                 n: [e["ratio_raw"], e["ratio_norm_all"]] for n, e in worst
             },
         }
+        if "long_query_flags_insensitive_below" in compare:
+            compact["compare_digest"]["insensitive_below"] = compare[
+                "long_query_flags_insensitive_below"
+            ]
     line = json.dumps(compact)
     if len(line) > limit and "compare_digest" in compact:
         compact["compare_digest"].pop("flagged")
@@ -295,36 +323,60 @@ def main() -> None:
         # timed only the eager cache fill — and in r5, ONLY that fill).
         df.write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, spec in specs.items():
-        # Per-query isolation (r9): clear the SQL cache registry before
-        # each query's timed block, then re-warm the query once
-        # (untimed) so its timed runs see their own warm cache AND a
-        # JIT/codegen-warm JVM (CacheManager dedups by analyzed plan).
-        # Several bench operators persist corpus-sized frames a lazy
-        # query function cannot unpersist itself (minhash signatures,
-        # ingest shingle streams/prefixes); letting them sit
-        # co-resident contaminated unrelated sf1 timings (7 spurious
-        # beyond-envelope flags in the first r9 sf1 run). The old
-        # GLOBAL all-queries warmup pass is gone (r10, r9 ADVICE): the
-        # per-query rewarm already provides its JIT benefit, and the
-        # global pass only doubled bench runtime while briefly
-        # recreating the exact co-residency the clear exists to remove.
-        spark.catalog.clearCache()
-        drain(spec.fn(spark, sf_dir))
-        runs: list[float] = []
-        counts: set[int] = set()
-        for i in range(5):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            drain(df)
-            runs.append(time.perf_counter() - t0)
-            if i < 2:  # untimed determinism spot-check (first two runs)
-                counts.add(df.count())
-        # real sanity gate: a deterministic query over static parquet
-        # must return the same row count on every run
-        assert len(counts) == 1, f"{name}: unstable row count {counts}"
-        timings[name] = round(sorted(runs)[2], 3)
+    def run_pass() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name, spec in specs.items():
+            # Per-query isolation (r9): clear the SQL cache registry
+            # before each query's timed block, then re-warm the query
+            # once (untimed) so its timed runs see their own warm cache
+            # AND a JIT/codegen-warm JVM (CacheManager dedups by
+            # analyzed plan). Several bench operators persist
+            # corpus-sized frames a lazy query function cannot
+            # unpersist itself (minhash signatures, ingest shingle
+            # streams/prefixes); letting them sit co-resident
+            # contaminated unrelated sf1 timings (7 spurious
+            # beyond-envelope flags in the first r9 sf1 run). The old
+            # GLOBAL all-queries warmup pass is gone (r10, r9 ADVICE):
+            # the per-query rewarm already provides its JIT benefit,
+            # and the global pass only doubled bench runtime while
+            # briefly recreating the exact co-residency the clear
+            # exists to remove.
+            spark.catalog.clearCache()
+            drain(spec.fn(spark, sf_dir))
+            runs: list[float] = []
+            counts: set[int] = set()
+            for i in range(5):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                drain(df)
+                runs.append(time.perf_counter() - t0)
+                if i < 2:  # untimed determinism spot-check (first two)
+                    counts.add(df.count())
+            # real sanity gate: a deterministic query over static
+            # parquet must return the same row count on every run
+            assert len(counts) == 1, f"{name}: unstable row count {counts}"
+            timings[name] = round(sorted(runs)[2], 3)
+        return timings
+
+    # Pairs mode (r13, r12 verdict #6): the r12 same-day same-code pair
+    # proved single-run flags are ~50% noise even with the split rule
+    # (per-query spread 0.17x-3.94x across windows). Running the whole
+    # headline set TWICE in one session and taking the per-query
+    # pairwise MIN drops flags to the reproducible ones — a genuine
+    # plan regression is slow in both passes; a window stall rarely
+    # hits the same query twice. Disable with SPARK_GRAFT_BENCH_PAIRS=0
+    # or --single (halves runtime, restores single-pass medians).
+    pairs = (
+        os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "1") != "0"
+        and "--single" not in sys.argv
+    )
+    pass1 = run_pass()
+    if pairs:
+        pass2 = run_pass()
+        timings = {n: min(pass1[n], pass2[n]) for n in pass1}
+    else:
+        pass2 = None
+        timings = pass1
 
     cal = _calibrate()
     out = {
@@ -336,6 +388,10 @@ def main() -> None:
         **cal,
         **{k.replace("cal_", "cal_pre_"): v for k, v in cal_pre.items()},
     }
+    if pairs:
+        out["pairs_mode"] = True
+        out["queries_pass1"] = pass1
+        out["queries_pass2"] = pass2
     compare = _compare_block(timings, cal, float(sf))
     if compare is not None:
         out["compare"] = compare

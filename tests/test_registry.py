@@ -89,6 +89,39 @@ def test_bench_compare_block_mechanics(tmp_path, monkeypatch):
     assert bench._compare_block({"q": 1.0}, cal, 0.005) is None
 
 
+def test_bench_insensitive_window_annotation(tmp_path, monkeypatch):
+    """r13 (r12 ADVICE): when the run's window is measurably faster
+    than the baseline's (cal ratio > 1.25), long-query (>=1s) flags
+    are structurally suppressed by the raw>1.2 requirement — the
+    compare block must SAY so instead of reading as a clean bill."""
+    import json
+
+    import bench
+
+    (tmp_path / "bench.py").write_text("")
+    (tmp_path / "VERDICT.md").write_text("# VERDICT — round 19\n")
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({
+        "sf": 0.1, "queries": {"q": 2.0}, "cal_1t_mbps": 1000,
+        "cal_all_mbps": 8000}))
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda p: str(tmp_path / "bench.py"))
+
+    same = {"cal_1t_mbps": 1000, "cal_all_mbps": 8000,
+            "cal_effective_cores": 8}
+    blk = bench._compare_block({"q": 2.0}, same, 0.1)
+    assert "long_query_flags_insensitive_below" not in blk
+
+    fast = {"cal_1t_mbps": 2000, "cal_all_mbps": 16000,
+            "cal_effective_cores": 8}
+    blk2 = bench._compare_block({"q": 1.5}, fast, 0.1)
+    # a genuine 1.5x work regression reads raw 0.75 here — unflaggable
+    assert blk2["beyond_envelope"] == []
+    assert blk2["long_query_flags_insensitive_below"] == 2.4  # 1.2 * 2
+    assert "insensitive" in blk2["insensitive_note"].replace(
+        "unflaggable", "insensitive"
+    ) or "unflaggable" in blk2["insensitive_note"]
+
+
 def test_bench_prior_artifact_excludes_current_round(tmp_path):
     """r11 (r10 verdict #3): the compare baseline must come from a
     PRIOR round — r10's committed compare blocks named themselves as
