@@ -179,7 +179,12 @@ _QUERY_MODULES = (
 #:   r9:  streaming_ingest_dedup
 #:   r10: corpus_sequence_packing (displaced r11)
 #:   r11: dedup_paragraph_neardup, corpus_epoch_packed_shuffle
-#:   r12: citation_scc, text_bm25_topk, streaming_paragraph_ingest
+#:   r12: streaming_paragraph_ingest (citation_scc and text_bm25_topk
+#:        were in r12, displaced by their r13 compositions)
+#:   r13: citation_scc_layers (for citation_scc — runs the full FW-BW
+#:        SCC labeling inside), text_bm25_chunk_topk (for
+#:        text_bm25_topk — same scorer at chunk grain); both parents
+#:        stay registered + full-sweep-gated
 _PRIORITY = (
     # SURVEY §2: the reference's citation pipeline + scalar family.
     "citation_counts",
@@ -197,11 +202,14 @@ _PRIORITY = (
     "events_daily_acf",
     "embedding_power_iteration",
     "layout_zorder_stats",
-    # r12 rotation: BM25 retrieval in for PMI collocations
-    "text_bm25_topk",
-    # r12 rotation: strongly connected components in for the auto
-    # dispatcher
-    "citation_scc",
+    # r13 rotation: chunk-grain BM25 (the RAG access pattern,
+    # composing the r12 scorer with the chunk geometry) in for its
+    # document-grain parent (registered + full-sweep-gated)
+    "text_bm25_chunk_topk",
+    # r13 rotation: condensation-DAG topological layering in for
+    # citation_scc (the SCC family keeps its in-window representative
+    # via the composition that runs the full FW-BW labeling inside)
+    "citation_scc_layers",
     # r10 extension rotation: citation_random_walks in for
     # citation_hits (HITS stays registered + full-sweep-gated; graph
     # family keeps 4 in-window representatives) — the window
