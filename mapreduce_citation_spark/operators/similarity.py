@@ -420,16 +420,22 @@ def _centroids(e: DataFrame) -> DataFrame:
     (A production IVF trains k-means; the per-label mean is the same
     shape with a deterministic 'training' step.)
 
-    The per-component mean sums via a VALUE-SORTED fold instead of
-    ``F.avg`` so the double is independent of partition order — the
-    ``embedding_label_stats`` determinism pattern — which is what lets
-    the DuckDB oracle reproduce every centroid (and therefore every
-    assignment and cosine downstream) bitwise."""
+    r13: the per-component mean is an INTEGER-QUANTIZED associative
+    sum (floor to 1e-6 BIGINT units, plain ``F.sum``, then two exact
+    double divisions) — constant per-key aggregation state with
+    map-side combine, deterministic on both engines because the same
+    integers go through the same IEEE ops. The previous value-sorted
+    ``collect_list`` fold held one double per corpus vector of the
+    label in a single aggregation buffer — the corpus-sized-state
+    pattern the r12 verdict #2 fix removed from
+    ``embedding_label_stats`` (this was its twin in the centroid
+    path). Quantization perturbs each mean by < 1e-6/n, mirrored
+    exactly in the oracle and the numpy replay."""
     ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    q = F.floor(F.col("x").cast("double") * F.lit(1000000)).cast("long")
     comp = ex.groupBy("label", "pos").agg(
-        F.expr(
-            "aggregate(array_sort(collect_list(CAST(x AS DOUBLE))), 0D, "
-            "(a, b) -> a + b) / count(1)"
+        (
+            F.sum(q).cast("double") / F.lit(1000000) / F.count(F.lit(1))
         ).alias("m")
     )
     cent = (
@@ -451,8 +457,8 @@ def _centroids(e: DataFrame) -> DataFrame:
     oracle="""
 WITH c0 AS (
   SELECT label, j.pos,
-         list_reduce(list_sort(list(CAST(embedding[j.pos] AS DOUBLE))),
-                     (a, b) -> a + b) / COUNT(*) AS m
+         CAST(SUM(CAST(floor(CAST(embedding[j.pos] AS DOUBLE) * 1000000)
+                       AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS m
   FROM embeddings, generate_series(1, 64) AS j(pos)
   GROUP BY label, j.pos
 ),
@@ -517,8 +523,8 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the inverted-list join is keyed on cent_id.
 
     The DuckDB oracle replays the full pipeline exactly: centroid
-    means are value-sorted folds (see ``_centroids``), every dot/norm
-    is the same ordered left fold in double, and the nearest-centroid
+    means are integer-quantized associative sums (see ``_centroids``),
+    every dot/norm is the same ordered left fold in double, and the nearest-centroid
     assignment is the same (csim desc, cent_id asc) row_number — so
     the driver gate is a hard hash match. The numpy replay pytest
     (set equality + recall floor vs brute force) is retained."""

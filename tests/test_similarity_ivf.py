@@ -8,7 +8,14 @@ import numpy as np
 
 def _numpy_ivf(V: np.ndarray, ids: np.ndarray, labels: np.ndarray, nprobe=2, k=5):
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    cent = np.stack([V[labels == l].mean(axis=0) for l in sorted(set(labels))])
+    # r13: centroid means are integer-quantized associative sums
+    # (floor to 1e-6 units, BIGINT sum, two double divisions) —
+    # mirror the engine's arithmetic exactly
+    cent = np.stack([
+        np.floor(V[labels == l] * 1e6).sum(axis=0) / 1e6
+        / (labels == l).sum()
+        for l in sorted(set(labels))
+    ])
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
     csim = Vn @ cent.T
     # assignment: best centroid, centroid-id-asc tie-break (argmax is
