@@ -1338,11 +1338,15 @@ def dedup_semantic_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidates); the lexical stage shingles ONLY the candidate
     docs (broadcast semi-join) and compares shingle SETS with
     array_intersect/union — never a corpus-wide text pass."""
-    # materialize the (tiny) verified pair set: it feeds the id
-    # union AND both shingle joins — left lazy, the whole LSH+cosine
-    # pipeline replays once per consumer (audit: embeddings scanned
-    # 10×; with the checkpoint, once)
-    pairs = dedup_embedding_cosine(spark, sf_dir).localCheckpoint()
+    # materialize the verified pair set: it feeds the id union AND
+    # both shingle joins — left lazy, the whole LSH+cosine pipeline
+    # replays once per consumer (audit: embeddings scanned 10×; with
+    # the cache, once). The pair count is DATA-DEPENDENT (dup-rate ×
+    # corpus — near-corpus-sized on a duplicate-heavy crawl), so the
+    # r6 cache rule applies (r13 audit — was localCheckpoint).
+    from ..cache import cache_corpus
+
+    pairs = cache_corpus(dedup_embedding_cosine(spark, sf_dir))
     d = _docs(spark, sf_dir)
     pair_ids = pairs.select(F.col("vec_a").alias("doc_id")).union(
         pairs.select("vec_b")

@@ -610,12 +610,18 @@ def coordinated_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(
         F.expr(_COORD_COIN_SPARK.format(k="c_custkey"))
     ).select("c_custkey", "c_mktsegment").persist(StorageLevel.MEMORY_AND_DISK)
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.expr(_COORD_COIN_SPARK.format(k="o_custkey"))
-    ).select(
-        "o_orderkey", "o_custkey",
-        F.expr("CAST(o_totalprice AS DECIMAL(12,2))").alias("v"),
-    ).localCheckpoint()
+    from ..cache import cache_corpus
+
+    # the sampled orders slice is corpus-proportional (p x |orders|),
+    # so the r6 cache rule applies (r13 audit — was localCheckpoint)
+    o = cache_corpus(
+        load_table(spark, sf_dir, "orders").filter(
+            F.expr(_COORD_COIN_SPARK.format(k="o_custkey"))
+        ).select(
+            "o_orderkey", "o_custkey",
+            F.expr("CAST(o_totalprice AS DECIMAL(12,2))").alias("v"),
+        )
+    )
     n_sampled = o.agg(F.count(F.lit(1)).alias("n_orders_sampled"))
     n_joined = (
         o.join(c, o.o_custkey == c.c_custkey)
