@@ -209,6 +209,12 @@ def _compare_block(
         queries[name] = entry
     block = {
         "baseline": fname,
+        # r14 (r13 ADVICE): a pairs-mode run compared against a
+        # single-pass baseline carries min-of-two-medians bias ON TOP
+        # of the cal ratio, so the insensitivity note (below) models
+        # only part of the regression-miss window. Record the
+        # baseline's mode so the judge can see mixed-mode compares.
+        "baseline_pairs_mode": bool(base.get("pairs_mode")),
         "cal_1t_ratio": round(c1, 3),
         "cal_all_ratio": round(ca, 3),
         "beyond_envelope": sorted(flagged),

@@ -811,6 +811,9 @@ def test_condensation_layers_on_planted_dag(spark):
     }
     assert stats["converged"] is True
     assert got == {"a": 0, "p": 1, "z": 2, "s": 0, "m": 1, "t": 2, "x": 0}
+
+
+def test_scc_matches_kosaraju_on_random_graph(spark):
     """Adversarial density sweep: a deterministic pseudo-random digraph
     (hash-derived edges, no RNG state) with nested cycles must match
     the Kosaraju replay exactly — groups AND min-node labels."""

@@ -2303,6 +2303,9 @@ def test_bm25_chunk_grain_matches_python_replay(spark, tmp_path):
     top = [k for k, v in got.items() if k[0] == "q_hash_join" and v[2] == 1]
     assert top and top[0][1] == "d1" and top[0][2] in (1, 2)
     assert ("q_hash_join", "d1", 0) not in got
+
+
+def test_paragraph_ingest_planted_and_batching_independent(spark):
     """Paragraph-grain ingest (r11 verdict #3): planted delta-vs-base
     semantics — exact copy removed, J=13/15 near-dup removed, novel
     and sub-paragraph docs kept, delta-vs-delta copies NOT removed

@@ -89,11 +89,28 @@ def main(args: list[str]) -> int:
         fn = specs[qname].fn
 
         def run_with(strategy) -> float:
-            cache_mod.cache_corpus = strategy
+            # r14 (r13 ADVICE): clearCache() does NOT release
+            # localCheckpoint'ed RDD blocks, so checkpoint-variant runs
+            # would otherwise accumulate pinned deserialized blocks for
+            # the whole session (the r9 co-residency class). Track what
+            # the strategy materializes and unpersist it after the run.
+            made: list = []
+
+            def tracking(df):
+                out = strategy(df)
+                made.append(out)
+                return out
+
+            cache_mod.cache_corpus = tracking
             try:
                 return timed(lambda: fn(spark, sf_dir))
             finally:
                 cache_mod.cache_corpus = shipped
+                for df in made:
+                    try:
+                        df.unpersist(blocking=True)
+                    except Exception:
+                        pass
 
         run_with(shipped)  # warm, untimed
         p_runs, c_runs = [], []
