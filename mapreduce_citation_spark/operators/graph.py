@@ -2421,9 +2421,21 @@ def citation_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(_edges(spark, sf_dir))
 
 
-def random_walks(e: DataFrame) -> DataFrame:
+def random_walks(e: DataFrame, per_hop_deg: bool = True) -> DataFrame:
     """The walk core on a prepared (from_paper, to_paper) edge frame —
-    shared by the registered query and tools/scaling_walks.py."""
+    shared by the registered query and tools/scaling_walks.py.
+
+    r14 measured and REJECTED (AB_R14_INROW*.json, guide §1.1's
+    "the ideal plan is usually slower at first"): folding the landing
+    node's degree into the adjacency row (``per_hop_deg=False``) drops
+    the per-hop frontier⋈degree join, but attaching ``deg_b`` costs an
+    extra EDGE-sized exchange at build time (the degree join keys on
+    ``b`` while the ranking window keyed on ``a``), and the removed
+    joins were only node-sized probes whose adj-join exchange is
+    shared anyway (hash(a) satisfies the (a, idx) clustering). Same-
+    session interleaved A/B at sf1: deg-in-adj 0.78× — consistently
+    slower pairwise. The two-join shape ships; the refuted variant
+    stays reachable for the committed A/B."""
     und = (
         e.select(F.col("from_paper").alias("a"), F.col("to_paper").alias("b"))
         .union(e.select(F.col("to_paper"), F.col("from_paper")))
@@ -2432,53 +2444,68 @@ def random_walks(e: DataFrame) -> DataFrame:
     from pyspark.sql import Window
     from pyspark import StorageLevel
 
-    # node-sized degree table probed every hop: checkpointed once
-    # (the PageRank convention for small per-iteration tables); the
-    # start frontier derives from it — deg.a IS the distinct node
-    # set, so und is computed exactly twice (deg build + adj build)
+    # node-sized degree table: checkpointed once (the PageRank
+    # convention for small per-iteration tables); the start frontier
+    # derives from it — deg.a IS the distinct node set, so und is
+    # computed exactly twice (deg build + adj build)
     deg = (
         und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     )
-    adj = (
-        und.select(
-            "a",
+    adj_rows = und.select(
+        "a",
+        "b",
+        F.row_number().over(Window.partitionBy("a").orderBy("b")).alias("idx"),
+    )
+    if not per_hop_deg:
+        # the landing node's degree rides in the adjacency row; deg is
+        # node-sized and already checkpointed, so the attach is one
+        # broadcast-or-SMJ join at build time
+        adj_rows = adj_rows.join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("deg_b")),
             "b",
-            F.row_number()
-            .over(Window.partitionBy("a").orderBy("b"))
-            .alias("idx"),
         )
-        .repartition(F.col("a"), F.col("idx"))
+    adj = (
+        adj_rows.repartition(F.col("a"), F.col("idx"))
         .sortWithinPartitions("a", "idx")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    fr = deg.select(F.col("a").alias("start"))
+    fr = deg.select(F.col("a").alias("start"), F.col("deg").alias("_deg"))
     cols: list[str] = []
     cur = "start"
-    # deg and adj are re-joined every hop, and from hop 2 on they are
-    # already in the frontier's own lineage — an unaliased self-join
-    # would let `adj.a` resolve INSIDE the frontier (measured: every
-    # hop-2 pick wrong). Fresh string aliases per hop keep each join
-    # side unambiguous.
+    # adj is re-joined every hop, and from hop 2 on it is already in
+    # the frontier's own lineage — an unaliased self-join would let
+    # `adj.a` resolve INSIDE the frontier (measured: every hop-2 pick
+    # wrong). Fresh string aliases per hop keep each join side
+    # unambiguous.
     for k in range(1, WALK_LEN + 1):
         dk, ak = f"_d{k}", f"_a{k}"
-        want = fr.join(
-            deg.alias(dk), fr[cur] == F.col(f"{dk}.a")
-        ).select(
-            "start",
-            *cols,
-            F.col(cur).alias("_cur"),
-            F.col(f"{dk}.deg").alias("_deg"),
-        ).select(
+        if per_hop_deg:
+            want = fr.join(
+                deg.alias(dk), fr[cur] == F.col(f"{dk}.a")
+            ).select(
+                "start",
+                *cols,
+                F.col(cur).alias("_cur"),
+                F.col(f"{dk}.deg").alias("_deg"),
+            )
+        else:
+            want = fr.select(
+                "start", *cols, F.col(cur).alias("_cur"), "_deg"
+            )
+        want = want.select(
             "start",
             *cols,
             "_cur",
             F.expr(_walk_pick_spark("start", "_cur", k)).alias("_widx"),
         )
+        sel = [F.col(f"{ak}.b").alias(f"v{k}")]
+        if not per_hop_deg:
+            sel.append(F.col(f"{ak}.deg_b").alias("_deg"))
         fr = want.join(
             adj.alias(ak),
             (F.col("_cur") == F.col(f"{ak}.a"))
             & (F.col("_widx") == F.col(f"{ak}.idx")),
-        ).select("start", *cols, F.col(f"{ak}.b").alias(f"v{k}"))
+        ).select("start", *cols, *sel)
         cols.append(f"v{k}")
         cur = f"v{k}"
     return fr.select("start", *cols)

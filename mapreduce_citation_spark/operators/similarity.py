@@ -533,46 +533,97 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment crossJoin doesn't re-run the posexplode aggregation
     cent = _centroids(e).localCheckpoint()
     n = e.select("vec_id", "embedding", F.expr(_NORM).alias("nrm"))
-    cdot = (
-        "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), "
-        "0D, (a, b) -> a + b)"
-    )
-    scored_cent = n.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "nrm", "cent_id",
-        (F.expr(cdot) / F.col("nrm")).alias("csim"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cent_id").asc()
-    )
-    # cache the ranked assignment once (rows with crank ≤ 2 cover both
-    # consumers): the inverted-list side and the probe side would
-    # otherwise each replay the k-centroid HOF scoring pass. This
-    # table is CORPUS-sized (one row per corpus vector, embedding
-    # riding along), so the r6 cache rule applies (see cache.py; r12
-    # verdict #3 — was localCheckpoint). Unpersisted by the harnesses'
+    # cache the ranked assignment once (it covers both consumers): the
+    # inverted-list side and the probe side would otherwise each
+    # replay the k-centroid HOF scoring pass. This table is
+    # CORPUS-sized (one row per corpus vector, embedding riding
+    # along), so the r6 cache rule applies (see cache.py; r12 verdict
+    # #3 — was localCheckpoint). Unpersisted by the harnesses'
     # per-query clearCache (a lazy query function can't unpersist its
     # own result's input).
     from ..cache import cache_corpus
 
-    ranked = cache_corpus(
-        scored_cent.withColumn("crank", F.row_number().over(w_assign))
-        .filter(F.col("crank") <= 2)
-    )
-    corpus = ranked.filter(F.col("crank") == 1).select(
-        F.col("cent_id"),
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
-        F.col("nrm").alias("n_nrm"),
-    )
-    probes = (
-        ranked.filter((F.col("vec_id") < 10) & (F.col("crank") <= 2))
-        .select(
-            F.col("cent_id"),
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
+    if IVF_ASSIGN == "window":
+        # retired r13 shape, reachable for tools/ab_r14.py: crossJoin
+        # with the centroid TABLE + row_number over vec_id — an
+        # Exchange+Sort of corpus×k rows with the embedding payload
+        # riding along, and a 2-rows-per-vector cache
+        cdot = (
+            "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "0D, (a, b) -> a + b)"
         )
-    )
+        scored_cent = n.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "embedding", "nrm", "cent_id",
+            (F.expr(cdot) / F.col("nrm")).alias("csim"),
+        )
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("cent_id").asc()
+        )
+        ranked = cache_corpus(
+            scored_cent.withColumn("crank", F.row_number().over(w_assign))
+            .filter(F.col("crank") <= 2)
+        )
+        corpus = ranked.filter(F.col("crank") == 1).select(
+            F.col("cent_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("nrm").alias("n_nrm"),
+        )
+        probes = (
+            ranked.filter((F.col("vec_id") < 10) & (F.col("crank") <= 2))
+            .select(
+                F.col("cent_id"),
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("nrm").alias("q_nrm"),
+            )
+        )
+    else:
+        # r14 (guide §2.4, the kmeans in-row argmin applied here): pack
+        # the centroids into ONE array row and take the top-2 INSIDE
+        # each point row (array_sort with an explicit (csim DESC,
+        # cent_id ASC) comparator — the same SQL comparison semantics
+        # the window ordering used). The corpus×k Exchange+Sort is
+        # gone and the cache holds ONE row per vector (top-2 ids as a
+        # 2-element array) instead of two embedding-bearing rows.
+        carr = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cent_id", "cvec"))).alias(
+                "cents"
+            )
+        )
+        top2 = (
+            "slice(array_sort("
+            "transform(cents, c -> named_struct("
+            "'csim', aggregate(zip_with(embedding, c.cvec, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, b) -> a + b) / nrm, "
+            "'cent_id', c.cent_id)), "
+            "(l, r) -> CASE WHEN l.csim > r.csim THEN -1 "
+            "WHEN l.csim < r.csim THEN 1 "
+            "WHEN l.cent_id < r.cent_id THEN -1 "
+            "WHEN l.cent_id > r.cent_id THEN 1 ELSE 0 END), 1, 2)"
+        )
+        ranked = cache_corpus(
+            n.crossJoin(F.broadcast(carr)).select(
+                "vec_id", "embedding", "nrm", F.expr(top2).alias("_t2")
+            )
+        )
+        corpus = ranked.select(
+            F.expr("_t2[0].cent_id").alias("cent_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("nrm").alias("n_nrm"),
+        )
+        probes = (
+            ranked.filter(F.col("vec_id") < 10)
+            .select(
+                F.explode(F.expr("transform(_t2, t -> t.cent_id)")).alias(
+                    "cent_id"
+                ),
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("nrm").alias("q_nrm"),
+            )
+        )
     dot = (
         "aggregate(zip_with(q_emb, n_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "0D, (a, b) -> a + b)"
@@ -960,6 +1011,28 @@ _KM_ITERS = 3
 #: inertia sum.
 _KM_DIST = "aggregate(zip_with(xq, cvec, (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v)"
 
+#: In-row argmin over the packed centroid array (r14, guide §2.4):
+#: one struct per centroid with its squared-L2 distance, then
+#: ``array_min`` — struct ordering is field-lexicographic, so the min
+#: is (dist ASC, cent_id ASC), exactly the ``row_number`` tie-break
+#: the windowed formulation (and the DuckDB oracle) uses. All-integer
+#: operands, so the comparison has no float edge cases.
+_KM_BEST = (
+    "array_min(transform(cents, c -> named_struct("
+    "'dist', aggregate(zip_with(xq, c.cvec, (a, b) -> (a - b) * (a - b)),"
+    " 0L, (s, v) -> s + v), "
+    "'cent_id', c.cent_id)))"
+)
+
+#: Assignment-pass strategy — "inrow" (shipped) vs "window" (the
+#: retired corpus×k row_number shape), injectable so tools/ab_r14.py
+#: can interleave both within ONE session (the repo's drift rule:
+#: cross-window numbers never prove anything).
+KM_ASSIGN = "inrow"
+
+#: Same switch for knn_ivf_ann's coarse-centroid assignment.
+IVF_ASSIGN = "inrow"
+
 
 def kmeans_fixed_point(
     e: DataFrame,
@@ -1014,13 +1087,44 @@ def kmeans_fixed_point(
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
-        scored = q.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "xq", "cent_id", F.expr(_KM_DIST).alias("dist")
+        # r14 (guide §2.4 — remove shuffles outright): the previous
+        # shape crossJoined each point with the k-row centroid TABLE
+        # and ranked the k scored copies with row_number over
+        # Window.partitionBy(vec_id) — an Exchange+Sort of corpus×k
+        # rows (xq payload riding along) per assignment pass, 4 passes
+        # per query. Packing the centroids into ONE array row and
+        # taking the (dist, cent_id)-min INSIDE the point row keeps
+        # scoring entirely map-side: zero exchanges per pass, and the
+        # argmin arithmetic/tie-break is identical (integer operands,
+        # struct ordering = dist ASC, cent_id ASC). ``rk`` stays in
+        # the schema (constant 1) for the window-shape consumers.
+        # The retired window shape stays reachable (KM_ASSIGN) for the
+        # same-session A/B in tools/ab_r14.py.
+        if KM_ASSIGN == "window":
+            scored = q.crossJoin(F.broadcast(centroids)).select(
+                "vec_id", "xq", "cent_id", F.expr(_KM_DIST).alias("dist")
+            )
+            w = Window.partitionBy("vec_id").orderBy(
+                F.col("dist").asc(), F.col("cent_id").asc()
+            )
+            return scored.withColumn("rk", F.row_number().over(w))
+        carr = centroids.agg(
+            F.array_sort(F.collect_list(F.struct("cent_id", "cvec"))).alias(
+                "cents"
+            )
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("dist").asc(), F.col("cent_id").asc()
+        # inline(array(<struct expr>)) evaluates the argmin ONCE per
+        # row inside a Generate and emits its fields as columns —
+        # extracting dist and cent_id as two GetStructField projections
+        # would instead inline TWO copies of the whole interpreted HOF
+        # fold (no codegen subexpression elimination for HOFs; the
+        # first cut of this change measured 1.5× slower at sf1 from
+        # exactly that duplication).
+        return (
+            q.crossJoin(F.broadcast(carr))
+            .select("vec_id", "xq", F.expr(f"inline(array({_KM_BEST}))"))
+            .select("vec_id", "xq", "cent_id", "dist", F.lit(1).alias("rk"))
         )
-        return scored.withColumn("rk", F.row_number().over(w))
 
     for _ in range(iterations):
         members = assign(cent).filter(F.col("rk") == 1)
