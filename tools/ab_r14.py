@@ -112,6 +112,78 @@ def main(args: list[str]) -> int:
             return run
         section("walks", walks(False), walks(True))
 
+    # --- shj: guide §3.1 — let the planner/AQE pick shuffled-hash
+    # joins (no sort) where the per-partition build side fits.
+    # Interleaved per query: new = preferSortMergeJoin=false +
+    # AQE SMJ→SHJ conversion at the measured-size threshold;
+    # old = defaults (SMJ preferred, conversion off).
+    SHJ_QUERIES = (
+        "join_fact_fact",
+        "join_bloom_plain",
+        "q21_waiting_suppliers",
+        "dedup_minhash_lsh",
+        "dedup_incremental_ingest",
+        "corpus_curation_funnel",
+    )
+    if "shj" in sections:
+        def with_conf(prefer_smj: bool, fn):
+            def run():
+                spark.conf.set(
+                    "spark.sql.join.preferSortMergeJoin",
+                    "true" if prefer_smj else "false",
+                )
+                spark.conf.set(
+                    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                    "0" if prefer_smj else "67108864",
+                )
+                try:
+                    return fn()
+                finally:
+                    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+                    spark.conf.set(
+                        "spark.sql.adaptive."
+                        "maxShuffledHashJoinLocalMapThreshold",
+                        "0",
+                    )
+            return run
+
+        for qname in SHJ_QUERIES:
+            fn = specs[qname].fn
+            section(
+                f"shj:{qname}",
+                with_conf(False, lambda f=fn: f(spark, sf_dir)),
+                with_conf(True, lambda f=fn: f(spark, sf_dir)),
+            )
+
+    # --- shj_aqe: the AQE-only form — static planner unchanged
+    # (preferSortMergeJoin stays true), only the runtime SMJ→SHJ
+    # conversion from MEASURED partition sizes is toggled. This is the
+    # memory-safe variant (bounded by the threshold per partition).
+    if "shj_aqe" in sections:
+        def with_thresh(on: bool, fn):
+            def run():
+                spark.conf.set(
+                    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                    "67108864" if on else "0",
+                )
+                try:
+                    return fn()
+                finally:
+                    spark.conf.set(
+                        "spark.sql.adaptive."
+                        "maxShuffledHashJoinLocalMapThreshold",
+                        "0",
+                    )
+            return run
+
+        for qname in SHJ_QUERIES:
+            fn = specs[qname].fn
+            section(
+                f"shj_aqe:{qname}",
+                with_thresh(True, lambda f=fn: f(spark, sf_dir)),
+                with_thresh(False, lambda f=fn: f(spark, sf_dir)),
+            )
+
     report["cal_after"] = _calibrate()
     print(json.dumps(report, indent=1))
     if json_path:
