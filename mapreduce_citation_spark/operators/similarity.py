@@ -821,20 +821,35 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("code", "m", F.col("subvec").alias("cw"))
         .localCheckpoint()
     )
-    l2 = F.expr(
-        "aggregate(zip_with(subvec, cw, (x, y) -> "
-        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
-        "0D, (a, b) -> a + b)"
+    # r14 (guide §2.4, the kmeans in-row argmin applied here): the
+    # previous shape joined every subvector row against all K
+    # codewords of its subspace and ranked the K copies with
+    # row_number over Window.partitionBy(vec_id, m) — an
+    # Exchange+Sort of corpus×M×K rows. Packing each subspace's
+    # codebook into ONE array row and taking the (d, code)-argmin
+    # INSIDE the subvector row keeps assignment map-side; argmin
+    # ordering (d ASC, code ASC via struct comparison) matches the
+    # window's tie-break (d is a sum of squares — finite,
+    # nonnegative, no NaN/-0.0 edge). inline(array(...)) evaluates
+    # the interpreted fold once (the kmeans lesson).
+    cb_m = codebook.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cw"))).alias("cws")
     )
-    w_assign = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d").asc(), F.col("code").asc()
+    pq_best = (
+        "array_min(transform(cws, c -> named_struct("
+        "'d', aggregate(zip_with(subvec, c.cw, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (a, b) -> a + b), "
+        "'code', c.code)))"
     )
     codes = (
-        subs.join(F.broadcast(codebook), "m")
-        .select("vec_id", "m", "code", l2.alias("d"))
-        .withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select(F.col("vec_id").alias("neighbor_id"), "m", "code")
+        subs.join(F.broadcast(cb_m), "m")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "m",
+            F.expr(f"inline(array({pq_best}))"),
+        )
+        .select("neighbor_id", "m", "code")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # per-query ADC tables: dot(query subvector, codeword) per (m, code)

@@ -1337,21 +1337,33 @@ _OUTER_STAGE: dict[str, str] = {}
 
 
 def _staged_events_with_heartbeats(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the events fixture for the OUTER-join stream as three
-    ordered files: the real events, then two far-future HEARTBEAT
-    files (one 'view' + one 'purchase' row each, user_id < 0).
+    """Stage the events fixture for the OUTER-join stream as two
+    ordered files: the real events, then ONE far-future HEARTBEAT
+    file (one 'view' + one 'purchase' row, user_id < 0).
 
     Why: a left-outer stream-stream join finalizes an unmatched left
     row only when the watermark passes view_ts + join-window — and the
     watermark only advances when LATER data arrives. On a finite file
     stream the last window's outer rows would stay buffered forever.
-    The heartbeats are the standard production fix (an idle-topic
+    The heartbeat is the standard production fix (an idle-topic
     watermark heartbeat): file 2 advances the watermark past every
-    real event, file 3 triggers one more micro-batch so the join
-    flushes the remainder. Both branches (views/purchases filters) see
-    a heartbeat, so BOTH sides' watermarks advance.
-    ``maxFilesPerTrigger=1`` + explicit mtimes make the three
-    micro-batches real and ordered."""
+    real event, and the engine's closing NO-DATA micro-batch (on by
+    default whenever an event-time watermark exists) performs the
+    final flush. Both branches (views/purchases filters) see the
+    heartbeat, so BOTH sides' watermarks advance.
+    ``maxFilesPerTrigger=1`` + explicit mtimes make the micro-batches
+    real and ordered.
+
+    r14 (guide §1 — the per-batch probe): each trailing micro-batch
+    costs 2.4–5 s of FIXED state-machinery overhead (32 state
+    partitions × 4 stores per side committed per batch) regardless of
+    rows — the r9/r14 probes measured batches of ≤4 rows at the same
+    cost as a 200k-row batch ÷ 2. The second heartbeat file only
+    duplicated what the no-data batch already does (probe: state rows
+    40025 → 149 after the first heartbeat, fully drained by the final
+    no-data batch either way), so staging now writes ONE heartbeat —
+    one fewer ~3 s micro-batch, identical drained output
+    (PROBE_FUNNEL_r14.json before/after sections)."""
     import datetime
     import glob
     import shutil
@@ -1377,7 +1389,7 @@ def _staged_events_with_heartbeats(spark: SparkSession, sf_dir: str) -> str:
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     stage = tempfile.mkdtemp(prefix="outer_funnel_")
     batches = [ev]
-    for i, eid in ((1, -1), (2, -3)):
+    for i, eid in ((1, -1),):
         hb_ts = max_ts + datetime.timedelta(days=10 * i)
         batches.append(
             spark.createDataFrame(
