@@ -59,6 +59,10 @@ BROADCAST_ALLOWLIST = {
     ("similarity.py", "cent"): "per-label centroids: ≤|labels| rows",
     ("similarity.py", "centroids"): "k-means centroid table: exactly k=8 rows",
     ("similarity.py", "codebook"): "PQ codebook: K×m constant rows",
+    ("similarity.py", "carr"): "1-row packed centroid array (k-means/IVF "
+    "in-row argmin, r14): collect_list over the ≤k-row centroid table",
+    ("similarity.py", "cb_m"): "PQ per-subspace codebook arrays: exactly "
+    "M=4 rows (16 codewords each), r14 in-row assignment",
     ("similarity.py", "tables"): "ADC tables: n_queries×K×m constant",
     ("similarity.py", "cand_ids"): "PQ shortlist: ≤ n_queries×shortlist",
     ("similarity.py", "code_ids"): "PQ codebook ids: exactly K rows",
