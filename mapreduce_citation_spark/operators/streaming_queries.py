@@ -1438,11 +1438,14 @@ def streaming_funnel_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     each left row until either a purchase matches or the WATERMARK
     proves no future purchase can (only then may the NULL-extended row
     leave — emitting earlier would double-count on a late match).
-    That finalization is why this query stages the fixture behind two
-    far-future heartbeat files (``_staged_events_with_heartbeats``):
-    without later data the last hour of unmatched views would sit in
-    state forever — the standard idle-source watermark-heartbeat
-    pattern, here made deterministic with ``maxFilesPerTrigger=1``.
+    That finalization is why this query stages the fixture behind ONE
+    far-future heartbeat file (``_staged_events_with_heartbeats``) —
+    the engine's closing no-data micro-batch supplies the final flush
+    (r14: the former second heartbeat only duplicated that flush, at
+    one whole micro-batch of fixed state-commit cost): without later
+    data the last hour of unmatched views would sit in state forever —
+    the standard idle-source watermark-heartbeat pattern, here made
+    deterministic with ``maxFilesPerTrigger=1``.
 
     The drained append-mode sink must equal the batch LEFT JOIN
     bit-for-bit (heartbeat rows filtered by user_id >= 0). At 100 TB:

@@ -93,7 +93,16 @@ def main(args: list[str]) -> int:
             # localCheckpoint'ed RDD blocks, so checkpoint-variant runs
             # would otherwise accumulate pinned deserialized blocks for
             # the whole session (the r9 co-residency class). Track what
-            # the strategy materializes and unpersist it after the run.
+            # the strategy materializes and release it after the run.
+            # r15 (r14 ADVICE): df.unpersist() only goes through the
+            # CacheManager — a LogicalRDD has no entry there, so for
+            # the checkpoint variant it was a no-op. _release() below
+            # additionally unpersists the checkpointed RDD itself via
+            # the JVM handle (LogicalRDD.rdd); if that handle is ever
+            # unavailable the residual co-residency bias (pinned
+            # deserialized blocks accumulating across checkpoint runs)
+            # is back and numbers from this section should be read
+            # with that caveat.
             made: list = []
 
             def tracking(df):
@@ -101,16 +110,27 @@ def main(args: list[str]) -> int:
                 made.append(out)
                 return out
 
+            def _release(df) -> None:
+                try:
+                    df.unpersist(blocking=True)  # CacheManager entries
+                except Exception:
+                    pass
+                try:
+                    # LogicalRDD (localCheckpoint) blocks live on the
+                    # checkpointed RDD, not in the CacheManager
+                    plan = df._jdf.queryExecution().logical()
+                    if plan.getClass().getSimpleName() == "LogicalRDD":
+                        plan.rdd().unpersist(True)
+                except Exception:
+                    pass
+
             cache_mod.cache_corpus = tracking
             try:
                 return timed(lambda: fn(spark, sf_dir))
             finally:
                 cache_mod.cache_corpus = shipped
                 for df in made:
-                    try:
-                        df.unpersist(blocking=True)
-                    except Exception:
-                        pass
+                    _release(df)
 
         run_with(shipped)  # warm, untimed
         p_runs, c_runs = [], []

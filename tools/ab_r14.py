@@ -55,9 +55,20 @@ def main(args: list[str]) -> int:
     report: dict = {"sf_dir": sf_dir, "cal_before": _calibrate()}
 
     def timed(fn) -> float:
+        """Time one full noop-sink execution of fn's DataFrame.
+
+        fn may either return a DataFrame (we drain it here) or return
+        None after draining it ITSELF — the latter is required for
+        conf-toggling variants: spark.conf values are read at
+        physical-planning/execution time, so a variant that restores
+        confs in a `finally` before the write executes measures
+        nothing (r14's SHJ A/Bs did exactly that — both sides ran
+        with identical default confs; r14 ADVICE, fixed in r15)."""
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        fn().write.format("noop").mode("overwrite").save()
+        df = fn()
+        if df is not None:
+            df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
     def med(xs: list[float]) -> float:
@@ -127,6 +138,12 @@ def main(args: list[str]) -> int:
     )
     if "shj" in sections:
         def with_conf(prefer_smj: bool, fn):
+            # The DRAIN runs inside the conf window (returns None to
+            # timed()): these confs are consulted at physical planning
+            # / AQE re-planning time, i.e. when the write executes —
+            # not when the DataFrame is built (r14 ADVICE: the first
+            # cut restored confs before execution and measured
+            # default-vs-default).
             def run():
                 spark.conf.set(
                     "spark.sql.join.preferSortMergeJoin",
@@ -137,7 +154,7 @@ def main(args: list[str]) -> int:
                     "0" if prefer_smj else "67108864",
                 )
                 try:
-                    return fn()
+                    fn().write.format("noop").mode("overwrite").save()
                 finally:
                     spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
                     spark.conf.set(
@@ -161,13 +178,14 @@ def main(args: list[str]) -> int:
     # memory-safe variant (bounded by the threshold per partition).
     if "shj_aqe" in sections:
         def with_thresh(on: bool, fn):
+            # drain inside the conf window — see with_conf above
             def run():
                 spark.conf.set(
                     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                     "67108864" if on else "0",
                 )
                 try:
-                    return fn()
+                    fn().write.format("noop").mode("overwrite").save()
                 finally:
                     spark.conf.set(
                         "spark.sql.adaptive."
