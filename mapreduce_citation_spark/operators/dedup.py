@@ -334,6 +334,79 @@ def _ppjoin_pair_filters(num: int = 4, den: int = 5) -> "F.Column":
     return length_ok & positional_ok
 
 
+#: Rarest-first prefix derivation shape (r15, VERDICT r14 #3).
+#: "inrow" (default): after the per-shingle document-frequency attach,
+#: group each doc's (df, s) pairs with a complete-mode aggregate
+#: (repartition(doc_id) first — the r6 near-unique-key rule), sort
+#: rarest-first INSIDE the row and slice to the probe prefix BEFORE
+#: exploding. Versus the window shape this drops the sizes
+#: aggregate+join and both sorts (the ranking window's Exchange+Sort
+#: and the SMJ sorts of ranked⋈sizes), and only the ~n/5 prefix rows
+#: enter the downstream plan instead of every ranked shingle.
+#: "window": the pre-r15 df-join + row_number window + sizes join,
+#: kept reachable for the committed same-session A/B (tools/ab_r15.py).
+PREFIX_RANK = "inrow"
+
+
+def _rarest_prefix(ex: DataFrame) -> DataFrame:
+    """(doc_id, s, rk, n_sh) PROBE-prefix rows — rk ≤ n_sh −
+    ⌈0.8·n_sh⌉ + 1 under the global rarest-first (df, s) total order
+    (document frequency over the full ``ex`` stream, shingle text as
+    tie-break). Shared by ``dedup_ngram_jaccard`` and
+    ``incremental_ingest_report``. Prefix/PPJoin correctness holds for
+    ANY total order applied consistently to both join sides, and both
+    variants implement the SAME (df ASC, s ASC) order — ``array_sort``
+    on struct(df, s) compares fields in declaration order with binary
+    string comparison, exactly ``orderBy("df", "s")`` — so the prefix
+    row sets are identical, not merely output-equivalent. ``ex`` must
+    be per-doc distinct (it is: ``exploded_word_shingles`` dedups), so
+    (df, s) is a strict total order within a doc and both the window
+    rank and the in-row sort are deterministic."""
+    from pyspark.sql import Window
+
+    df_g = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    withdf = ex.join(df_g, "s")
+    if PREFIX_RANK == "window":
+        sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        ranked = withdf.select(
+            "doc_id",
+            "s",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("df", "s"))
+            .alias("rk"),
+        )
+        return (
+            ranked.join(sizes, "doc_id")
+            .filter(
+                F.col("rk")
+                <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1
+            )
+            .select("doc_id", "s", "rk", "n_sh")
+        )
+    grouped = (
+        withdf.repartition(F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("df", "s")).alias("_ds"))
+    )
+    return (
+        grouped.select(
+            "doc_id",
+            F.size("_ds").cast("long").alias("n_sh"),
+            F.expr(
+                "slice(array_sort(_ds), 1, "
+                "size(_ds) - (4 * size(_ds) + 4) div 5 + 1)"
+            ).alias("_pref"),
+        )
+        .select("doc_id", "n_sh", F.posexplode("_pref").alias("_pos", "_e"))
+        .select(
+            "doc_id",
+            F.col("_e.s").alias("s"),
+            (F.col("_pos") + 1).alias("rk"),
+            "n_sh",
+        )
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -379,19 +452,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle cache is persist(MEMORY_AND_DISK) — corpus-sized reuse
     cache, per the r6 memory rule (localCheckpoint pins deserialized
     rows on-heap); df counts, sizes, prefixes and verify all read it."""
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir)
     ex = exploded_word_shingles(d, 3).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    df_g = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = ex.join(df_g, "s").select(
-        "doc_id",
-        "s",
-        F.row_number()
-        .over(Window.partitionBy("doc_id").orderBy("df", "s"))
-        .alias("rk"),
-    )
     # Asymmetric index/probe prefixes (PPJoin's indexing theorem): for
     # a pair with J ≥ t the FIRST common shingle in the one global
     # order lies within the PROBE prefix |x| − ⌈t·|x|⌉ + 1 of the
@@ -403,20 +465,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order, so each pair is generated exactly once (probe = greater).
     # ceil(0.8·n) = (4n+4) div 5; ceil(8·n/9) = (8n+8) div 9. The
     # index prefix is a SUBSET of the probe prefix (ℓi ≤ ℓp for all
-    # n), so only the probe stream is computed from the ranked join —
-    # and persisted (corpus-proportional ~n/5 of the shingle stream,
-    # read by both join sides; without it the index branch re-runs the
-    # whole df-join + ranking window, and the two sides' differing
-    # filters defeat ReusedExchange — measured 98.7 s vs 73.8 s at
-    # 500k docs for the recompute variant).
-    probe = (
-        ranked.join(sizes, "doc_id")
-        .filter(
-            F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1
-        )
-        .select("doc_id", "s", "rk", "n_sh")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # n), so only the probe stream is computed (``_rarest_prefix``,
+    # the shared rarest-first derivation — shape toggled by
+    # PREFIX_RANK) — and persisted (corpus-proportional ~n/5 of the
+    # shingle stream, read by both join sides; without it the index
+    # branch re-runs the whole df-join + ranking derivation, and the
+    # two sides' differing filters defeat ReusedExchange — measured
+    # 98.7 s vs 73.8 s at 500k docs for the recompute variant).
+    probe = _rarest_prefix(ex).persist(StorageLevel.MEMORY_AND_DISK)
     index = probe.filter(
         F.col("rk") <= F.col("n_sh") - F.expr("(8 * n_sh + 8) div 9") + 1
     )
@@ -563,8 +619,6 @@ def incremental_ingest_report(
     symmetric single-join shape reachable for measurement; both
     branches are lossless prefix-filter plans against the same
     brute-force oracle."""
-    from pyspark.sql import Window
-
     # exact: digest semi-join, delta probes base
     h = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
     exact = (
@@ -577,22 +631,11 @@ def incremental_ingest_report(
         # materialize so the digest scans run once
         .localCheckpoint()
     )
-    # near: one shingle stream feeds df counts, sizes, prefixes, verify
+    # near: one shingle stream feeds df counts, prefixes, verify; the
+    # probe prefix comes from the shared rarest-first derivation
+    # (``_rarest_prefix`` — shape toggled by PREFIX_RANK)
     ex = exploded_word_shingles(d, 3).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    df_g = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = ex.join(df_g, "s").select(
-        "doc_id",
-        "s",
-        F.row_number()
-        .over(Window.partitionBy("doc_id").orderBy("df", "s"))
-        .alias("rk"),
-    )
-    pref = (
-        ranked.join(sizes, "doc_id")
-        .filter(F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1)
-        .select("doc_id", "s", "rk", "n_sh")
-    )
+    pref = _rarest_prefix(ex)
     if asymmetric:
         # Asymmetric index/probe prefixes (same theorem as
         # dedup_ngram_jaccard): each true pair's SMALLER doc (under

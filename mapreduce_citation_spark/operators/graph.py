@@ -2469,7 +2469,15 @@ def random_walks(e: DataFrame, per_hop_deg: bool = True) -> DataFrame:
         .sortWithinPartitions("a", "idx")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    fr = deg.select(F.col("a").alias("start"), F.col("deg").alias("_deg"))
+    # the start frontier needs _deg only when the degree rides in the
+    # adjacency row (per_hop_deg=False); the shipped per-hop-join path
+    # re-derives it at hop 1, so carrying it there was dead weight
+    # (r15 cleanup, VERDICT r14 #8 — Catalyst pruned it anyway)
+    fr = (
+        deg.select(F.col("a").alias("start"))
+        if per_hop_deg
+        else deg.select(F.col("a").alias("start"), F.col("deg").alias("_deg"))
+    )
     cols: list[str] = []
     cur = "start"
     # adj is re-joined every hop, and from hop 2 on it is already in

@@ -67,6 +67,20 @@ def _replica_map(k: int) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["r", "from_str", "to_str"])
 
 
+def rg_clause() -> str:
+    """Optional ``ROW_GROUP_SIZE`` COPY clause from $SPARK_GRAFT_RG_ROWS.
+
+    r15 (VERDICT r14 #2): the driver's sf0.1 fixtures are single-file,
+    single-ROW-GROUP parquet, so a Spark scan can never run more than
+    one task per table regardless of split settings — a row group is
+    the unit of parquet parallelism. The driver tree is read-only
+    (TESTDATA.md), but repo-generated fixtures can opt into multi-
+    row-group geometry so core-scaling is measurable locally; DuckDB's
+    default (122,880 rows) already yields several groups at sf1."""
+    v = os.environ.get("SPARK_GRAFT_RG_ROWS")
+    return f", ROW_GROUP_SIZE {int(v)}" if v else ""
+
+
 def generate(out_dir: str, k: int, src_dir: str = "/root/testdata/sf0.1") -> str:
     src = os.path.join(src_dir, "documents.parquet")
     out = os.path.join(out_dir, "documents.parquet")
@@ -91,7 +105,7 @@ COPY (
          d.lang, d.source,
          CAST(length(d.text) AS BIGINT) AS n_chars
   FROM '{src}' d CROSS JOIN repmap m
-) TO '{tmp}' (FORMAT PARQUET, PER_THREAD_OUTPUT)
+) TO '{tmp}' (FORMAT PARQUET, PER_THREAD_OUTPUT{rg_clause()})
 """)
     n = con.execute(f"SELECT COUNT(*) FROM '{tmp}/*.parquet'").fetchone()[0]
     n_src = con.execute(f"SELECT COUNT(*) FROM '{src}'").fetchone()[0]

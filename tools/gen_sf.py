@@ -115,7 +115,11 @@ def generate(out_dir: str, k: int,
             if c in keycols else f"t.{c}"
             for c in cols
         )
-        per_thread = ", PER_THREAD_OUTPUT" if fact else ""
+        # multi-row-group opt-in (r15, VERDICT r14 #2 — see
+        # gen_corpus.rg_clause): a single-row-group file caps every
+        # Spark scan at one task; $SPARK_GRAFT_RG_ROWS makes repo-
+        # generated fixtures splittable for core-scaling measurements
+        per_thread = (", PER_THREAD_OUTPUT" if fact else "") + gen_corpus.rg_clause()
         tmp = dst + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         if os.path.exists(tmp):
