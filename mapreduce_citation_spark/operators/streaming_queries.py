@@ -109,6 +109,85 @@ def read_events_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(_EVENTS_MICROS_SCHEMA).parquet(stage)
 
 
+#: Target source bytes per stateful-stream shuffle partition (the
+#: state-store instance count). See _stateful_shuffle_partitions.
+_STREAM_PART_BYTES = 32 * 1024 * 1024
+
+
+def _stateful_shuffle_partitions(
+    spark: SparkSession, sf_dir: str, table: str = "events.parquet"
+) -> str | None:
+    """Scale-adaptive ``spark.sql.shuffle.partitions`` for a stateful
+    streaming query, or None to keep the session value.
+
+    Why (r15, VERDICT r14 #4, guide §2/§5 — MEASURED, not reasoned):
+    a stateful streaming operator creates one state-store INSTANCE per
+    shuffle partition (a stream-stream join keeps 4 per side), and
+    EVERY micro-batch commits EVERY instance even with zero input
+    rows. The r14 per-batch probe measured 2.4–5.2 s of fixed commit
+    cost per micro-batch at the session's 32 partitions for ≤4-row
+    batches; the r15 interleaved A/B (AB_R15_STREAM_PARTS.json, 4
+    families, outputs digest-identical) measured 1.96–5.94× from
+    sizing partitions to the data instead.
+
+    The rule is derived from INPUT SIZE, never a local constant
+    (CLAUDE.md: scale-dependent settings stay parameterised): one
+    partition per _STREAM_PART_BYTES of source, floored at 4 (keeps
+    multi-core state commit even on tiny fixtures), capped at the
+    session default (a cluster deployment raises the session value —
+    at 100 TB this returns the cap, i.e. behavior is unchanged where
+    state actually needs to spread). $SPARK_GRAFT_STREAM_SHUFFLE_
+    PARTITIONS overrides: a number forces that count, "session"
+    disables the adaptation (the pre-r15 behavior, kept for A/Bs).
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env == "session":
+        return None
+    if env:
+        return env
+    src = os.path.join(sf_dir, table)
+    try:
+        if os.path.isdir(src):
+            total = sum(
+                e.stat().st_size
+                for e in os.scandir(src)
+                if e.name.endswith(".parquet")
+            )
+        else:
+            total = os.path.getsize(src)
+    except OSError:
+        return None
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = (total + _STREAM_PART_BYTES - 1) // _STREAM_PART_BYTES
+    return str(max(4, min(session, n)))
+
+
+def _drain_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    writer,
+    table: str = "events.parquet",
+):
+    """``writer.start()`` + full drain + stop, with the scale-adaptive
+    stateful-stream partition conf active at query start (the conf is
+    captured into the query's offset metadata at start; it is restored
+    for the session immediately after the drain)."""
+    key = "spark.sql.shuffle.partitions"
+    val = _stateful_shuffle_partitions(spark, sf_dir, table)
+    prev = spark.conf.get(key)
+    if val is not None:
+        spark.conf.set(key, val)
+    try:
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if val is not None:
+            spark.conf.set(key, prev)
+
+
 @register(
     "streaming_tumbling_counts",
     oracle="""
@@ -142,16 +221,13 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"streaming_tumbling_counts_{next(_SINK_COUNTER)}"
-    q = (
+    _drain_stateful(
+        spark,
+        sf_dir,
         agg.writeStream.outputMode("complete")
         .format("memory")
-        .queryName(name)
-        .start()
+        .queryName(name),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.table(name)
 
 
@@ -200,16 +276,13 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"streaming_session_counts_{next(_SINK_COUNTER)}"
-    q = (
+    _drain_stateful(
+        spark,
+        sf_dir,
         agg.writeStream.outputMode("complete")
         .format("memory")
-        .queryName(name)
-        .start()
+        .queryName(name),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.table(name)
 
 
@@ -256,16 +329,13 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     name = f"streaming_dedup_watermark_{next(_SINK_COUNTER)}"
-    q = (
+    _drain_stateful(
+        spark,
+        sf_dir,
         deduped.writeStream.outputMode("append")
         .format("memory")
-        .queryName(name)
-        .start()
+        .queryName(name),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.table(name)
 
 
@@ -355,16 +425,13 @@ def streaming_kafka_topic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"streaming_kafka_topic_counts_{next(_SINK_COUNTER)}"
-    q = (
+    _drain_stateful(
+        spark,
+        sf_dir,
         agg.writeStream.outputMode("complete")
         .format("memory")
-        .queryName(name)
-        .start()
+        .queryName(name),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.table(name)
 
 
@@ -412,16 +479,13 @@ def streaming_stream_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
     name = f"streaming_stream_stream_funnel_{next(_SINK_COUNTER)}"
-    q = (
+    _drain_stateful(
+        spark,
+        sf_dir,
         joined.writeStream.outputMode("append")
         .format("memory")
-        .queryName(name)
-        .start()
+        .queryName(name),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.table(name)
 
 
@@ -457,16 +521,13 @@ def streaming_running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = read_events_parquet_stream(spark, sf_dir)
     updates = running_user_counts(ev.select("user_id", "ts"))
     name = f"streaming_running_user_counts_{next(_SINK_COUNTER)}"
-    q = (
+    _drain_stateful(
+        spark,
+        sf_dir,
         updates.writeStream.outputMode("update")
         .format("memory")
-        .queryName(name)
-        .start()
+        .queryName(name),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -531,16 +592,13 @@ def streaming_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("_copy")
     first_touch = planted.dropDuplicates(["user_id", "day"])
     name = f"streaming_cumulative_users_{next(_SINK_COUNTER)}"
-    q = (
+    _drain_stateful(
+        spark,
+        sf_dir,
         first_touch.writeStream.outputMode("append")
         .format("memory")
-        .queryName(name)
-        .start()
+        .queryName(name),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     sink = spark.table(name)
     first = sink.groupBy("user_id").agg(F.min("day").alias("day"))
     daily = first.groupBy("day").agg(
@@ -663,6 +721,12 @@ def streaming_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "ts", "event_id", "event_type")
     )
     name = f"streaming_cdc_compaction_{next(_SINK_COUNTER)}"
+    # deliberately NOT _drain_stateful: the only family where the
+    # adaptive partition rule LOST its interleaved A/B (0.92×, 0/3
+    # pairwise — AB_R15_STREAM_ADAPTIVE.json). Its update-mode
+    # latest-state keeps per-user rows hot across every micro-batch,
+    # so commit cost scales with state actually written, not instance
+    # count — fewer partitions just serialize the same work.
     q = (
         updates.writeStream.outputMode("update")
         .format("memory")
@@ -726,16 +790,13 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("user_id").alias("max_user"),
     )
     name = f"streaming_stream_static_join_{next(_SINK_COUNTER)}"
-    q = (
+    _drain_stateful(
+        spark,
+        sf_dir,
         agg.writeStream.outputMode("complete")
         .format("memory")
-        .queryName(name)
-        .start()
+        .queryName(name),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.table(name)
 
 
@@ -780,16 +841,13 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"streaming_sliding_counts_{next(_SINK_COUNTER)}"
-    q = (
+    _drain_stateful(
+        spark,
+        sf_dir,
         agg.writeStream.outputMode("complete")
         .format("memory")
-        .queryName(name)
-        .start()
+        .queryName(name),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.table(name)
 
 
@@ -846,16 +904,14 @@ def streaming_quality_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     name = f"streaming_quality_gate_counts_{next(_SINK_COUNTER)}"
-    q = (
+    _drain_stateful(
+        spark,
+        sf_dir,
         agg.writeStream.outputMode("update")
         .format("memory")
-        .queryName(name)
-        .start()
+        .queryName(name),
+        table="documents.parquet",
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     w = Window.partitionBy("source").orderBy(
         F.col("n_docs").desc(), F.col("n_keep").desc()
     )
@@ -1296,16 +1352,13 @@ def streaming_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snapshots = streaming_mg_candidates(keyed, k=100)
     name = f"streaming_heavy_hitters_mg_{next(_SINK_COUNTER)}"
-    q = (
+    _drain_stateful(
+        spark,
+        sf_dir,
         snapshots.writeStream.outputMode("update")
         .format("memory")
-        .queryName(name)
-        .start()
+        .queryName(name),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     sunk = spark.table(name)
     cand = (
         sunk.withColumn(
@@ -1485,16 +1538,13 @@ def streaming_funnel_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"streaming_funnel_left_outer_{next(_SINK_COUNTER)}"
-    q = (
+    _drain_stateful(
+        spark,
+        sf_dir,
         joined.writeStream.outputMode("append")
         .format("memory")
-        .queryName(name)
-        .start()
+        .queryName(name),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     out = spark.table(name).filter(F.col("user_id") >= 0)
     n_null = out.filter(F.col("purchase_id").isNull()).count()
     assert n_null >= 1, (

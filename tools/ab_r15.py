@@ -23,7 +23,12 @@ cross-window numbers).
    (== 1) semi-join for "no other late supplier" vs the late×late
    semi + (orderkey, suppkey) anti pair. Toggled via
    ``tpch_extra.Q21_SOLE``.
-6. ``funnel_frag``: the funnel's stage-1+2 FRAGMENT in isolation
+6. ``ingest_fixed``: the PREFIX_RANK toggle on the FIXED-delta cohort
+   geometry (base-range doc_ids only, so the delta stays constant as
+   the corpus grows — r9 protocol: a prefix-derivation change must
+   win on BOTH cohort geometries; the registered %8 operator is the
+   fraction geometry).
+7. ``funnel_frag``: the funnel's stage-1+2 FRAGMENT in isolation
    (quality gate → exact dedup → drain survivors) — the full-funnel
    section's stage-2 delta is ~10% of 8.5 s of common work
    (dedup_clusters + gram streams), so the embedded A/B is
@@ -153,6 +158,28 @@ def main(args: list[str]) -> int:
                 text, "BOILER_BASE_CACHE", "none", lambda: fn(spark, sf_dir)
             ),
         )
+
+    if "ingest_fixed" in sections:
+        from pyspark.sql import functions as F
+
+        # fixed-delta cohort: the %8 cohort RESTRICTED to the base
+        # replica's id range (gen_corpus stride 10000), so the delta
+        # stays 1/8 of the BASE corpus no matter the expansion factor
+        pred = (F.col("doc_id") % 8 == 0) & (F.col("doc_id") < 10000)
+
+        def ing(variant: str):
+            def run():
+                prev = dedup.PREFIX_RANK
+                dedup.PREFIX_RANK = variant
+                try:
+                    return dedup.incremental_ingest_report(
+                        dedup._docs(spark, sf_dir), pred
+                    )
+                finally:
+                    dedup.PREFIX_RANK = prev
+            return run
+
+        section("ingest_fixed", ing("inrow"), ing("window"))
 
     if "funnel_frag" in sections:
         from pyspark.sql import Window

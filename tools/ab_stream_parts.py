@@ -20,6 +20,12 @@ call really changes the state layout — unlike batch confs read at
 execution time (the r14 SHJ A/B bug), there is no gap here; the
 restore happens after the stream has fully drained.
 
+Since the adaptive rule SHIPPED (streaming_queries._drain_stateful),
+this tool toggles $SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS instead of
+the session conf: "session" forces the pre-r15 behavior (session
+default partitions), unset lets the shipped adaptive rule run, and
+--parts N pins an explicit count for exploration.
+
 Outputs are asserted identical across all runs via the set-level
 digest (count + sum of per-row xxhash64), the ab_state_store
 standard.
@@ -48,7 +54,7 @@ FAMILIES = (
 
 def main(args: list[str]) -> int:
     json_path = None
-    low = 4
+    low = 0  # 0 = the shipped adaptive rule; N pins an explicit count
     families = FAMILIES
     if "--json" in args:
         json_path = args[args.index("--json") + 1]
@@ -77,9 +83,12 @@ def main(args: list[str]) -> int:
         return int(row["n"]), int(row["h"] or 0)
 
     default_parts = spark.conf.get(PARTS_CONF)
+    ENV = "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"
 
-    def one_run(fn, parts: str) -> tuple[float, tuple[int, int]]:
-        spark.conf.set(PARTS_CONF, parts)
+    def one_run(fn, env_val: str | None) -> tuple[float, tuple[int, int]]:
+        prev = os.environ.pop(ENV, None)
+        if env_val is not None:
+            os.environ[ENV] = env_val
         try:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
@@ -88,12 +97,18 @@ def main(args: list[str]) -> int:
             sec = time.perf_counter() - t0
             return sec, digest(df)
         finally:
-            spark.conf.set(PARTS_CONF, default_parts)
+            os.environ.pop(ENV, None)
+            if prev is not None:
+                os.environ[ENV] = prev
 
+    # "default" side = pre-r15 behavior (session partitions, via the
+    # "session" env sentinel); "low" side = the shipped adaptive rule
+    # (env unset), or an explicit count with --parts N.
+    low_env = None if low == 0 else str(low)
     report: dict = {
         "sf_dir": sf_dir,
         "default_parts": default_parts,
-        "low_parts": low,
+        "low_parts": low_env or "adaptive",
         "cal_before": _calibrate(),
         "families": {},
     }
@@ -101,11 +116,11 @@ def main(args: list[str]) -> int:
         fn = specs[name].fn
         runs: dict[str, list[float]] = {"default": [], "low": []}
         digests: set[tuple[int, int]] = set()
-        one_run(fn, default_parts)  # warmup (stages files, warms JIT)
+        one_run(fn, "session")  # warmup (stages files, warms JIT)
         for i in range(6):
             mode = "default" if i % 2 == 0 else "low"
             sec, dg = one_run(
-                fn, default_parts if mode == "default" else str(low)
+                fn, "session" if mode == "default" else low_env
             )
             runs[mode].append(round(sec, 3))
             digests.add(dg)
